@@ -1,0 +1,43 @@
+"""Shared expression helpers enforcing the determinism conventions (C2).
+
+Cross-engine float rounding
+---------------------------
+Spark's ``round(double, n)`` goes through ``BigDecimal.valueOf`` (shortest
+decimal repr, HALF_UP) while DuckDB rounds the binary double — they disagree
+whenever the shortest repr ends in a '5' at the rounding digit (measured:
+``q_project`` revenue 37704.575 → Spark .58, DuckDB .57). The engine
+therefore rounds with a single IEEE formula on both sides::
+
+    rnd(x, n)  =  floor(x * 10^n + 0.505) / 10^n
+
+``floor``/``*``/``+``/``/`` are deterministic IEEE-754 ops, so identical
+inputs give bit-identical doubles in both engines, and the ``floor``
+collapses cross-engine ulp drift (different summation orders/structures).
+The offset is 0.505, not 0.5: the fixture's money-like columns are 2-decimal,
+so true scaled aggregates land *exactly* on integers or halves — with +0.5
+those sit on the floor boundary and each engine's ulp error decides the
+direction (measured: q_win_rows_frame running_avg 54.375 → .37 vs .38).
+Shifting the bias 0.005 off the half moves every small-denominator rational
+safely outside the drift zone while changing which side of the boundary both
+engines round — identically, which is all the hash needs. Negative halves
+round toward +inf on both sides — also identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def rnd(col: Column | str, n: int = 2) -> Column:
+    """Portable fixed-point rounding (see module docstring)."""
+    if isinstance(col, str):
+        col = F.col(col)
+    scale = 10**n
+    return F.floor(col * scale + F.lit(0.505)) / F.lit(scale)
+
+
+def R(expr: str, n: int = 2) -> str:
+    """The identical rounding formula as DuckDB SQL text, for oracles."""
+    scale = 10**n
+    return f"floor(({expr}) * {scale} + 0.505) / {scale}"

@@ -1,0 +1,76 @@
+"""Fixture table loader + temp-view registrar (SURVEY §2.0 C1, FIXTURES.md).
+
+Every query callable goes through :func:`load_tables`, which
+
+1. re-applies the runtime session conventions (UTC, nanosAsLong, AQE);
+2. reads each parquet table of the scale-factor directory;
+3. normalizes ``events.ts`` from INT64 nanoseconds to ``TimestampType``
+   microseconds (SURVEY §1.3(1)) using integer division (``ts DIV 1000``)
+   so no double-rounding can perturb the value;
+4. registers each table as a temp view under its canonical name.
+
+DataFrames are lazy, so loading is cheap; a small per-(session, dir) cache
+avoids re-reading parquet footers and re-registering views on every call.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from twitter_event_stream_spark.session import configure_session
+
+TABLE_NAMES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to always broadcast in joins (SURVEY §4.2:
+#: dims ≤20k rows). ``part`` qualifies at every shipped sf; at true 100 TB
+#: scale ``part``/``customer`` would grow out of this set and the engine's
+#: joins fall back to shuffled strategies via AQE size estimates.
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
+
+_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """INT64 ns → TimestampType µs, losslessly (data is µs-precision).
+
+    ``ts DIV 1000`` stays in integer arithmetic; a double division here
+    could round (ulp at 1.7e18 is 256 ns).
+    """
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all fixture tables of ``sf_dir``; register canonical temp views."""
+    configure_session(spark)
+    key = (id(spark), sf_dir.rstrip("/"))
+    cached = _cache.get(key)
+    if cached is not None:
+        return cached
+    dfs: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+        if name == "events":
+            df = _normalize_events(df)
+        df.createOrReplaceTempView(name)
+        dfs[name] = df
+    _cache[key] = dfs
+    return dfs
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Single-table accessor used by the operator modules."""
+    return load_tables(spark, sf_dir)[name]
