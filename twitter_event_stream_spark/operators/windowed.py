@@ -1,1 +1,139 @@
-"""Placeholder — populated in a later milestone."""
+"""I — event-time windowing + dedup, batch-checkable rows (SURVEY §2.2.I).
+
+``window``/``session_window``/``dropDuplicates`` run identically on bounded
+data, so I1/I2/I3/I5 carry HASH contracts here; the *behaviorally* streaming
+concerns (watermarks, late data, output modes, state recovery) live in
+``streaming/`` with INFRA tests over the file-replay fixture.
+
+Scale: event-time windows group by (window, key) — the shuffle key includes
+the bucket, so state is bounded per trigger and the same plan incrementalizes
+under Structured Streaming (SURVEY §3.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from twitter_event_stream_spark.exprs import R
+from twitter_event_stream_spark.registry import query
+from twitter_event_stream_spark.tables import table
+
+
+@query(
+    "q_window_tumbling",
+    oracle=f"""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))::TIMESTAMP AS bucket_ts,
+           count(*) AS n_events,
+           {R('sum(value)')} AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 — 1-hour tumbling event-time window (≡ date_trunc on bounded data;
+    the same expression incrementalizes in streaming)."""
+    ev = table(spark, sf_dir, "events")
+    from twitter_event_stream_spark.exprs import rnd
+
+    return (
+        ev.groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("bucket_ts"), "n_events", "sum_value"
+        )
+    )
+
+
+@query(
+    "q_window_sliding",
+    oracle=f"""
+    SELECT win_start, count(*) AS n_events, {R('sum(value)')} AS sum_value
+    FROM (
+      SELECT (time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+              - k.k * INTERVAL '15 minutes')::TIMESTAMP AS win_start,
+             value
+      FROM events
+      CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+    ) t
+    GROUP BY win_start
+    """,
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2 — sliding window (1 h, slide 15 min): each event lands in 4
+    windows; the oracle reconstructs the 4 epoch-aligned bucket starts."""
+    ev = table(spark, sf_dir, "events")
+    from twitter_event_stream_spark.exprs import rnd
+
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("window.start").alias("win_start"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "q_window_session",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                    OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                       >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           count(*) AS n_events,
+           {R('sum(value)')} AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3 — session window (30-min gap) per user; oracle is the classic
+    gaps-and-islands rewrite. Spark's session range is [start, last+gap), so
+    a gap of exactly 30 min starts a new session (>= in the oracle)."""
+    ev = table(spark, sf_dir, "events")
+    from twitter_event_stream_spark.exprs import rnd
+
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5 — duplicate elimination on a key subset. Only the dedup keys are
+    emitted (dropDuplicates keeps an arbitrary surviving row for other
+    columns). Streaming twin: dropDuplicatesWithinWatermark (streaming/)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").dropDuplicates()
