@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""BENCH harness — runs the 9 headline query shapes of BASELINE.md at
+$SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
+
+Protocol mirrors BASELINE.md: each query 3×, cold = run 1, warm = median of
+runs 2-3, results fully collected. The BENCH gate is warm ≤ 2× the PySpark
+warm column of BASELINE.md; engine tuning (broadcast dims, vectorized knn,
+capped shuffle partitions) targets <1×.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from twitter_event_stream_spark import registry  # noqa: E402
+from twitter_event_stream_spark.operators.vector_search import knn_bench_query  # noqa: E402
+from twitter_event_stream_spark.session import get_spark  # noqa: E402
+from twitter_event_stream_spark.tables import load_tables  # noqa: E402
+
+#: BASELINE.md row name → engine query. The knn row uses the vectorized
+#: mapInPandas path (operators/vector_search.py), not the JVM-HOF HASH form.
+BENCH_QUERIES: dict[str, object] = {
+    "q_pricing_summary": "q_agg_basic",
+    "q_join_3way": "q_join_broadcast",
+    "q_topk_window": "q_topk_per_group",
+    "q_events_hour_buckets": "q_window_tumbling",
+    "q_semi_anti": "q_join_anti",
+    "q_sort_limit": "q_sort_limit",
+    "q_distinct_agg": "q_agg_count_distinct",
+    "q_text_tokens": "q_llm_textstats",
+    "q_knn_cosine_bruteforce": lambda spark, sf: knn_bench_query(spark, sf, 100),
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    t0 = time.perf_counter()
+    spark = get_spark(app_name="tes-bench")
+    startup = time.perf_counter() - t0
+    load_tables(spark, sf_dir)
+
+    warm: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, target in BENCH_QUERIES.items():
+        fn = registry.get(target).fn if isinstance(target, str) else target
+        times = []
+        for _ in range(3):
+            t = time.perf_counter()
+            res = fn(spark, sf_dir).collect()
+            times.append(time.perf_counter() - t)
+        cold[name] = round(times[0], 3)
+        warm[name] = round(statistics.median(times[1:]), 3)
+        rows[name] = len(res)
+
+    print(
+        json.dumps(
+            {
+                "metric": "warm_total_sec",
+                "value": round(sum(warm.values()), 3),
+                "unit": "sec",
+                "queries": warm,
+                "sf": sf,
+                "cold": cold,
+                "rows": rows,
+                "startup_sec": round(startup, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
