@@ -1,0 +1,168 @@
+"""INFRA-contract tests: engine capabilities exercised directly rather than
+through named queries (SURVEY §2.2 legend)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from twitter_event_stream_spark import registry
+from twitter_event_stream_spark.operators.multimodal import (
+    decode_features,
+    dedup_by_content,
+    with_payload,
+)
+from twitter_event_stream_spark.tables import table
+
+
+def test_parquet_sink_roundtrip(spark, sf_dir):
+    """A2 — parquet sink: write + re-read preserves rows and schema."""
+    out = tempfile.mkdtemp(prefix="tes_pq_")
+    li = table(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    assert dict(back.dtypes) == dict(li.dtypes)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_partitioned_write_lang_route(spark, sf_dir):
+    """K10 INFRA — partitionBy('lang') write produces per-lang directories
+    and partition pruning reads only the requested language."""
+    out = tempfile.mkdtemp(prefix="tes_route_")
+    d = table(spark, sf_dir, "documents")
+    d.write.mode("overwrite").partitionBy("lang").parquet(out)
+    de = spark.read.parquet(out).filter(F.col("lang") == "de")
+    assert de.count() == d.filter(F.col("lang") == "de").count()
+    plan = de._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan or "lang#" in plan
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_sort_within_partitions(spark, sf_dir):
+    """F2 — per-partition sort: every partition is internally ordered."""
+    ev = table(spark, sf_dir, "events").repartition(4, "user_id")
+    sorted_parts = ev.sortWithinPartitions("ts").select("ts")
+
+    def is_sorted(it):
+        prev = None
+        for row in it:
+            if prev is not None and row.ts < prev:
+                yield False
+                return
+            prev = row.ts
+        yield True
+
+    flags = sorted_parts.rdd.mapPartitions(is_sorted).collect()
+    assert all(flags)
+
+
+def test_map_in_pandas(spark, sf_dir):
+    """J5 — partition-wise Arrow-batched map."""
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+
+    def double_it(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["value"] = pdf["value"] * 2
+            yield pdf
+
+    out = ev.mapInPandas(double_it, "event_id long, value double")
+    got = dict(out.collect())
+    want = {r.event_id: r.value * 2 for r in ev.collect()}
+    assert got == pytest.approx(want)
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """D3 — HLL++ estimate within 5% of the exact distinct count."""
+    approx = {
+        r.event_type: r.approx_users
+        for r in registry.get("q_agg_approx_distinct").fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n_users
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(1, 0.05 * n)
+
+
+def test_approx_percentile_error_bound(spark, sf_dir):
+    """D10 — approx percentile close to exact (generous 10% band)."""
+    approx = {
+        r.event_type: (r.ap50, r.ap90)
+        for r in registry.get("q_agg_approx_percentile").fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: (r.p50, r.p90)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.9).alias("p90"),
+        )
+        .collect()
+    }
+    for t, (p50, p90) in exact.items():
+        assert abs(approx[t][0] - p50) <= 0.15 * max(p50, 1)
+        assert abs(approx[t][1] - p90) <= 0.15 * max(p90, 1)
+
+
+def test_sample_fraction_bound(spark, sf_dir):
+    """F3 — seeded sample lands near the requested fraction and is
+    reproducible with the same seed."""
+    ev = table(spark, sf_dir, "events")
+    n = ev.count()
+    s1 = registry.get("q_sample").fn(spark, sf_dir).count()
+    s2 = registry.get("q_sample").fn(spark, sf_dir).count()
+    assert s1 == s2, "same seed must reproduce the same sample"
+    assert 0.03 * n <= s1 <= 0.2 * n
+
+
+def test_null_aware_anti_join(spark):
+    """C7 note — NOT IN over a set containing NULL is empty (null-aware
+    anti join); fixture data is null-free so manufacture the case."""
+    a = spark.createDataFrame([(1,), (2,)], "x int")
+    b = spark.createDataFrame([(2,), (None,)], "x int")
+    a.createOrReplaceTempView("na_a")
+    b.createOrReplaceTempView("na_b")
+    got = spark.sql("SELECT x FROM na_a WHERE x NOT IN (SELECT x FROM na_b)").collect()
+    assert got == [], "NOT IN with NULL in the subquery must yield no rows"
+    plan = spark.sql(
+        "SELECT x FROM na_a WHERE x NOT IN (SELECT x FROM na_b)"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+
+
+def test_multimodal_payload_schema_and_dedup(spark, sf_dir):
+    """K11 — binary payload + metadata struct schema; content dedup over
+    binary; deterministic fake feature extraction through mapInPandas."""
+    d = table(spark, sf_dir, "documents")
+    m = with_payload(d)
+    kinds = dict(m.dtypes)
+    assert kinds["payload"] == "binary"
+    assert kinds["meta"].startswith("struct<mime:string,n_bytes:int")
+    dd = dedup_by_content(m)
+    assert dd.count() == d.select("text").distinct().count()
+    feats = decode_features(m.limit(50))
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r.features) == 4 for r in rows)
+    again = {r.doc_id: r.features for r in decode_features(m.limit(50)).collect()}
+    assert all(again[r.doc_id] == r.features for r in rows), "features not deterministic"
+
+
+def test_multimodal_real_decode_is_stubbed(spark, sf_dir):
+    """K11 — the real-decode seam fails loudly (libraries absent by design)."""
+    m = with_payload(table(spark, sf_dir, "documents"))
+    with pytest.raises(Exception) as exc_info:
+        decode_features(m.limit(5), real_decode=True).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )

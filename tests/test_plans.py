@@ -1,0 +1,81 @@
+"""Plan-shape tests (SURVEY §5.2.5) — guard the physical-plan assumptions the
+100 TB design rests on. If one of these regresses, the query still returns
+correct rows but the plan no longer scales; that's a bug here."""
+
+from __future__ import annotations
+
+from twitter_event_stream_spark import registry
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = registry.get(name).fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_broadcast_join_for_dims(spark, sf_dir):
+    """C1: dimension joins must be broadcast — the fact side never shuffles
+    for the join."""
+    plan = _plan(spark, sf_dir, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sortmerge_join_honored(spark, sf_dir):
+    """C2: the fact-fact join keeps the sort-merge strategy (the shape that
+    scales without a resident build side)."""
+    assert "SortMergeJoin" in _plan(spark, sf_dir, "q_join_sortmerge")
+
+
+def test_shuffled_hash_join_honored(spark, sf_dir):
+    assert "ShuffledHashJoin" in _plan(spark, sf_dir, "q_join_shuffledhash")
+
+
+def test_top_k_is_take_ordered(spark, sf_dir):
+    """F1: global top-k must plan TakeOrderedAndProject — per-partition
+    top-k + driver merge, never a global sort."""
+    assert "TakeOrderedAndProject" in _plan(spark, sf_dir, "q_sort_limit")
+
+
+def test_rank_filter_uses_window_group_limit(spark, sf_dir):
+    """E8: rank≤k filter must trigger WindowGroupLimit (per-partition top-k
+    before the window sort)."""
+    assert "WindowGroupLimit" in _plan(spark, sf_dir, "q_topk_per_group")
+
+
+def test_filters_pushed_to_parquet(spark, sf_dir):
+    """B2: compound predicates must reach the parquet scan."""
+    plan = _plan(spark, sf_dir, "q_filter_compound")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_quantity,10" in plan.replace(" ", "")[:100000] or (
+        "l_quantity" in plan.split("PushedFilters")[1][:400]
+    )
+
+
+def test_column_pruning_on_scan(spark, sf_dir):
+    """A1: the fingerprint scan reads only referenced lineitem columns —
+    ReadSchema must not contain the wide unused columns."""
+    plan = _plan(spark, sf_dir, "q_scan_parquet")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_shipdate" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_partial_final_aggregation(spark, sf_dir):
+    """D1: two-phase hash aggregation (map-side combine before the
+    shuffle) — the shuffle carries partials, not raw rows."""
+    plan = _plan(spark, sf_dir, "q_agg_basic")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial" in plan.lower()
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    """H5: scalar-function pipelines stay inside whole-stage codegen
+    (the `*(n)` prefix marks codegen stages in the compact plan string)."""
+    plan = _plan(spark, sf_dir, "q_math")
+    assert "WholeStageCodegen" in plan or "*(" in plan
+
+
+def test_knn_probe_side_broadcast(spark, sf_dir):
+    """K4: the probe set is broadcast — candidates never shuffle."""
+    plan = _plan(spark, sf_dir, "q_llm_knn_cosine")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -1,0 +1,234 @@
+"""Streaming behavior tests (SURVEY §5.2.4 — INFRA contract rows).
+
+Deterministic replay via the chunked file source + availableNow triggers:
+(a) batch/stream parity for windowed aggs and dedup, (b) watermark late-data
+handling, (c) checkpoint recovery / exactly-once, (d) fan-out demux, (e)
+keyed state, (f) rate source / memory sink smoke.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from twitter_event_stream_spark.streaming.pipelines import (
+    bridge_pipeline,
+    decode_events,
+    fanout_foreach_batch,
+    running_user_counters,
+    windowed_counts,
+)
+from twitter_event_stream_spark.streaming.replay import (
+    replay_stream,
+    run_available_now,
+    write_replay_chunks,
+)
+from twitter_event_stream_spark.tables import table
+
+
+@pytest.fixture(scope="module")
+def chunk_dir(spark, sf_dir):
+    d = tempfile.mkdtemp(prefix="tes_replay_")
+    write_replay_chunks(spark, sf_dir, d, n_chunks=10)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def late_chunk_dir(spark, sf_dir):
+    d = tempfile.mkdtemp(prefix="tes_replay_late_")
+    write_replay_chunks(spark, sf_dir, d, n_chunks=10, late_rows=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _drain(spark, stream_df, name, output_mode="append"):
+    ckpt = tempfile.mkdtemp(prefix=f"tes_ckpt_{name}_")
+    q = run_available_now(stream_df, name, ckpt, output_mode)
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return rows
+
+
+def test_stream_batch_parity_tumbling(spark, sf_dir, chunk_dir):
+    """I1/I4: streaming windowed agg over ordered replay == batch result
+    (append mode only emits windows the watermark has passed; the final
+    window needs a complete-mode or update comparison — compare the common
+    prefix, which must match exactly)."""
+    stream = replay_stream(spark, chunk_dir)
+    got = {r.bucket_ts: r.n_events for r in _drain(spark, windowed_counts(stream), "t_tumb")}
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("bucket_ts"), "n_events")
+        .collect()
+    )
+    expected = {r.bucket_ts: r.n_events for r in batch}
+    assert got, "stream emitted no finalized windows"
+    # Every finalized streaming window must equal the batch value.
+    for bucket, n in got.items():
+        assert expected[bucket] == n
+    # All but the trailing (unclosed-at-watermark) windows must be emitted.
+    missing = set(expected) - set(got)
+    assert len(missing) <= 2, f"too many unemitted windows: {sorted(missing)[:5]}"
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, late_chunk_dir):
+    """I5: the late fixture re-emits ~1% of rows two chunks later (~6 days
+    of event time); with a 15-day watermark the duplicates are inside the
+    dedup state horizon and must all be removed."""
+    stream = replay_stream(spark, late_chunk_dir).withWatermark("ts", "15 days")
+    rows = _drain(
+        spark,
+        stream.dropDuplicatesWithinWatermark(["event_id"]).select("event_id"),
+        "t_dedup",
+    )
+    n_batch = table(spark, sf_dir, "events").count()
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids)) == n_batch
+
+
+def test_stream_watermark_drops_late(spark, sf_dir, late_chunk_dir):
+    """I4: with a tight watermark, the late re-emissions (one chunk ≈ 3 days
+    of event time at sf0.001) arrive beyond it; totals must stay at the
+    batch count per window — duplicates dropped as *late*, not merely as
+    duplicates (no dedup operator in this query)."""
+    stream = replay_stream(spark, late_chunk_dir)
+    emitted = _drain(spark, windowed_counts(stream, watermark="1 minute"), "t_late")
+    buckets = [r.bucket_ts for r in emitted]
+    assert len(buckets) == len(set(buckets)), "window emitted twice (late row re-opened evicted state)"
+    got = {r.bucket_ts: r.n_events for r in emitted}
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    expected = {r.bucket_ts: r.n_events for r in batch}
+    assert got
+    for bucket, n in got.items():
+        assert expected[bucket] == n, f"late duplicates leaked into {bucket}"
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, chunk_dir):
+    """I10 + §3.3(4) + A2: restart from the same checkpoint into the same
+    fault-tolerant (parquet file) sink must not duplicate committed rows —
+    exactly-once = replayable source + WAL + idempotent sink. (The memory
+    sink deliberately does NOT support recovery; the file sink does.)"""
+    ckpt = tempfile.mkdtemp(prefix="tes_ckpt_recov_")
+    out = tempfile.mkdtemp(prefix="tes_out_recov_")
+
+    def start():
+        return (
+            replay_stream(spark, chunk_dir)
+            .select("event_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    start().awaitTermination(120)
+    n_first = spark.read.parquet(out).count()
+    start().awaitTermination(120)  # restart: no new input → no new output
+    n_second = spark.read.parquet(out).count()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    assert n_first == table(spark, sf_dir, "events").count()
+    assert n_second == n_first, "restart from checkpoint duplicated committed rows"
+
+
+def test_bridge_pipeline_fanout(spark, sf_dir, chunk_dir):
+    """R1-R11 end-to-end: replayed ingest → bridge (dedup, dispatch,
+    subscription join, legacy reshape) → foreachBatch fan-out. Per-client
+    payload counts must equal the batch-side expectation."""
+    subs = spark.createDataFrame(
+        [(u, f"client_{u % 3}") for u in range(0, 10)], "user_id long, client_id string"
+    )
+    stream = replay_stream(spark, chunk_dir, files_per_trigger=3)
+    bridged = bridge_pipeline(stream, subs)
+    sinks: dict[str, list] = {}
+    ckpt = tempfile.mkdtemp(prefix="tes_ckpt_bridge_")
+    q = (
+        bridged.writeStream.foreachBatch(fanout_foreach_batch(sinks))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    ev = table(spark, sf_dir, "events")
+    got = {c: len(p) for c, p in sinks.items()}
+    want: dict[str, int] = {}
+    for row in (
+        ev.filter(F.col("user_id") < 10).groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    ):
+        want[f"client_{row.user_id % 3}"] = want.get(f"client_{row.user_id % 3}", 0) + row.n
+    assert got == want
+    # R5: payloads are legacy-shaped JSON.
+    sample = next(iter(sinks.values()))[0]
+    assert '"event"' in sample and '"created_at"' in sample
+
+
+def test_decode_events_roundtrip(spark, sf_dir):
+    """R2: NDJSON wire format → typed stream columns via explicit schema."""
+    ev = table(spark, sf_dir, "events")
+    wire = ev.select(F.to_json(F.struct(*ev.columns)).alias("value"))
+    decoded = decode_events(wire)
+    assert decoded.schema.simpleString() == ev.schema.simpleString()
+    assert decoded.count() == ev.count()
+
+
+def test_running_user_counters_state(spark, sf_dir, chunk_dir):
+    """I8: applyInPandasWithState running counters; the *final* update per
+    user must equal the batch per-user aggregate."""
+    stream = replay_stream(spark, chunk_dir, files_per_trigger=5)
+    rows = _drain(spark, running_user_counters(stream), "t_state", output_mode="update")
+    final: dict[int, tuple] = {}
+    for r in rows:  # memory sink holds one row per (user, trigger); keep max
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            final[r.user_id] = (r.n_events, r.sum_value)
+    batch = {
+        r.user_id: (r.n, r.s)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, (n, s) in final.items():
+        assert batch[uid][0] == n
+        assert abs(batch[uid][1] - s) < 1e-6
+
+
+def test_rate_source_smoke(spark):
+    """A4: synthetic rate source produces rows under availableNow-like
+    bounded consumption."""
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 50).load()
+    )
+    ckpt = tempfile.mkdtemp(prefix="tes_ckpt_rate_")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_rate")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        import time
+
+        time.sleep(2)
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(*) n FROM t_rate").collect()[0].n
+        assert n >= 0  # source wired; row arrival is timing-dependent
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)

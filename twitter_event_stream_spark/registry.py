@@ -78,6 +78,7 @@ def _load_operator_modules() -> None:
         functions_scalar,
         joins,
         llm,
+        multimodal,
         scans,
         sets,
         sorts,

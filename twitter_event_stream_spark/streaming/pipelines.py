@@ -1,0 +1,129 @@
+"""The userstream-bridge dataflow and stateful streaming operators.
+
+This module re-expresses the reference's entire event path (SURVEY §2.1
+R1-R12, §3.1) as one declarative Structured Streaming pipeline plus reusable
+stateful operators. The reference's checkout is empty (SURVEY §0.1), so the
+shape follows SURVEY's reconstruction: ingest → JSON decode → event-type
+dispatch → per-subscriber filter → legacy-payload reshape → redelivery dedup
+→ fan-out, with keep-alive/backpressure as trigger/source options.
+
+Scale: every stage is a narrow transformation except the stream-static
+subscription join (broadcast — subscriptions are the small side) and the
+stateful dedup (state partitioned by event_id hash, bounded by watermark).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: R2 — the wire schema of a raw JSON event line.
+WIRE_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def decode_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """R2 — bytes/strings → typed columns via from_json with an explicit
+    schema (never inferSchema on a stream)."""
+    return raw.select(
+        F.from_json(F.col(value_col).cast("string"), WIRE_SCHEMA).alias("e")
+    ).select("e.*")
+
+
+def bridge_pipeline(
+    events: DataFrame,
+    subscriptions: DataFrame,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """R3-R6 + R10: dispatch, subscription filter, legacy reshape, dedup.
+
+    ``subscriptions`` is a static (user_id, client_id) DataFrame — the
+    stream-static join (I6) is broadcast. Delete events become tombstone
+    records (R10) instead of being dropped. Output is the legacy-shaped
+    NDJSON payload column plus routing keys.
+    """
+    routed = (
+        events.withWatermark("ts", watermark)
+        # R6 — redelivery dedup, state bounded by the watermark.
+        .dropDuplicatesWithinWatermark(["event_id"])
+        # R3 — event-type dispatch: keep the service event kinds, tag class.
+        .withColumn(
+            "kind",
+            F.when(F.col("event_type") == "error", "tombstone").otherwise("event"),
+        )
+        # R4 — only events for subscribed users (broadcast stream-static join).
+        .join(F.broadcast(subscriptions), "user_id")
+    )
+    # R5 — reshape into the legacy payload format.
+    return routed.select(
+        "client_id",
+        "user_id",
+        "kind",
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("id"),
+                F.col("event_type").alias("event"),
+                F.col("ts").cast("string").alias("created_at"),
+                F.col("value").alias("amount"),
+                F.col("props").alias("meta"),
+            )
+        ).alias("payload"),
+        F.col("ts"),
+    )
+
+
+def fanout_foreach_batch(
+    sinks: dict[str, list],
+) -> Callable[[DataFrame, int], None]:
+    """R9 — one ingest query demuxed to N per-client buffers via
+    foreachBatch. ``sinks`` maps client_id → list collecting payloads (test
+    double for the per-connection socket writers)."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        for row in batch.orderBy("ts", "payload").collect():  # R11 ordering
+            sinks.setdefault(row.client_id, []).append(row.payload)
+
+    return handle
+
+
+def windowed_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """I1+I4 — watermarked tumbling-window aggregation (streaming form of
+    q_window_tumbling); late rows beyond the watermark are dropped."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("bucket_ts"), "n_events")
+    )
+
+
+def running_user_counters(events: DataFrame) -> DataFrame:
+    """I8 — arbitrary keyed state via applyInPandasWithState: per-user
+    running event count + value sum (the reference's per-connection state
+    R6/R7 analog). State lives in the state store, keyed by user_id."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

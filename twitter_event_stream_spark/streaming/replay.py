@@ -1,0 +1,93 @@
+"""File-replay streaming fixture (FIXTURES.md §streaming).
+
+Turns the bounded ``events`` table into a deterministic micro-batch stream:
+rows ordered by ts are written into K sequential parquet chunk files; a file
+streaming source with ``maxFilesPerTrigger=1`` + ``trigger(availableNow)``
+replays them in arrival order. The late-data variant additionally re-emits a
+deterministic 1% of rows (``event_id % 100 == 7``) one chunk later than
+their ts order — duplicates + late arrivals in one fixture, exercising
+watermark drops (I4) and ``dropDuplicatesWithinWatermark`` (I5).
+
+Never touches /root/testdata — chunks go to a caller-owned temp dir.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from twitter_event_stream_spark.tables import table
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def write_replay_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_chunks: int = 20,
+    late_rows: bool = False,
+) -> int:
+    """Materialize the ordered chunk files; returns the number of chunks.
+
+    Chunk i holds the i-th contiguous ts range. With ``late_rows``, marked
+    rows are *also* appended to chunk i+2, so the stream sees them twice —
+    once on time and once late. The two-chunk displacement matters: a
+    one-chunk-late duplicate arrives in the very batch where its window is
+    being finalized (state still live → merged, not dropped — Spark's
+    watermark drop is guaranteed only after eviction); two chunks late, the
+    window was evicted a batch earlier and the duplicate is genuinely late.
+    """
+    ev = table(spark, sf_dir, "events")
+    n = ev.count()
+    per = (n + n_chunks - 1) // n_chunks
+    # Driver-side ordering is acceptable here only because this is a test
+    # fixture bounded by the fixture's size — never a production path.
+    rows = ev.orderBy("ts", "event_id").collect()
+    os.makedirs(out_dir, exist_ok=True)
+    chunks: list[list] = [rows[i * per : (i + 1) * per] for i in range(n_chunks)]
+    for i, chunk_rows in enumerate(chunks):
+        if not chunk_rows:
+            continue
+        batch = list(chunk_rows)
+        if late_rows and i > 1:
+            batch += [r for r in chunks[i - 2] if r.event_id % 100 == 7]
+        spark.createDataFrame(batch, schema=EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"chunk={i:03d}"))
+    return sum(1 for c in chunks if c)
+
+
+def replay_stream(
+    spark: SparkSession, chunk_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """The streaming DataFrame over the chunk dir (A3 — file source)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunk_dir)
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint: str,
+    output_mode: str = "append",
+):
+    """Drain the stream deterministically into a memory sink (A7/I9/I10);
+    returns the started query (caller awaits termination)."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
