@@ -1,0 +1,95 @@
+"""Property-based differential tests (SURVEY §5.2.3): random inputs through
+identical scalar expressions on Spark and DuckDB must agree — extends the
+fixture-based parity to adversarial values (hypothesis-generated)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from twitter_event_stream_spark.exprs import R
+from twitter_event_stream_spark.parity import canon_rows
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+finite_pos = st.floats(
+    min_value=1e-3, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+words = st.text(alphabet="abcdefghij xyz", min_size=1, max_size=40)
+
+
+def _compare(spark, pdf: pd.DataFrame, spark_exprs: list[str], duck_sql: str):
+    import duckdb
+
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("prop_t")
+    s_res = spark.sql(f"SELECT {', '.join(spark_exprs)} FROM prop_t")
+    s_rows = canon_rows(s_res.columns, [tuple(r) for r in s_res.collect()])
+    con = duckdb.connect()
+    con.register("prop_t", pdf)
+    rel = con.sql(duck_sql)
+    d_rows = canon_rows(list(rel.columns), rel.fetchall())
+    con.close()
+    assert s_rows == d_rows
+
+
+@settings(**_SETTINGS)
+@given(st.lists(finite_pos, min_size=1, max_size=25))
+def test_math_functions_agree(spark, values):
+    pdf = pd.DataFrame({"x": pd.Series(values, dtype="float64")})
+    exprs = [
+        f"{R('ln(x)', 6)} AS a",
+        f"{R('sqrt(x)', 6)} AS b",
+        f"{R('x * x', 4)} AS c",
+        "CAST(floor(x) AS BIGINT) AS d",
+    ]
+    _compare(spark, pdf, exprs, f"SELECT {', '.join(exprs)} FROM prop_t")
+
+
+@settings(**_SETTINGS)
+@given(st.lists(words, min_size=1, max_size=25))
+def test_string_functions_agree(spark, texts):
+    pdf = pd.DataFrame({"s": pd.Series(texts, dtype="object")})
+    spark_exprs = [
+        "upper(s) AS a",
+        "length(s) AS b",
+        "md5(s) AS c",
+        "levenshtein(s, 'abc xyz') AS d",
+        "substring(s, 1, 3) AS e",
+    ]
+    duck_exprs = [
+        "upper(s) AS a",
+        "length(s) AS b",
+        "md5(s) AS c",
+        "levenshtein(s, 'abc xyz') AS d",
+        "substring(s, 1, 3) AS e",
+    ]
+    _compare(spark, pdf, spark_exprs, f"SELECT {', '.join(duck_exprs)} FROM prop_t")
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2_000_000_000), min_size=1, max_size=25
+    )
+)
+def test_timestamp_functions_agree(spark, epochs):
+    pdf = pd.DataFrame({"e": pd.Series(epochs, dtype="int64")})
+    spark_exprs = [
+        "CAST(timestamp_seconds(e) AS STRING) AS t_str",
+        "year(timestamp_seconds(e)) AS y",
+        "date_trunc('hour', timestamp_seconds(e)) AS h",
+    ]
+    duck_exprs = [
+        "CAST(to_timestamp(e)::TIMESTAMP AS VARCHAR) AS t_str",
+        "year(to_timestamp(e)::TIMESTAMP) AS y",
+        "date_trunc('hour', to_timestamp(e)::TIMESTAMP)::TIMESTAMP AS h",
+    ]
+    _compare(spark, pdf, spark_exprs, f"SELECT {', '.join(duck_exprs)} FROM prop_t")

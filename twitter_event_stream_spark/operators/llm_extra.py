@@ -1,0 +1,356 @@
+"""K-extra — the remaining LLM-pipeline operators the north star mandates:
+SimHash dedup, character-n-gram Jaccard, language-ID scoring, quality
+scoring, document fingerprinting, embedding-cosine near-dup.
+
+All are HASH-contract queries: every hash/bit/fold primitive used is
+available identically in DuckDB (md5, strpos/instr, integer div, bit_count,
+sequential list folds), so the oracle replicates the exact arithmetic.
+
+Scale notes:
+- SimHash is explode(token)×32-bit rows → two hash aggregations; at corpus
+  scale the bit dimension is a constant 32× map-side expansion that combines
+  before the shuffle (partial agg), so the shuffle carries 32 rows/doc.
+- The n-gram/Jaccard and pair queries use blocking (id windows, labels,
+  simhash bands) — never an unblocked O(n²).
+- Language-ID and quality are single-pass scans + broadcast profile joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from twitter_event_stream_spark.exprs import R, rnd
+from twitter_event_stream_spark.registry import query
+from twitter_event_stream_spark.tables import table
+
+# --- SimHash ---------------------------------------------------------------
+# 32-bit SimHash from md5 nibbles: bit b of token t = bit (b%4) of hex
+# nibble (b//4) of md5(t); doc bit = sign of tf-weighted sum. The arithmetic
+# below is dialect-portable (no engine-specific hash).
+
+_SIMHASH_SPARK = """
+WITH tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, explode(split(text, ' ')) AS token
+        FROM documents WHERE doc_id < 100) t
+  GROUP BY doc_id, token
+), bits AS (
+  SELECT doc_id, b,
+         sum(tf * (2 * (CAST(floor((instr('0123456789abcdef',
+                  substr(md5(token), CAST(b DIV 4 AS INT) + 1, 1)) - 1)
+                / power(2, b % 4)) AS BIGINT) % 2) - 1)) AS s
+  FROM tf LATERAL VIEW explode(sequence(0, 31)) bt AS b
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS simhash32
+FROM bits GROUP BY doc_id
+"""
+
+_SIMHASH_DUCK = """
+WITH tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE doc_id < 100) t
+  GROUP BY doc_id, token
+), bits AS (
+  SELECT doc_id, b,
+         sum(tf * (2 * (CAST(floor((strpos('0123456789abcdef',
+                  substr(md5(token), (b // 4) + 1, 1)) - 1)
+                / power(2, b % 4)) AS BIGINT) % 2) - 1)) AS s
+  FROM tf CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bt
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS simhash32
+FROM bits GROUP BY doc_id
+"""
+
+
+@query("q_llm_simhash", oracle=_SIMHASH_DUCK)
+def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-extra — 32-bit SimHash per document (near-dup sketch whose bits are
+    portable md5 arithmetic, so the oracle hash-matches exactly)."""
+    table(spark, sf_dir, "documents")
+    return spark.sql(_SIMHASH_SPARK)
+
+
+@query(
+    "q_llm_simhash_pairs",
+    oracle=f"""
+    WITH sh AS ({_SIMHASH_DUCK})
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.simhash32, b.simhash32)) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 6
+    """,
+)
+def q_llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-extra — SimHash near-dup candidate pairs (Hamming ≤ 6) over the
+    bounded doc window. At corpus scale this join is banded (group by
+    simhash prefix) instead of pairwise — documented blocking strategy."""
+    table(spark, sf_dir, "documents")
+    return spark.sql(
+        f"""
+        WITH sh AS ({_SIMHASH_SPARK})
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               bit_count(a.simhash32 ^ b.simhash32) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(a.simhash32 ^ b.simhash32) <= 6
+        """
+    )
+
+
+@query(
+    "q_llm_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct(list_transform(range(1, length(text) - 1),
+                                                 i -> substr(text, i, 3)))) AS shingle
+      FROM documents WHERE doc_id < 30
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           {R('n_common / (sa.n + sb.n - n_common)', 6)} AS jaccard3
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
+    """,
+)
+def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-extra — character-3-gram shingle Jaccard (near-dup on raw text,
+    robust to token boundaries), lang-blocked and id-bounded."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    shingles = F.expr(
+        "array_distinct(transform(sequence(1, length(text) - 2),"
+        " i -> substring(text, i, 3)))"
+    )
+    sh = d.select("doc_id", "lang", F.explode(shingles).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(
+        F.col("doc_id").alias("a_id"), F.col("lang").alias("a_lang"), "shingle"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("b_id"), F.col("lang").alias("b_lang"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter((F.col("a_lang") == F.col("b_lang")) & (F.col("a_id") < F.col("b_id")))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .filter(jac >= 0.5)
+        .select("a_id", "b_id", rnd(jac, 6).alias("jaccard3"))
+    )
+
+
+@query(
+    "q_llm_langid",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks
+      WHERE doc_id < 100 GROUP BY doc_id, token
+    ), prof AS (
+      SELECT d.lang, t.token, count(*) AS cnt
+      FROM toks t JOIN documents d USING (doc_id)
+      GROUP BY d.lang, t.token
+    ), totals AS (
+      SELECT lang, sum(cnt) AS total FROM prof GROUP BY lang
+    ), scores AS (
+      SELECT tf.doc_id, prof.lang,
+             {R('sum(tf.tf * ln(prof.cnt / CAST(totals.total AS DOUBLE)))', 6)} AS score
+      FROM tf JOIN prof ON tf.token = prof.token
+      JOIN totals ON prof.lang = totals.lang
+      GROUP BY tf.doc_id, prof.lang
+    )
+    SELECT s.doc_id, d.lang AS actual_lang, s.lang AS predicted_lang, s.score
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, lang) AS rn
+      FROM scores
+    ) s JOIN documents d ON d.doc_id = s.doc_id
+    WHERE s.rn = 1
+    """,
+)
+def q_llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-extra — n-gram/token language-ID: per-language token profiles
+    (learned from the corpus, broadcast) score each document; argmax with a
+    lang tiebreak on the rounded score."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = (
+        toks.filter(F.col("doc_id") < 100)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    prof = (
+        toks.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = prof.groupBy("lang").agg(F.sum("cnt").alias("total"))
+    scored = (
+        tf.join(F.broadcast(prof), "token")
+        .join(F.broadcast(totals), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            rnd(
+                F.sum(
+                    F.col("tf") * F.log(F.col("cnt") / F.col("total").cast("double"))
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang"))
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.join(d.select("doc_id", F.col("lang").alias("actual_lang")), "doc_id").select(
+        "doc_id", "actual_lang", F.col("lang").alias("predicted_lang"), "score"
+    )
+
+
+@query(
+    "q_llm_quality",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq,
+             len(list_filter(string_split(text, ' '),
+                             t -> t = 'the' OR t = 'a')) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_uniq,
+           {R('n_uniq / CAST(n_tokens AS DOUBLE)', 6)} AS uniq_ratio,
+           {R('n_stop / CAST(n_tokens AS DOUBLE)', 6)} AS stop_ratio,
+           {R('0.4 * (n_uniq / CAST(n_tokens AS DOUBLE))'
+              ' + 0.4 * (1 - n_stop / CAST(n_tokens AS DOUBLE))'
+              ' + 0.2 * least(n_tokens / 100.0, 1.0)', 6)} AS quality
+    FROM q
+    """,
+)
+def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-extra — document quality scoring: lexical diversity, stopword
+    ratio, length saturation → one filterable score (the pretraining-corpus
+    filter primitive)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: (t == "the") | (t == "a")))
+    uniq_ratio = n_uniq / n_tokens.cast("double")
+    stop_ratio = n_stop / n_tokens.cast("double")
+    quality = (
+        0.4 * uniq_ratio
+        + 0.4 * (1 - stop_ratio)
+        + 0.2 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_uniq.alias("n_uniq"),
+        rnd(uniq_ratio, 6).alias("uniq_ratio"),
+        rnd(stop_ratio, 6).alias("stop_ratio"),
+        rnd(quality, 6).alias("quality"),
+    )
+
+
+@query(
+    "q_llm_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                              t -> CAST(ascii(t) + length(t) AS BIGINT))),
+             (acc, v) -> (acc * 131 + v) % 1000000007) AS rolling_fp,
+           list_aggregate(
+             list_transform(list_transform(range(1, length(text) - 1),
+                                           i -> substr(text, i, 3)),
+                            s -> md5(s)), 'min') AS min_shingle_hash
+    FROM documents
+    """,
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-extra — document fingerprinting: polynomial rolling hash over the
+    token stream (order-sensitive, sequential fold — identical in both
+    engines) + winnowing-style min shingle hash (order-insensitive)."""
+    d = table(spark, sf_dir, "documents")
+    rolling = F.expr(
+        "aggregate(transform(split(text, ' '),"
+        " t -> CAST(ascii(t) + length(t) AS BIGINT)),"
+        " 0L, (acc, v) -> (acc * 131 + v) % 1000000007)"
+    )
+    min_shingle = F.expr(
+        "array_min(transform(transform(sequence(1, length(text) - 2),"
+        " i -> substring(text, i, 3)), s -> md5(s)))"
+    )
+    return d.select(
+        "doc_id",
+        rolling.alias("rolling_fp"),
+        min_shingle.alias("min_shingle_hash"),
+    )
+
+
+@query(
+    "q_llm_embed_neardup",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+           {R('list_dot_product(a.v, b.v) / (a.nrm * b.nrm)', 4)} AS sim
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.25
+    """,
+)
+def q_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-extra — embedding-cosine near-duplicate pairs with label blocking
+    (the coarse-quantizer bucket stand-in); at 100 TB the block is an
+    IVF/LSH bucket, never the whole corpus."""
+    from twitter_event_stream_spark.operators.llm import _DOT, _VD
+
+    e = table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        "label",
+        F.expr(_VD).alias("v"),
+        F.sqrt(F.expr(_DOT.format(a=_VD, b=_VD))).alias("nrm"),
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("a_id"),
+        "label",
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    sim = F.expr(_DOT.format(a="av", b="bv")) / (F.col("an") * F.col("bn"))
+    return (
+        a.join(b, (F.col("label") == F.col("b_label")) & (F.col("a_id") < F.col("b_id")))
+        .filter(sim >= 0.25)
+        .select("a_id", "b_id", "label", rnd(sim, 4).alias("sim"))
+    )

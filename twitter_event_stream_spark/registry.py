@@ -78,6 +78,7 @@ def _load_operator_modules() -> None:
         functions_scalar,
         joins,
         llm,
+        llm_extra,
         multimodal,
         scans,
         sets,
