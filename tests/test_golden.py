@@ -1,0 +1,31 @@
+"""Golden-output tests (SURVEY §5.2.2): flagship queries pinned to exact
+sf0.001 snapshots — catches silent engine-and-oracle co-drift that the
+differential harness cannot see (both sides changing together)."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import pytest
+
+from twitter_event_stream_spark import registry
+from twitter_event_stream_spark.parity import canon_rows
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+GOLDEN_SF = "/root/testdata/sf0.001"
+NAMES = sorted(
+    f[: -len(".csv")] for f in os.listdir(GOLDEN_DIR) if f.endswith(".csv")
+)
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_golden_snapshot(spark, name):
+    df = registry.get(name).fn(spark, GOLDEN_SF)
+    got = canon_rows(df.columns, [tuple(r) for r in df.collect()])
+    with open(os.path.join(GOLDEN_DIR, f"{name}.csv"), newline="") as f:
+        reader = csv.reader(f)
+        header = next(reader)
+        want = [tuple(row) for row in reader]
+    assert sorted(df.columns) == header
+    assert got == want, f"{name}: result drifted from pinned golden snapshot"

@@ -232,3 +232,72 @@ def test_rate_source_smoke(spark):
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_stream_interval_join(spark, sf_dir, chunk_dir):
+    """I7 — watermark-bounded stream-stream join: clicks ⋈ purchases within
+    5 minutes per user, both sides streaming. Result must equal the batch
+    interval join (C10) over the same rows."""
+    clicks = (
+        replay_stream(spark, chunk_dir, files_per_trigger=3)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        replay_stream(spark, chunk_dir, files_per_trigger=3)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 5 MINUTES")),
+    ).select("click_id", "purchase_id")
+    got = {(r.click_id, r.purchase_id) for r in _drain(spark, joined, "t_ssj")}
+    from twitter_event_stream_spark import registry
+
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in registry.get("q_join_interval").fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_complete_output_mode(spark, sf_dir, chunk_dir):
+    """I9 — complete mode re-emits the full aggregate each trigger; the
+    final table must equal the batch per-type counts."""
+    stream = replay_stream(spark, chunk_dir, files_per_trigger=5)
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    rows = _drain(spark, agg, "t_complete", output_mode="complete")
+    got = {r.event_type: r.n for r in rows}
+    want = {
+        r.event_type: r.n
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_kafka_source_shape_documented(spark):
+    """A6 — the Kafka mapping is constructable code; without a broker or
+    connector jar it must fail with the connector error, not an engine bug."""
+    from twitter_event_stream_spark.streaming.sources import kafka_source
+
+    try:
+        df = kafka_source(spark, "localhost:9092", "events")
+        assert "event_id" in df.columns  # connector present: shape holds
+    except Exception as exc:  # noqa: BLE001 — connector absence is expected
+        assert "kafka" in str(exc).lower()
