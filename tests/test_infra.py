@@ -166,3 +166,60 @@ def test_multimodal_real_decode_is_stubbed(spark, sf_dir):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    """Skew: salted two-phase aggregation is semantics-preserving."""
+    from twitter_event_stream_spark.operators.skew import salted_agg
+
+    ev = table(spark, sf_dir, "events")
+    got = {
+        r.event_type: (r.value_sum, r.event_id_count)
+        for r in salted_agg(
+            ev, ["event_type"], {"value": "sum", "event_id": "count"}
+        ).collect()
+    }
+    want = {
+        r.event_type: (r.s, r.n)
+        for r in ev.groupBy("event_type")
+        .agg(F.sum("value").alias("s"), F.count("event_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for t, (s, n) in want.items():
+        assert got[t][1] == n
+        assert abs(got[t][0] - s) < 1e-6
+
+
+def test_salted_broadcast_join_equals_plain(spark, sf_dir):
+    """Skew: salted replicated-broadcast join is semantics-preserving."""
+    from twitter_event_stream_spark.operators.skew import salted_broadcast_left
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    got = salted_broadcast_left(li, p, "l_partkey").groupBy("p_brand").count()
+    want = li.join(p, "l_partkey").groupBy("p_brand").count()
+    assert {(r.p_brand, r["count"]) for r in got.collect()} == {
+        (r.p_brand, r["count"]) for r in want.collect()
+    }
+
+
+def test_ivf_ann_recall(spark, sf_dir):
+    """K-extra: IVF top-5 must be deterministic (seeded) and reach ≥40%
+    recall@5 vs the exact brute force at 2-of-8 probed cells (random
+    uniform fixture vectors are a worst case for clustering)."""
+    from twitter_event_stream_spark import registry
+
+    exact = {
+        (r.probe_id, r.cand_id)
+        for r in registry.get("q_llm_knn_cosine").fn(spark, sf_dir).collect()
+    }
+    ivf1 = {(r.probe_id, r.cand_id)
+            for r in registry.get("q_llm_ann_ivf").fn(spark, sf_dir).collect()}
+    ivf2 = {(r.probe_id, r.cand_id)
+            for r in registry.get("q_llm_ann_ivf").fn(spark, sf_dir).collect()}
+    assert ivf1 == ivf2, "seeded IVF must be run-to-run deterministic"
+    recall = len(exact & ivf1) / len(exact)
+    assert recall >= 0.4, f"IVF recall@5 too low: {recall:.2f}"

@@ -354,3 +354,16 @@ def q_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(sim >= 0.25)
         .select("a_id", "b_id", "label", rnd(sim, 4).alias("sim"))
     )
+
+
+@query("q_llm_ann_ivf", oracle=None)
+def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-extra (ROWS) — IVF approximate nearest neighbors: seeded-KMeans
+    coarse quantizer → per-cell brute force over n_probe_cells shortlisted
+    cells. The candidate set per probe is a fixed corpus fraction however
+    large the corpus — the production-scale path for K4 (recall bounded by
+    the engine's own test against the exact query)."""
+    from twitter_event_stream_spark.operators.vector_search import ivf_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    return ivf_topk(spark, e, e.filter(F.col("vec_id") < 20), k=5)

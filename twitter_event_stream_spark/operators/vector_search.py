@@ -76,3 +76,95 @@ def knn_bench_query(spark: SparkSession, sf_dir: str, n_probes: int = 100) -> Da
     return knn_topk(
         spark, e, e.filter(F.col("vec_id") < n_probes), k=5
     )
+
+
+def ivf_topk(
+    spark: SparkSession,
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe_cells: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate nearest neighbors — the 100 TB path for cosine top-k.
+
+    Coarse quantizer: seeded KMeans over the corpus → every vector is
+    assigned to one inverted-list cell (a *bounded, broadcastable* block).
+    Each probe searches only its ``n_probe_cells`` nearest cells, so the
+    candidate set per probe is |corpus|·(n_probe_cells/n_cells) regardless
+    of corpus size, and each cell's block fits the ``knn_topk`` broadcast
+    primitive. Recall is tunable via n_probe_cells (engine test bounds it).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = vectors.select(
+        "vec_id", "embedding", array_to_vector(F.col("embedding")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feats)
+    assigned = model.transform(feats).select(
+        "vec_id", "embedding", F.col("prediction").alias("cell")
+    )
+    centers = model.clusterCenters()
+
+    # Probe-side cell shortlist: distance to every centroid, keep n nearest.
+    import numpy as np
+
+    c_mat = np.asarray(centers, dtype=np.float64)
+    bc = spark.sparkContext.broadcast(c_mat)
+
+    def shortlist(batches):
+        cm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            d2 = ((mat[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+            cells = np.argsort(d2, axis=1)[:, :n_probe_cells]
+            out = pdf.loc[pdf.index.repeat(n_probe_cells)].copy()
+            out["cell"] = cells.ravel()
+            yield out[["vec_id", "embedding", "cell"]]
+
+    probe_cells = probes.select("vec_id", "embedding").mapInPandas(
+        shortlist, "vec_id long, embedding array<float>, cell int"
+    )
+
+    # Per-cell brute force: join probes to their cells' candidates.
+    p = probe_cells.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pv"),
+        "cell",
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"), "cell"
+    )
+    dot = F.expr(
+        "aggregate(zip_with(transform(pv, x -> CAST(x AS DOUBLE)),"
+        " transform(cv, x -> CAST(x AS DOUBLE)), (x, y) -> x * y),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.expr(
+            f"aggregate(zip_with(transform({col}, x -> CAST(x AS DOUBLE)),"
+            f" transform({col}, x -> CAST(x AS DOUBLE)), (x, y) -> x * y),"
+            " 0D, (acc, v) -> acc + v)"
+        )
+    )
+    sims = (
+        p.join(c, "cell")
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            (dot / (norm("pv") * norm("cv"))).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "cand_id", F.round("sim", 4).alias("sim"), "rn")
+    )
