@@ -79,3 +79,38 @@ def test_knn_probe_side_broadcast(spark, sf_dir):
     """K4: the probe set is broadcast — candidates never shuffle."""
     plan = _plan(spark, sf_dir, "q_llm_knn_cosine")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Scale posture: two tables bucketed on the join key join WITHOUT any
+    Exchange — the co-located-join strategy that replaces fact-fact shuffles
+    at 100 TB (bucket both sides once at write time, join free forever)."""
+    from twitter_event_stream_spark.tables import table
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    for name, df in [("tes_bkt_orders", o), ("tes_bkt_lineitem", li)]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", str(tmp_path / name))
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(name)
+        )
+    joined = (
+        spark.table("tes_bkt_orders")
+        .hint("MERGE")
+        .join(spark.table("tes_bkt_lineitem"), "o_orderkey")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join must not shuffle"
+    # and it still computes the right thing
+    n = joined.count()
+    want = o.join(li, "o_orderkey").count()
+    assert n == want
+    for name in ("tes_bkt_orders", "tes_bkt_lineitem"):
+        spark.sql(f"DROP TABLE {name}")

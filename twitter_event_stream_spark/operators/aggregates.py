@@ -278,3 +278,80 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("event_id", order_key).alias("last_event_id"),
         F.max_by("event_type", order_key).alias("last_event_type"),
     )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           floor((coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0)) * 100 + 0.505) / 100 AS total_f,
+           floor((coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0)) * 100 + 0.505) / 100 AS total_o,
+           floor((coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 0)) * 100 + 0.505) / 100 AS total_p,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-extra — pivot (cross-tab): order value by priority × status. The
+    pivot value list is pinned ('F','O','P' — the full o_orderstatus domain)
+    so Spark skips the extra distinct-values job and the plan is a single
+    two-phase hash agg, exactly the conditional-aggregation shape the oracle
+    states. Scales as D1: shuffle carries one partial row per (partition ×
+    priority)."""
+    o = table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.sum("o_totalprice").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        rnd(F.coalesce(F.col("F_total"), F.lit(0.0)), 2).alias("total_f"),
+        rnd(F.coalesce(F.col("O_total"), F.lit(0.0)), 2).alias("total_o"),
+        rnd(F.coalesce(F.col("P_total"), F.lit(0.0)), 2).alias("total_p"),
+        (
+            F.coalesce(F.col("F_n"), F.lit(0))
+            + F.coalesce(F.col("O_n"), F.lit(0))
+            + F.coalesce(F.col("P_n"), F.lit(0))
+        ).alias("n_orders"),
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT metric,
+           floor((sum(val)) * 100 + 0.505) / 100 AS total,
+           floor((avg(val)) * 1000000 + 0.505) / 1000000 AS mean,
+           count(*) AS n
+    FROM (
+      SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    ) t
+    GROUP BY metric
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-extra — unpivot/melt (long-form reshape): four measure columns of
+    lineitem become (metric, val) rows, then a tiny 4-group agg. Spark's
+    native ``DataFrame.unpivot`` is a zero-shuffle Expand (each input row
+    emits 4 rows map-side); only the 4-row partial aggregate shuffles, so
+    the reshape itself never materializes at 100 TB."""
+    li = table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+    return long.groupBy("metric").agg(
+        rnd(F.sum("val"), 2).alias("total"),
+        rnd(F.avg("val"), 6).alias("mean"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from twitter_event_stream_spark.exprs import rnd
 from twitter_event_stream_spark.registry import query
-from twitter_event_stream_spark.tables import table
+from twitter_event_stream_spark.tables import load_tables, table
 
 
 @query(
@@ -328,4 +328,36 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c.ts").alias("last_click_ts"),
             F.count(F.lit(1)).alias("n_prior_clicks"),
         )
+    )
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey,
+           floor((o_totalprice) * 100 + 0.505) / 100 AS price
+    FROM orders o
+    WHERE o_totalprice > (
+      SELECT 1.25 * avg(i.o_totalprice) FROM orders i
+      WHERE i.o_custkey = o.o_custkey
+    )
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-extra — correlated scalar subquery: orders priced >1.25× their own
+    customer's average. Catalyst decorrelates this
+    (RewriteCorrelatedScalarSubquery) into an aggregate-then-join on
+    o_custkey — a two-phase agg plus one equi-join, not a per-row probe, so
+    it scales like C1/D1 rather than O(n²)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               floor((o_totalprice) * 100 + 0.505) / 100 AS price
+        FROM orders o
+        WHERE o_totalprice > (
+          SELECT 1.25 * avg(i.o_totalprice) FROM orders i
+          WHERE i.o_custkey = o.o_custkey
+        )
+        """
     )

@@ -367,3 +367,80 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     return ivf_topk(spark, e, e.filter(F.col("vec_id") < 20), k=5)
+
+
+@query(
+    "q_llm_minhash_det",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, length(text) - 1),
+                                                 i -> substr(text, i, 3)))) AS shingle
+      FROM documents WHERE doc_id < 200
+    ), sig AS (
+      SELECT doc_id, band,
+             min(substr(md5(shingle || '#' || CAST(band AS VARCHAR)), 1, 16)) AS sig
+      FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band) b
+      GROUP BY doc_id, band
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           count(*) AS n_shared,
+           {R('count(*) / 8.0', 6)} AS est_jaccard
+    FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+                         AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 7
+    """,
+)
+def q_llm_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2-det — DETERMINISTIC MinHash near-dup (HASH contract, unlike the
+    seed-dependent Spark-ML `q_llm_neardup_lsh`): 8 independent min-hashes
+    per doc over char-3-gram shingles, hash = md5(shingle||'#'||seed) prefix
+    (lexicographic min of fixed-length hex — portable across engines, no
+    integer conversion). A pair sharing ≥7 of 8 minhashes (est. Jaccard ≥.875)
+    is a near-dup candidate. Scale path: the signature table is 8 rows per
+    doc however long the text, the join is blocked on (band, sig) — never
+    all-pairs; band buckets bound candidates exactly like production
+    MinHash-LSH, and the whole pipeline is JVM-side codegen (no UDF)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    shingles = F.expr(
+        "array_distinct(transform(sequence(1, length(text) - 2),"
+        " i -> substring(text, i, 3)))"
+    )
+    sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    sig = (
+        sh.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(7))))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.min(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("shingle"), F.lit("#"), F.col("band").cast("string")
+                        )
+                    ),
+                    1,
+                    16,
+                )
+            ).alias("sig")
+        )
+    )
+    a = sig.select(
+        F.col("doc_id").alias("a_id"), "band", "sig"
+    )
+    b = sig.select(
+        F.col("doc_id").alias("b_id"), "band", "sig"
+    )
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 7)
+        .select(
+            "a_id",
+            "b_id",
+            "n_shared",
+            rnd(F.col("n_shared") / 8.0, 6).alias("est_jaccard"),
+        )
+    )
