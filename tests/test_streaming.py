@@ -301,3 +301,39 @@ def test_kafka_source_shape_documented(spark):
         assert "event_id" in df.columns  # connector present: shape holds
     except Exception as exc:  # noqa: BLE001 — connector absence is expected
         assert "kafka" in str(exc).lower()
+
+
+def test_rocksdb_state_store_parity(spark, sf_dir, chunk_dir):
+    """Large-state posture: the same windowed agg runs on the RocksDB state
+    store provider (the 100 TB choice — state spills to local disk instead
+    of living on the JVM heap) and must produce the identical finalized
+    windows as the default provider / batch plan."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = replay_stream(spark, chunk_dir)
+        got = {
+            r.bucket_ts: r.n_events
+            for r in _drain(spark, windowed_counts(stream), "t_rocks")
+        }
+        batch = (
+            table(spark, sf_dir, "events")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("window.start").alias("bucket_ts"), "n_events")
+            .collect()
+        )
+        expected = {r.bucket_ts: r.n_events for r in batch}
+        assert got, "no finalized windows under RocksDB provider"
+        for bucket, n in got.items():
+            assert expected[bucket] == n
+        assert len(set(expected) - set(got)) <= 2
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

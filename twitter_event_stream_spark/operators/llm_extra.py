@@ -444,3 +444,48 @@ def q_llm_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("n_shared") / 8.0, 6).alias("est_jaccard"),
         )
     )
+
+
+#: BPE-ish pretokenizer (GPT-2-style, ASCII-only so Java regex and RE2 agree):
+#: contractions, space-prefixed letter runs, digit runs, punctuation runs.
+BPE_PAT = "'[a-z]{1,2}| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9']+"
+
+
+@query(
+    "q_llm_token_bpe",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(text,
+               '''[a-z]{{1,2}}| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9'']+')) AS tok
+      FROM documents
+    )
+    SELECT lang,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_tokens,
+           count(DISTINCT tok) AS n_vocab,
+           {R('avg(length(tok))', 6)} AS avg_tok_len
+    FROM toks
+    GROUP BY lang
+    """,
+)
+def q_llm_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-extra — token counting with a BPE-ish pretokenizer regex (the
+    GPT-2 pattern family restricted to ASCII classes, where Java regex and
+    RE2 have identical semantics): contractions / space-prefixed word runs /
+    digit runs / punctuation runs. Whitespace-count lives in
+    q_llm_textstats; this is the subword-tokenizer-faithful count a training
+    pipeline budgets with. Pure JVM codegen (regexp_extract_all + explode),
+    two-phase agg on lang."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.regexp_extract_all("text", F.lit(BPE_PAT), F.lit(0))).alias("tok"),
+    )
+    return toks.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_vocab"),
+        rnd(F.avg(F.length("tok")), 6).alias("avg_tok_len"),
+    )
