@@ -223,3 +223,20 @@ def test_ivf_ann_recall(spark, sf_dir):
     assert ivf1 == ivf2, "seeded IVF must be run-to-run deterministic"
     recall = len(exact & ivf1) / len(exact)
     assert recall >= 0.4, f"IVF recall@5 too low: {recall:.2f}"
+
+
+def test_connected_components_synthetic(spark):
+    """Graph: min-label propagation finds components of a known graph —
+    a 4-node path, a 2-node edge, and a self-contained triangle."""
+    from twitter_event_stream_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "a long, b long",
+    )
+    labels = {r.node: r.label for r in connected_components(edges).collect()}
+    assert labels == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }

@@ -1,0 +1,135 @@
+"""Graph operators for dedup clustering (SURVEY §2.2 K-family extension).
+
+A training-data pipeline doesn't stop at near-dup *pairs*: it needs the
+*clusters* (connected components of the pair graph) so each group of
+near-copies keeps exactly one canonical document. Spark has no built-in
+connected components, so this module implements Pregel-style min-label
+propagation as an iterative DataFrame loop — every iteration is one
+distributed join + aggregate (no driver-side graph state; the driver only
+holds the converged/changed counter), which is the standard large-scale CC
+formulation ("hash-min"; cf. Kiveris et al., *Connected Components in
+MapReduce and Beyond*, SoCC'14 — the two-phase variants there are the
+upgrade path if components span many hops at 100 TB; near-dup components
+are dense and shallow, so plain hash-min converges in a handful of rounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from twitter_event_stream_spark import registry
+from twitter_event_stream_spark.registry import query
+from twitter_event_stream_spark.tables import table
+
+
+def connected_components(
+    edges: DataFrame, src: str = "a", dst: str = "b", max_iter: int = 25
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list.
+
+    Returns (node, label) where label = min node id reachable from node.
+    Each round: every node takes min(own label, neighbors' labels) — one
+    shuffle join + one shuffle agg per round, converges in graph-diameter
+    rounds. Deterministic (pure min semilattice). Nodes with no edges are
+    not returned (caller treats them as singleton clusters).
+    """
+    # localCheckpoint (eager) truncates lineage every round — without it the
+    # logical plan doubles per iteration and the driver OOMs building plan
+    # strings long before the data is large.
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = e.join(
+            labels.select(F.col("node").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        new = (
+            labels.select("node", "label")
+            .union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "q_llm_dedup_cluster",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, length(text) - 1),
+                                                 i -> substr(text, i, 3)))) AS shingle
+      FROM documents WHERE doc_id < 200
+    ), sig AS (
+      SELECT doc_id, band,
+             min(substr(md5(shingle || '#' || CAST(band AS VARCHAR)), 1, 16)) AS sig
+      FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band) b
+      GROUP BY doc_id, band
+    ), pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+                           AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 7
+    ), e AS (
+      SELECT a_id AS a, b_id AS b FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ), reach(src, dst) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+    ), labels AS (
+      SELECT src AS node, least(src, min(dst)) AS label FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           coalesce(l.label, d.doc_id) AS cluster_id,
+           (coalesce(l.label, d.doc_id) = d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+    WHERE d.doc_id < 200
+    """,
+)
+def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-extra — dedup clustering: connected components over the
+    deterministic-MinHash near-dup pair graph (q_llm_minhash_det), each doc
+    labeled with its cluster id (min doc_id in the component) and whether it
+    is the canonical representative a pipeline would keep. Docs with no
+    near-dup are their own singleton cluster. The oracle states the same
+    fixpoint as a recursive transitive closure — feasible at oracle scale,
+    while the engine's label propagation runs one distributed round per
+    graph-diameter hop at any scale."""
+    pairs = registry.get("q_llm_minhash_det").fn(spark, sf_dir).select("a_id", "b_id")
+    labels = connected_components(pairs, "a_id", "b_id")
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    cluster = F.coalesce(F.col("label"), F.col("doc_id"))
+    return (
+        d.join(
+            F.broadcast(labels.select(F.col("node").alias("doc_id"), "label")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            cluster.alias("cluster_id"),
+            (cluster == F.col("doc_id")).alias("is_canonical"),
+        )
+    )

@@ -75,6 +75,7 @@ def _load_operator_modules() -> None:
     from twitter_event_stream_spark.operators import (  # noqa: F401
         aggregates,
         filters,
+        graph,
         functions_scalar,
         joins,
         llm,
