@@ -127,3 +127,45 @@ def running_user_counters(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+
+def user_counters_tws(events: DataFrame) -> DataFrame:
+    """I8 (Spark-4 form) — the same per-user running counters as
+    running_user_counters, on the transformWithState API: typed ValueState
+    per key, incremental per micro-batch. Requires the RocksDB state store
+    provider (the API's only supported backend — also the engine's 100 TB
+    default). Prefer this form going forward: fine-grained state types
+    (value/list/map), timers, and TTL without re-shipping the whole state
+    tuple per batch. Runtime needs google.protobuf (Spark's state-server
+    protocol); the test gates on it — absent in this container."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("counts", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = 0, 0.0
+            if self._state.exists():
+                n, total = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        UserCounter(),
+        outputStructType="user_id long, n_events long, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
