@@ -355,3 +355,18 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.avg("val"), 6).alias("mean"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query("q_freq_items", oracle=None)
+def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-extra (ROWS) — approximate frequent items (Karp-Papadimitriou-
+    Shanker one-pass heavy hitters, built into DataFrame.freqItems): event
+    types with frequency above 10%. Single pass, bounded memory per
+    partition + merge — the 100 TB shape for 'what dominates this column'.
+    Approximate membership (may include false positives) ⇒ ROWS contract,
+    like the other sketches (D3/D10)."""
+    ev = table(spark, sf_dir, "events")
+    freq = ev.freqItems(["event_type"], support=0.1)
+    return freq.select(
+        F.explode(F.sort_array(F.col("event_type_freqItems"))).alias("frequent_event_type")
+    )

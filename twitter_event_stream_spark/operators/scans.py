@@ -75,3 +75,23 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         rnd("value", 2).alias("value_r"),
     )
+
+
+@query("q_scan_csv", oracle=None)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extra (ROWS) — CSV roundtrip: events → CSV with header → schema'd
+    read (explicit schema + header, never inferSchema). Same posture as A9:
+    the driver checks rows; the engine's own roundtrip test checks values."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"tes_spark_csv_{abs(hash(sf_dir)) % (1 << 32)}",
+    )
+    ev.write.mode("overwrite").option("header", True).csv(out)
+    schema = "event_id long, user_id long, event_type string, value double"
+    back = spark.read.schema(schema).option("header", True).csv(out)
+    return back.select(
+        "event_id", "user_id", "event_type", rnd("value", 2).alias("value_r")
+    )

@@ -12,7 +12,7 @@ under Structured Streaming (SURVEY §3.3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from twitter_event_stream_spark.exprs import R
@@ -137,3 +137,46 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns). Streaming twin: dropDuplicatesWithinWatermark (streaming/)."""
     ev = table(spark, sf_dir, "events")
     return ev.select("user_id", "event_type").dropDuplicates()
+
+
+@query(
+    "q_event_funnel",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             lead(event_type) OVER w AS next_type,
+             lead(ts) OVER w AS next_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, count(*) AS n_conversions
+    FROM seq
+    WHERE event_type = 'click' AND next_type = 'purchase'
+      AND next_ts <= ts + INTERVAL 1 HOUR
+    GROUP BY user_id
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I-extra — funnel/sequence detection (the event-analytics core of a
+    stream bridge's domain): per user, consecutive click→purchase steps
+    within 1 hour, counted per user. One window (partition user, order ts
+    with event_id tiebreak) + filter + agg: a single shuffle on user_id at
+    any scale, no self-join blowup."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "click")
+            & (F.col("next_type") == "purchase")
+            & (F.col("next_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+    )
