@@ -114,3 +114,21 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     assert n == want
     for name in ("tes_bkt_orders", "tes_bkt_lineitem"):
         spark.sql(f"DROP TABLE {name}")
+
+
+def test_pivot_is_single_aggregate(spark, sf_dir):
+    """D-extra: a pivot with a pinned value list must skip the
+    distinct-values job and plan as cascaded two-phase hash aggregates —
+    every Exchange carries partials (a partial_ aggregate feeds each), never
+    raw rows."""
+    plan = _plan(spark, sf_dir, "q_pivot")
+    assert plan.count("Exchange") <= 2
+    assert plan.count("partial") >= plan.count("Exchange")
+    assert "pivotfirst" in plan
+
+
+def test_funnel_reuses_window_partitioning(spark, sf_dir):
+    """I-extra: the funnel's groupBy(user_id) must reuse the window's
+    hashpartitioning(user_id) — exactly one shuffle end to end."""
+    plan = _plan(spark, sf_dir, "q_event_funnel")
+    assert plan.count("Exchange") == 1, plan[:500]

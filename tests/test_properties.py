@@ -93,3 +93,27 @@ def test_timestamp_functions_agree(spark, epochs):
         "date_trunc('hour', to_timestamp(e)::TIMESTAMP)::TIMESTAMP AS h",
     ]
     _compare(spark, pdf, spark_exprs, f"SELECT {', '.join(duck_exprs)} FROM prop_t")
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(finite_pos, min_size=4, max_size=4), min_size=1, max_size=12
+    )
+)
+def test_array_hof_dot_product_agrees(spark, vecs):
+    """H7/K4/K6 spine: zip_with+aggregate dot product and norm on random
+    float vectors must agree with DuckDB's list arithmetic — the identity
+    the whole vector family rests on, at adversarial magnitudes."""
+    pdf = pd.DataFrame({"id": range(len(vecs)), "v": vecs})
+    dot = (
+        "aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS DOUBLE),"
+        " (acc, e) -> acc + e)"
+    )
+    spark_exprs = ["id", f"{R(dot, 6)} AS sq", f"{R(f'sqrt({dot})', 6)} AS nrm"]
+    duck_dot = "list_aggregate(list_transform(v, x -> x * x), 'sum')"
+    duck_sql = (
+        f"SELECT id, {R(duck_dot, 6)} AS sq,"
+        f" {R(f'sqrt({duck_dot})', 6)} AS nrm FROM prop_t"
+    )
+    _compare(spark, pdf, spark_exprs, duck_sql)
