@@ -374,3 +374,34 @@ def q_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("date").cast("string").alias("day_str"),
         F.unix_timestamp("ts").alias("unix_sec"),
     )
+
+
+@query(
+    "q_json_variant",
+    oracle="""
+    SELECT event_type,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           floor((avg(CAST(json_extract(props, '$.k') AS BIGINT))) * 1000000 + 0.505) / 1000000 AS avg_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-extra — Spark 4 VariantType path for semi-structured data:
+    parse_json once into the binary Variant encoding, then typed
+    variant_get extraction (the open-format successor to
+    get_json_object string re-parsing — parse once, extract many, columnar
+    shredding at rest). Same result contract as H10 but through the modern
+    codepath."""
+    ev = table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            rnd(F.avg("k"), 6).alias("avg_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -48,6 +48,21 @@ def configure_session(spark: SparkSession) -> SparkSession:
             # Non-settable in this context (e.g. static conf on a locked
             # session) — the engine still works, parity may need the conf.
             pass
+    # Local mode with Spark's untouched 200-partition default: clamp shuffle
+    # partitions to the core count (the BASELINE.md config). 200 tasks per
+    # tiny local shuffle is pure scheduler overhead; AQE coalesces *after*
+    # the shuffle but the initial partitioning still costs. On a cluster
+    # (non-local master) the engine never overrides the deployment's choice.
+    try:
+        if spark.conf.get("spark.master", "").startswith("local") and (
+            spark.conf.get("spark.sql.shuffle.partitions") == "200"
+        ):
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
+    except Exception:
+        pass
     return spark
 
 
