@@ -240,3 +240,38 @@ def test_connected_components_synthetic(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20,
     }
+
+
+def test_zorder_write_clusters_both_columns(spark, sf_dir):
+    """Layout: Z-ordered parquet must give every clustered column tight
+    per-file min/max ranges (the stats parquet scan pruning runs on).
+    Metric: mean per-file value-range as a fraction of the global range —
+    must be far below 1.0 (unclustered ≈ 1.0) for BOTH columns at once,
+    which plain sorting cannot do."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from twitter_event_stream_spark.operators.layout import zorder_write
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = tempfile.mkdtemp(prefix="tes_zorder_")
+    zorder_write(ev, out, ["user_id", "value"], n_files=8)
+
+    def mean_range_fraction(col):
+        spans, total = [], None
+        for f in glob.glob(f"{out}/*.parquet"):
+            t = pq.read_table(f, columns=[col])
+            arr = t[col].to_pandas()
+            spans.append(arr.max() - arr.min())
+        full = ev.agg(
+            (F.max(col) - F.min(col)).alias("r")
+        ).collect()[0].r
+        return (sum(spans) / len(spans)) / full
+
+    fu = mean_range_fraction("user_id")
+    fv = mean_range_fraction("value")
+    assert fu < 0.6 and fv < 0.6, f"not clustered: user_id={fu:.2f} value={fv:.2f}"
+    # and the write is lossless
+    assert spark.read.parquet(out).count() == ev.count()
+    shutil.rmtree(out, ignore_errors=True)

@@ -385,3 +385,33 @@ def _group_last(rows):
     for r in rows:
         acc.setdefault(r.user_id, []).append((r.n_events, r.sum_value))
     return acc
+
+
+def test_stream_session_window_parity(spark, sf_dir, chunk_dir):
+    """I3 streaming: finalized per-user session windows from the replayed
+    stream must equal the batch session_window result (same prefix logic as
+    the tumbling test — the trailing unfinalized sessions may be missing,
+    everything emitted must match)."""
+    from twitter_event_stream_spark.streaming.pipelines import session_counts
+
+    stream = replay_stream(spark, chunk_dir)
+    got = {
+        (r.session_start, r.user_id): r.n_events
+        for r in _drain(spark, session_counts(stream), "t_sess")
+    }
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+        .collect()
+    )
+    expected = {(r.session_start, r.user_id): r.n_events for r in batch}
+    assert got, "stream emitted no finalized sessions"
+    for key, n in got.items():
+        assert expected[key] == n, f"session {key}: stream={n} batch={expected[key]}"
+    assert len(set(expected) - set(got)) <= len(expected) * 0.05

@@ -169,3 +169,21 @@ def user_counters_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "10 minutes") -> DataFrame:
+    """I3 streaming form — watermarked session-window aggregation per user:
+    the state store *merges* adjacent session windows as events arrive
+    (unlike fixed windows, a session's bounds move), and the watermark both
+    finalizes sessions and bounds state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
