@@ -370,3 +370,41 @@ def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freq.select(
         F.explode(F.sort_array(F.col("event_type_freqItems"))).alias("frequent_event_type")
     )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT least(CAST(floor((o_totalprice - mn) / (mx - mn + 1e-9) * 20) AS BIGINT), 19) AS bucket
+      FROM orders, (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+    )
+    SELECT bucket, count(*) AS n
+    FROM b
+    GROUP BY bucket
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-extra — equi-width histogram (20 bins over o_totalprice). The
+    min/max pass is a 1-row broadcast scalar; bucketing is identical float
+    arithmetic on both engines (no width_bucket — DuckDB lacks it); the
+    count is a 20-group two-phase agg. At 100 TB this is two scans + a
+    tiny shuffle — the profiling primitive for data exploration."""
+    o = table(spark, sf_dir, "orders")
+    mm = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("mn"))
+            / (F.col("mx") - F.col("mn") + F.lit(1e-9))
+            * 20
+        ).cast("long"),
+        F.lit(19).cast("long"),
+    )
+    return (
+        o.crossJoin(F.broadcast(mm))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

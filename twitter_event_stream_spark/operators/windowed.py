@@ -180,3 +180,43 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_conversions"))
     )
+
+
+@query(
+    "q_retention_cohort",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, min(date_trunc('week', ts)::TIMESTAMP) AS cohort
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS wk
+      FROM events
+    )
+    SELECT cohort,
+           date_diff('day', cohort, wk) // 7 AS week_n,
+           count(*) AS n_users
+    FROM act JOIN first USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I-extra — retention cohorts: users grouped by first-active week,
+    counted in each subsequent active week (the standard product-analytics
+    rollup). Two aggs + one join, all keyed on user_id ⇒ one logical
+    repartition by user reused across stages; the final (cohort, week_n)
+    agg is tiny partials."""
+    ev = table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort"))
+    act = ev.select("user_id", wk.alias("wk")).distinct()
+    return (
+        act.join(first, "user_id")
+        .select(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("long")
+            .alias("week_n"),
+        )
+        .groupBy("cohort", "week_n")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
