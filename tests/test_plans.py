@@ -132,3 +132,34 @@ def test_funnel_reuses_window_partitioning(spark, sf_dir):
     hashpartitioning(user_id) — exactly one shuffle end to end."""
     plan = _plan(spark, sf_dir, "q_event_funnel")
     assert plan.count("Exchange") == 1, plan[:500]
+
+
+def test_analyze_table_feeds_cbo_stats(spark, sf_dir, tmp_path):
+    """§4.2 CBO: ANALYZE TABLE COMPUTE STATISTICS must surface rowCount +
+    sizeInBytes into the optimized plan's cost model — the input the
+    cost-based join reorderer and broadcast selection run on when plans are
+    built from catalog tables instead of raw files."""
+    from twitter_event_stream_spark.tables import table
+
+    spark.sql("DROP TABLE IF EXISTS tes_stats_nation")
+    (
+        table(spark, sf_dir, "nation")
+        .write.mode("overwrite")
+        .option("path", str(tmp_path / "tes_stats_nation"))
+        .saveAsTable("tes_stats_nation")
+    )
+    spark.sql("ANALYZE TABLE tes_stats_nation COMPUTE STATISTICS")
+    prev = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        plan = (
+            spark.table("tes_stats_nation")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .toString()
+        )
+        assert "rowCount=25" in plan.replace(" ", ""), plan
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
+        spark.sql("DROP TABLE tes_stats_nation")
