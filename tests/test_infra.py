@@ -275,3 +275,47 @@ def test_zorder_write_clusters_both_columns(spark, sf_dir):
     # and the write is lossless
     assert spark.read.parquet(out).count() == ev.count()
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_map_in_arrow(spark, sf_dir):
+    """J5 (columnar form): mapInArrow transforms RecordBatches without a
+    pandas detour — the cheapest Python boundary (zero-copy Arrow both
+    ways). Doubles `value` per batch; totals must match the JVM-side agg."""
+    import pyarrow as pa
+
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+
+    def double_value(batches):
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("event_id"), pa.compute.multiply(batch.column("value"), 2.0)],
+                names=["event_id", "value2"],
+            )
+
+    got = (
+        ev.mapInArrow(double_value, "event_id long, value2 double")
+        .agg(F.sum("value2").alias("s"))
+        .collect()[0]
+        .s
+    )
+    want = ev.agg((F.sum("value") * 2).alias("s")).collect()[0].s
+    assert abs(got - want) < 1e-6
+
+
+def test_observe_metrics(spark, sf_dir):
+    """Production observability: df.observe() accumulates metrics on the
+    JVM side during a normal action — no second scan — and the Observation
+    handle surfaces them to Python."""
+    from pyspark.sql import Observation
+
+    ev = table(spark, sf_dir, "events")
+    obs = Observation("tes_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value").alias("sum_value"),
+    )
+    n_direct = observed.filter(F.col("value") >= 0).count()
+    m = obs.get
+    assert m["n_rows"] == ev.count() == n_direct
+    assert abs(m["sum_value"] - ev.agg(F.sum("value")).collect()[0][0]) < 1e-6
