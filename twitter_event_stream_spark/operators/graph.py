@@ -133,3 +133,83 @@ def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cluster == F.col("doc_id")).alias("is_canonical"),
         )
     )
+
+
+@query(
+    "q_corpus_curation",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, length(text) - 1),
+                                                 i -> substr(text, i, 3)))) AS shingle
+      FROM documents WHERE doc_id < 200
+    ), sig AS (
+      SELECT doc_id, band,
+             min(substr(md5(shingle || '#' || CAST(band AS VARCHAR)), 1, 16)) AS sig
+      FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band) b
+      GROUP BY doc_id, band
+    ), pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+                           AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 7
+    ), e AS (
+      SELECT a_id AS a, b_id AS b FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ), reach(src, dst) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+    ), labels AS (
+      SELECT src AS node, least(src, min(dst)) AS label FROM reach GROUP BY src
+    ), curated AS (
+      SELECT d.doc_id, d.lang,
+             len(string_split(d.text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(d.text, ' ')))
+               / CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS uniq_ratio
+      FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+      WHERE d.doc_id < 200
+        AND coalesce(l.label, d.doc_id) = d.doc_id  -- canonical per near-dup cluster
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           {{R}} AS avg_uniq_ratio
+    FROM curated
+    WHERE uniq_ratio >= 0.3
+    GROUP BY lang
+    """.replace("{R}", "floor((avg(uniq_ratio)) * 1000000 + 0.505) / 1000000"),
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-flagship — the end-to-end corpus-curation step a training pipeline
+    runs: near-dup clustering keeps one canonical doc per cluster
+    (q_llm_dedup_cluster's components), a lexical-diversity quality gate
+    drops degenerate texts, and the survivors roll up to per-language corpus
+    stats. Every stage is an already-hash-verified primitive; the
+    composition is the point — at 100 TB this is one pass over text for
+    signatures, diameter-bounded label-propagation rounds on the (tiny)
+    signature graph, then a pure-canonical scan for stats."""
+    pairs = registry.get("q_llm_minhash_det").fn(spark, sf_dir).select("a_id", "b_id")
+    labels = connected_components(pairs, "a_id", "b_id")
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_tokens.cast("double")
+    curated = (
+        d.join(
+            F.broadcast(labels.select(F.col("node").alias("doc_id"), "label")),
+            "doc_id",
+            "left",
+        )
+        .filter(F.coalesce(F.col("label"), F.col("doc_id")) == F.col("doc_id"))
+        .select("lang", n_tokens.alias("n_tokens"), uniq_ratio.alias("uniq_ratio"))
+        .filter(F.col("uniq_ratio") >= 0.3)
+    )
+    from twitter_event_stream_spark.exprs import rnd
+
+    return curated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        rnd(F.avg("uniq_ratio"), 6).alias("avg_uniq_ratio"),
+    )
