@@ -319,3 +319,14 @@ def test_observe_metrics(spark, sf_dir):
     m = obs.get
     assert m["n_rows"] == ev.count() == n_direct
     assert abs(m["sum_value"] - ev.agg(F.sum("value")).collect()[0][0]) < 1e-6
+
+
+def test_loader_cache_interleaves_scale_factors(spark):
+    """tables.py caches per (session, sf_dir): interleaving two scale
+    factors on ONE session must keep each dir's data distinct — a cache
+    keyed too coarsely would silently serve the wrong fixture."""
+    n_small = table(spark, "/root/testdata/sf0.001", "events").count()
+    n_big = table(spark, "/root/testdata/sf0.01", "events").count()
+    n_small2 = table(spark, "/root/testdata/sf0.001", "events").count()
+    assert n_small == n_small2 == 1000
+    assert n_big == 10000
