@@ -330,3 +330,11 @@ def test_loader_cache_interleaves_scale_factors(spark):
     n_small2 = table(spark, "/root/testdata/sf0.001", "events").count()
     assert n_small == n_small2 == 1000
     assert n_big == 10000
+    # The session-global temp views must follow the most recent load too:
+    # a cache hit for a different dir than the last registration has to
+    # re-register, or spark.sql queries silently read the wrong scale.
+    assert spark.sql("SELECT count(*) AS n FROM events").first()["n"] == 1000
+    table(spark, "/root/testdata/sf0.01", "events")
+    assert spark.sql("SELECT count(*) AS n FROM events").first()["n"] == 10000
+    table(spark, "/root/testdata/sf0.001", "events")
+    assert spark.sql("SELECT count(*) AS n FROM events").first()["n"] == 1000

@@ -41,6 +41,12 @@ BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "par
 
 _cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
+#: Which sf_dir's tables are currently bound to the session's temp views.
+#: Views are session-global state, so a cache hit for a *different* dir than
+#: the last registration must re-register — otherwise ``spark.sql`` queries
+#: silently read the previous scale factor.
+_active_views: dict[int, str] = {}
+
 
 def _normalize_events(df: DataFrame) -> DataFrame:
     """INT64 ns → TimestampType µs, losslessly (data is µs-precision).
@@ -56,18 +62,21 @@ def _normalize_events(df: DataFrame) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all fixture tables of ``sf_dir``; register canonical temp views."""
     configure_session(spark)
-    key = (id(spark), sf_dir.rstrip("/"))
-    cached = _cache.get(key)
-    if cached is not None:
-        return cached
-    dfs: dict[str, DataFrame] = {}
-    for name in TABLE_NAMES:
-        df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-        if name == "events":
-            df = _normalize_events(df)
-        df.createOrReplaceTempView(name)
-        dfs[name] = df
-    _cache[key] = dfs
+    sf = sf_dir.rstrip("/")
+    key = (id(spark), sf)
+    dfs = _cache.get(key)
+    if dfs is None:
+        dfs = {}
+        for name in TABLE_NAMES:
+            df = spark.read.parquet(f"{sf}/{name}.parquet")
+            if name == "events":
+                df = _normalize_events(df)
+            dfs[name] = df
+        _cache[key] = dfs
+    if _active_views.get(id(spark)) != sf:
+        for name, df in dfs.items():
+            df.createOrReplaceTempView(name)
+        _active_views[id(spark)] = sf
     return dfs
 
 
