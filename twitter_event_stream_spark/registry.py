@@ -76,6 +76,7 @@ def _load_operator_modules() -> None:
         aggregates,
         filters,
         graph,
+        functions_extra,
         functions_scalar,
         joins,
         llm,
