@@ -163,3 +163,66 @@ def test_analyze_table_feeds_cbo_stats(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev)
         spark.sql("DROP TABLE tes_stats_nation")
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """At 100 TB the fact table is partition-laid-out (e.g. by status/date);
+    a selective dim filter must reach the fact scan as a runtime partition
+    filter — scanning every partition to then throw rows away does not
+    scale. Spark's DPP injects `dynamicpruningexpression` into the fact
+    side's PartitionFilters when the join key is the partition column."""
+    from pyspark.sql import functions as F
+
+    from twitter_event_stream_spark.tables import table
+
+    fact_dir = str(tmp_path / "orders_by_status")
+    table(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("O", "open"), ("F", "closed"), ("P", "pending")], ["st", "label"]
+    )
+    j = (
+        fact.join(F.broadcast(dim), fact.o_orderstatus == dim.st)
+        .filter(F.col("label") == "open")
+        .groupBy("label")
+        .count()
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan
+    # And the pruning actually holds: only the O partition's rows survive.
+    n_open = j.collect()[0]["count"]
+    n_o = table(spark, sf_dir, "orders").filter("o_orderstatus = 'O'").count()
+    assert n_open == n_o
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Fact-fact joins where one side is filtered selectively: Spark's
+    runtime bloom filter builds a sketch on the filtered side and applies
+    `might_contain` on the probe side *before* the shuffle, cutting the
+    shuffled bytes — the difference between a 100 TB shuffle and a 1 TB one.
+    Thresholds are tuned down to trigger at test scale."""
+    from pyspark.sql import functions as F
+
+    from twitter_event_stream_spark.tables import table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = table(spark, sf_dir, "lineitem")
+        ords = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+        j = li.join(ords, li.l_orderkey == ords.o_orderkey).groupBy("o_orderstatus").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower() or "might_contain" in plan.lower(), plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
