@@ -338,3 +338,31 @@ def test_loader_cache_interleaves_scale_factors(spark):
     assert spark.sql("SELECT count(*) AS n FROM events").first()["n"] == 10000
     table(spark, "/root/testdata/sf0.001", "events")
     assert spark.sql("SELECT count(*) AS n FROM events").first()["n"] == 1000
+
+
+def test_hll_partitioned_estimates_within_bound(spark, sf_dir):
+    """Mergeable-sketch distinct counting: per-lang HLL estimates and the
+    unioned overall estimate must land within HLL lgK=12 error (~1.6%, use
+    5% slack) of the exact distinct counts carried alongside."""
+    from twitter_event_stream_spark import registry
+
+    rows = registry.get("q_hll_partitioned").fn(spark, sf_dir).collect()
+    assert {r["lang"] for r in rows} >= {"__all__"}
+    for r in rows:
+        assert abs(r["est"] - r["exact"]) <= max(2.0, 0.05 * r["exact"]), r
+
+
+def test_split_assign_is_rerun_and_layout_stable(spark, sf_dir):
+    """Hash-based split membership is a pure function of doc_id: the same
+    rows land in the same split after an arbitrary repartition (Spark's
+    RNG-based sample() does NOT survive this — that's why the engine
+    assigns splits by key hash)."""
+    from pyspark.sql import functions as F
+
+    from twitter_event_stream_spark.operators.sampling import split_pct
+    from twitter_event_stream_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    a = docs.select("doc_id", split_pct(F.col("doc_id")).alias("p"))
+    b = docs.repartition(13).select("doc_id", split_pct(F.col("doc_id")).alias("p"))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -82,6 +82,7 @@ def _load_operator_modules() -> None:
         llm,
         llm_extra,
         multimodal,
+        sampling,
         scans,
         sets,
         sorts,
