@@ -366,3 +366,40 @@ def test_split_assign_is_rerun_and_layout_stable(spark, sf_dir):
     a = docs.select("doc_id", split_pct(F.col("doc_id")).alias("p"))
     b = docs.repartition(13).select("doc_id", split_pct(F.col("doc_id")).alias("p"))
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_theta_overlap_estimates_within_bound(spark, sf_dir):
+    """Theta union/intersection/difference estimates vs exact set algebra
+    on the same distinct user sets (8% slack — intersection error compounds
+    two sketches)."""
+    from twitter_event_stream_spark import registry
+
+    est = registry.get("q_theta_overlap").fn(spark, sf_dir).first()
+    ev = table(spark, sf_dir, "events")
+    click = ev.filter("event_type='click'").select("user_id").distinct()
+    purch = ev.filter("event_type='purchase'").select("user_id").distinct()
+    exact_both = click.intersect(purch).count()
+    exact_either = click.union(purch).distinct().count()
+    exact_click_only = click.subtract(purch).count()
+    for got, want in [
+        (est["n_either"], exact_either),
+        (est["n_both"], exact_both),
+        (est["n_click_only"], exact_click_only),
+    ]:
+        assert abs(got - want) <= max(3.0, 0.08 * want), (got, want)
+
+
+def test_kll_merged_quantiles_within_bound(spark, sf_dir):
+    """Per-shard KLL sketches folded into one must reproduce exact
+    percentiles within rank error (value-space slack 10%)."""
+    from twitter_event_stream_spark import registry
+
+    est = registry.get("q_kll_quantiles").fn(spark, sf_dir).first()
+    ev = table(spark, sf_dir, "events")
+    exact = ev.agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+    ).first()
+    for q in ["p50", "p90", "p99"]:
+        assert abs(est[q] - exact[q]) <= 0.10 * max(abs(exact[q]), 1.0), (q, est[q], exact[q])

@@ -83,3 +83,56 @@ def q_hll_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("exact").alias("exact"),
     ).select(F.lit("__all__").alias("lang"), "est", "exact")
     return per.unionByName(overall)
+
+
+@query("q_theta_overlap")  # ROWS — sketch estimates are engine-specific
+def q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on distinct sets WITHOUT materializing them: theta
+    sketches of the click-users and purchase-users, then union /
+    intersection / difference estimates. This is the decontamination /
+    audience-overlap primitive at 100 TB — each side collapses to a
+    KB-sized sketch instead of a distinct-shuffle, and sketches built per
+    shard/day merge associatively. Tests bound every estimate against the
+    exact counts."""
+    ev = table(spark, sf_dir, "events")
+    sketches = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+        .groupBy()
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.first("sk"))
+    )
+    return sketches.select(
+        F.theta_sketch_estimate(F.theta_union("click", "purchase")).alias("n_either"),
+        F.theta_sketch_estimate(F.theta_intersection("click", "purchase")).alias("n_both"),
+        F.theta_sketch_estimate(F.theta_difference("click", "purchase")).alias("n_click_only"),
+    )
+
+
+@query("q_kll_quantiles")  # ROWS — sketch estimates are engine-specific
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles: one KLL double-sketch per shard, folded into a
+    single sketch with the binary merge (a higher-order ``aggregate`` over
+    the collected sketch array — 7 shards here; at scale the fold runs over
+    per-day/per-shard sketch tables), then p50/p90/p99 queried from the
+    merged sketch. Replaces a full sort/percentile shuffle with O(k)-size
+    state. Tests bound the estimates against exact percentiles."""
+    ev = table(spark, sf_dir, "events")
+    merged = (
+        ev.withColumn("shard", F.col("user_id") % 7)
+        .groupBy("shard")
+        .agg(F.kll_sketch_agg_double("value").alias("sk"))
+        .agg(F.sort_array(F.collect_list(F.struct("shard", "sk"))).alias("arr"))
+        .select(
+            F.expr(
+                "aggregate(slice(arr, 2, size(arr)-1), arr[0].sk,"
+                " (acc, x) -> kll_sketch_merge_double(acc, x.sk))"
+            ).alias("m")
+        )
+    )
+    return merged.select(
+        F.kll_sketch_get_quantile_double("m", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("m", F.lit(0.9)).alias("p90"),
+        F.kll_sketch_get_quantile_double("m", F.lit(0.99)).alias("p99"),
+    )
