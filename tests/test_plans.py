@@ -226,3 +226,45 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling — the engine's primary answer to hot keys at
+    100 TB (the explicit salting operators in operators/skew.py are the
+    manual fallback). A join with one dominant key must come out of AQE
+    re-planning with the skewed partition split (SortMergeJoin(skew=true)),
+    and unchanged results. Thresholds are scaled to test-size partitions."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "800",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "800",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 1000, 1, 10).select(
+            F.when(F.col("id") < 250, 249).otherwise(F.col("id")).alias("key1"),
+            F.col("id").alias("value1"),
+        )
+        right = spark.range(0, 1000, 1, 10).select(
+            F.col("id").alias("key2"), F.col("id").alias("value2")
+        )
+        j = left.join(right, left.key1 == right.key2)
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        # Semantics preserved: every left row joins exactly one right row.
+        assert len(rows) == 1000
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
