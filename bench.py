@@ -116,6 +116,23 @@ def main() -> None:
         warm[name] = round(statistics.median(times[1:]), 3)
         rows[name] = len(res)
 
+    # Flagship data-pipeline operators, timed once each (not part of the
+    # BASELINE.md comparison set — recorded for per-round perf tracking).
+    extra: dict[str, float] = {}
+    for name in (
+        "q_corpus_curation",
+        "q_llm_dedup_cluster",
+        "q_llm_minhash_det",
+        "q_llm_ann_ivf",
+        "q_split_assign",
+        "q_hll_partitioned",
+        "q_theta_overlap",
+        "q_kll_quantiles",
+    ):
+        t = time.perf_counter()
+        registry.get(name).fn(spark, sf_dir).collect()
+        extra[name] = round(time.perf_counter() - t, 3)
+
     streaming = bench_streaming(spark, sf_dir)
 
     print(
@@ -128,6 +145,7 @@ def main() -> None:
                 "sf": sf,
                 "cold": cold,
                 "rows": rows,
+                "extra": extra,
                 "streaming": streaming,
                 "startup_sec": round(startup, 2),
             }
