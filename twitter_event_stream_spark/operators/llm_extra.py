@@ -489,3 +489,94 @@ def q_llm_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("tok").alias("n_vocab"),
         rnd(F.avg(F.length("tok")), 6).alias("avg_tok_len"),
     )
+
+
+@query(
+    "q_llm_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    uni AS (
+        SELECT token, ln(count(*) * 1.0 / (SELECT count(*) FROM toks)) AS logp
+        FROM toks GROUP BY token
+    ),
+    per_doc AS (
+        SELECT t.doc_id, t.lang, avg(u.logp) AS doc_logp
+        FROM toks t JOIN uni u ON t.token = u.token
+        GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           {R('avg(doc_logp)', 6)} AS avg_logprob,
+           {R('min(doc_logp)', 6)} AS min_logprob
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-extra — unigram language-model scoring: each doc's mean token
+    log-probability under the corpus MLE unigram distribution (the classic
+    cheap perplexity proxy for quality filtering — gibberish and boilerplate
+    sit in the tails). Plan: one explode, one token agg for the model, a
+    broadcast join back (the vocabulary is tiny next to the token stream at
+    any scale), then two bounded-key aggs. Doc means are exact averages —
+    deterministic, so the whole pipeline is HASH-contracted."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    total = toks.count()
+    uni = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("token", F.log(F.col("cnt") / F.lit(float(total))).alias("logp"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(uni), "token")
+        .groupBy("doc_id", "lang")
+        .agg(F.avg("logp").alias("doc_logp"))
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        rnd(F.avg("doc_logp"), 6).alias("avg_logprob"),
+        rnd(F.min("doc_logp"), 6).alias("min_logprob"),
+    )
+
+
+@query(
+    "q_contamination_exact",
+    oracle="""
+    WITH tagged AS (
+        SELECT lang, md5(text) AS h,
+               CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS pct
+        FROM documents
+    ),
+    train AS (SELECT DISTINCT h FROM tagged WHERE pct < 90),
+    test AS (SELECT lang, h FROM tagged WHERE pct >= 90)
+    SELECT t.lang,
+           count(*) AS n_test_docs,
+           count(*) FILTER (WHERE t.h IN (SELECT h FROM train)) AS n_contaminated
+    FROM test t
+    GROUP BY t.lang
+    """,
+)
+def q_contamination_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-extra — exact train→test leakage: test-split docs whose exact text
+    (by md5) also appears in the train split. The exact counterpart of the
+    theta-sketch overlap estimate (q_theta_overlap): at 100 TB the sketch
+    screens cheaply and this semi-join runs on the flagged slices — only
+    16-byte digests ever shuffle, never document payloads."""
+    from twitter_event_stream_spark.operators.sampling import split_pct
+
+    d = table(spark, sf_dir, "documents").select(
+        "lang", F.md5("text").alias("h"), split_pct(F.col("doc_id")).alias("pct")
+    )
+    train = d.filter(F.col("pct") < 90).select("h").distinct()
+    test = d.filter(F.col("pct") >= 90).select("lang", "h")
+    hit = test.join(train.withColumn("hit", F.lit(1)), "h", "left")
+    return hit.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_test_docs"),
+        F.count("hit").alias("n_contaminated"),
+    )
