@@ -403,3 +403,34 @@ def test_kll_merged_quantiles_within_bound(spark, sf_dir):
     ).first()
     for q in ["p50", "p90", "p99"]:
         assert abs(est[q] - exact[q]) <= 0.10 * max(abs(exact[q]), 1.0), (q, est[q], exact[q])
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
+    """Distributed PageRank == exact NumPy power iteration (same damping,
+    same iteration count, same undirected graph) within float tolerance."""
+    import numpy as np
+
+    from twitter_event_stream_spark.operators.graph import pagerank
+
+    edges = registry.get("q_llm_minhash_det").fn(spark, sf_dir)
+    e = [(r["a_id"], r["b_id"]) for r in edges.collect()]
+    assert e, "fixture should produce near-dup pairs"
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+        ).collect()
+    }
+    nodes = sorted({x for p in e for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for a, b in e:
+        adj[idx[a]][idx[b]] = 1.0
+        adj[idx[b]][idx[a]] = 1.0
+    deg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(15):
+        r = (1.0 - 0.85) / n + 0.85 * (adj.T @ (r / deg))
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])

@@ -213,3 +213,58 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         rnd(F.avg("uniq_ratio"), 6).alias("avg_uniq_ratio"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    iterations: int = 15,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Power-iteration PageRank over an undirected edge list.
+
+    Each round is one join (rank/degree contributions along edges) + one
+    aggregate — the same two-shuffle-per-round shape as
+    :func:`connected_components`, with ``localCheckpoint`` truncating
+    lineage so the plan stays constant-size across rounds. Undirected
+    symmetrization means every node has out-degree ≥ 1, so no dangling-mass
+    redistribution term is needed. Returns (node, rank) for nodes with ≥ 1
+    edge; ranks over those nodes sum to ~1.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    adj = e.join(deg, "a").localCheckpoint()
+    n = deg.count()
+    ranks = deg.select(F.col("a").alias("node"), F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contrib = adj.join(
+            ranks.withColumnRenamed("node", "a"), "a"
+        ).select(F.col("b").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+        ranks = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "node",
+                (F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("s")).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+@query("q_pagerank_neardup")  # ROWS — iterative float sums are partition-order
+def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the near-dup graph: PageRank on the deterministic
+    MinHash candidate pairs — the canonical-document picker that prefers
+    the most-connected member of each duplicate cluster (vs CC's arbitrary
+    min-id). Iterative, so no SQL oracle; the test checks the distributed
+    ranks against an exact NumPy power iteration on the same edges."""
+    edges = registry.get("q_llm_minhash_det").fn(spark, sf_dir)
+    pr = pagerank(edges.select(F.col("a_id").alias("a"), F.col("b_id").alias("b")))
+    return pr.select("node", F.round("rank", 6).alias("rank"))
