@@ -527,11 +527,12 @@ def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
     )
-    total = toks.count()
-    uni = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select("token", F.log(F.col("cnt") / F.lit(float(total))).alias("logp"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # Total token count as a broadcast scalar (vocab-sized agg, no driver
+    # action, no second corpus scan — the collect-free histogram pattern).
+    total = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    uni = counts.crossJoin(F.broadcast(total)).select(
+        "token", F.log(F.col("cnt") / F.col("total")).alias("logp")
     )
     per_doc = (
         toks.join(F.broadcast(uni), "token")
