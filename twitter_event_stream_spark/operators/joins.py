@@ -361,3 +361,36 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "q_lateral_join",
+    oracle="""
+    SELECT c.c_custkey, t.top_price, t.top_key
+    FROM customer c,
+    LATERAL (
+      SELECT o.o_totalprice AS top_price, o.o_orderkey AS top_key
+      FROM orders o WHERE o.o_custkey = c.c_custkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2
+    ) t
+    """,
+)
+def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-extra — LATERAL correlated subquery join (top-2 orders per
+    customer), identical SQL in both engines. Catalyst decorrelates the
+    per-row LIMIT into a rank-filtered window join (DecorrelateInnerQuery +
+    WindowGroupLimit) — one partitioned window pass, not a per-customer
+    probe, so it scales like E8 top-k-per-group. Unique tiebreaker on
+    o_orderkey keeps the row set deterministic (C3)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.top_price, t.top_key
+        FROM customer c,
+        LATERAL (
+          SELECT o.o_totalprice AS top_price, o.o_orderkey AS top_key
+          FROM orders o WHERE o.o_custkey = c.c_custkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2
+        ) t
+        """
+    )
