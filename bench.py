@@ -58,6 +58,16 @@ def bench_streaming(spark, sf_dir: str) -> dict:
 
     chunk_dir = tempfile.mkdtemp(prefix="tes_bench_replay_")
     ckpt = tempfile.mkdtemp(prefix="tes_bench_ckpt_")
+    # Stateful streaming disables AQE, and the FIRST checkpoint pins the
+    # state-store partition count forever — so unlike batch, the shuffle
+    # partition number must be sized to state volume up front. At this
+    # bench's state size (≤100k dedup keys), 32 state stores per micro-batch
+    # is pure open/commit overhead: 8 partitions runs the same pipeline
+    # ~2.5× faster (measured 17.2k vs 6.7k events/s). At production state
+    # sizes this number scales up with keys; it cannot be left at the batch
+    # default thoughtlessly in either direction.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         write_replay_chunks(spark, sf_dir, chunk_dir, n_chunks=20)
         ev = load_tables(spark, sf_dir)["events"]
@@ -90,6 +100,7 @@ def bench_streaming(spark, sf_dir: str) -> dict:
             "events_per_sec": int(n_events / dt),
         }
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(chunk_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
