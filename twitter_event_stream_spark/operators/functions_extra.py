@@ -353,3 +353,35 @@ def q_agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.skewness("value"), 6).alias("skew"),
         rnd(F.kurtosis("value"), 6).alias("kurt"),
     )
+
+
+@query(
+    "q_scalar_misc",
+    oracle="""
+    SELECT p_partkey,
+           greatest(p_size, 25) AS hi,
+           least(p_size, 25) AS lo,
+           hex(p_size) AS size_hex,
+           bit_count(p_size::BIGINT) AS pop,
+           factorial(p_size % 10) AS fact,
+           unhex(hex(p_brand::BLOB)) AS roundtrip,
+           to_base64(p_brand::BLOB) AS b64
+    FROM part
+    """,
+)
+def q_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misc scalar batch: greatest/least, hex/unhex roundtrip, popcount,
+    factorial, base64 — all JVM codegen. (DuckDB 1.0 lacks ``width_bucket``;
+    equal-width bucketing ships as explicit floor arithmetic in
+    q_histogram instead.)"""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.greatest(F.col("p_size"), F.lit(25)).alias("hi"),
+        F.least(F.col("p_size"), F.lit(25)).alias("lo"),
+        F.hex(F.col("p_size")).alias("size_hex"),
+        F.bit_count(F.col("p_size").cast("bigint")).alias("pop"),
+        F.factorial(F.col("p_size") % 10).alias("fact"),
+        F.unhex(F.hex(F.col("p_brand").cast("binary"))).alias("roundtrip"),
+        F.base64(F.col("p_brand").cast("binary")).alias("b64"),
+    )
