@@ -415,3 +415,62 @@ def test_stream_session_window_parity(spark, sf_dir, chunk_dir):
     for key, n in got.items():
         assert expected[key] == n, f"session {key}: stream={n} batch={expected[key]}"
     assert len(set(expected) - set(got)) <= len(expected) * 0.05
+
+
+def test_stream_stream_left_outer_join(spark, sf_dir, chunk_dir):
+    """I7 (outer form) — watermark-bounded LEFT OUTER stream-stream join:
+    unmatched clicks must be emitted with NULL purchase ids, but only once
+    the watermark passes their join window (state expiry drives null
+    emission — the semantics that distinguish outer from inner). Matched
+    pairs must equal the batch join; nulls are a subset of the batch's
+    unmatched clicks, with only watermark-trailing rows held back at
+    stream end."""
+    import tempfile
+
+    from twitter_event_stream_spark.streaming.replay import run_available_now
+
+    def side(et, prefix):
+        return (
+            replay_stream(spark, chunk_dir, files_per_trigger=3)
+            .filter(F.col("event_type") == et)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "10 minutes")
+        )
+
+    j = side("click", "c").join(
+        side("purchase", "p"),
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 5 MINUTES")),
+        "leftOuter",
+    ).select("c_id", "p_id")
+    rows = _drain(spark, j, "t_ss_louter")
+    matched = {(r.c_id, r.p_id) for r in rows if r.p_id is not None}
+    nulls = {r.c_id for r in rows if r.p_id is None}
+
+    ev = table(spark, sf_dir, "events")
+    c = ev.filter("event_type='click'").select(
+        F.col("event_id").alias("c_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    p = ev.filter("event_type='purchase'").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("u2"),
+        F.col("ts").alias("p_ts"),
+    )
+    b = c.join(
+        p,
+        (c.user_id == F.col("u2"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 5 MINUTES")),
+        "left",
+    ).select("c_id", "p_id")
+    brows = b.collect()
+    bmatched = {(r.c_id, r.p_id) for r in brows if r.p_id is not None}
+    bnulls = {r.c_id for r in brows if r.p_id is None}
+    assert matched == bmatched
+    assert nulls <= bnulls
+    assert len(nulls) >= 0.9 * len(bnulls), (len(nulls), len(bnulls))
