@@ -434,3 +434,41 @@ def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
         r = (1.0 - 0.85) / n + 0.85 * (adj.T @ (r / deg))
     for v in nodes:
         assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+
+
+def test_udtf_table_argument_partition_by(spark, sf_dir):
+    """J6 (Spark-4 form) — polymorphic UDTF over a TABLE(...) argument with
+    PARTITION BY: one UDTF instance per partition accumulates state and
+    emits on terminate(), matching the equivalent groupBy aggregate. This
+    is the scalable form — partitions process in parallel, no single-node
+    funnel (WITH SINGLE PARTITION would be the anti-pattern at scale)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang string, n_docs int, total_chars bigint")
+    class LangStats:
+        def __init__(self):
+            self.acc = {}
+
+        def eval(self, row):
+            n, c = self.acc.get(row["lang"], (0, 0))
+            self.acc[row["lang"]] = (n + 1, c + row["n_chars"])
+
+        def terminate(self):
+            for lang, (n, c) in self.acc.items():
+                yield lang, n, c
+
+    spark.udtf.register("tes_lang_stats", LangStats)
+    table(spark, sf_dir, "documents")
+    got = sorted(
+        (r["lang"], r["n_docs"], r["total_chars"])
+        for r in spark.sql(
+            "SELECT * FROM tes_lang_stats(TABLE(documents) PARTITION BY lang)"
+        ).collect()
+    )
+    want = sorted(
+        (r["lang"], r["n"], r["c"])
+        for r in spark.sql(
+            "SELECT lang, count(*) n, sum(n_chars) c FROM documents GROUP BY lang"
+        ).collect()
+    )
+    assert got == want
