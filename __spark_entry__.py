@@ -23,9 +23,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H-Q1-shape agg, SURVEY §2.2 D1) on sf0.001."""
+    """Flagship query on sf0.001: end-to-end corpus curation (SURVEY §2.3
+    X20) — deterministic MinHash near-dup detection → connected-component
+    clustering → canonical-doc selection → quality gate → per-language
+    rollup. Exercises scans, HOF shingling, banded self-join, iterative
+    graph clustering, window dedup, and aggregation in one hash-verified
+    pipeline."""
     load_tables(spark, SMOKE_SF_DIR)
-    return registry.get("q_agg_basic").fn(spark, SMOKE_SF_DIR)
+    return registry.get("q_corpus_curation").fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
