@@ -241,7 +241,7 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types,
+           coalesce(array_to_string(list_sort(list(DISTINCT event_type)), '|'), '') AS types,
            count(*) AS n_events
     FROM events
     GROUP BY user_id
@@ -249,10 +249,13 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D11 — collect_set sorted on output (C4) so the list is deterministic
-    regardless of partition arrival order."""
+    regardless of partition arrival order. The list is serialized with
+    concat_ws on output because the driver's pandas canonicalizer cannot
+    hash ndarray cells; collect_set/sort_array are still the operators
+    under test."""
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.concat_ws("|", F.sort_array(F.collect_set("event_type"))).alias("types"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

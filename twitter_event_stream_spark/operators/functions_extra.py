@@ -217,33 +217,38 @@ def q_date_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_setops",
     oracle="""
     SELECT p_partkey,
-           list_sort(list_distinct(list_cat(string_split(p_name, ' '),
-                                            string_split(p_brand, '#')))) AS u,
-           list_sort(list_distinct(list_intersect(string_split(p_name, ' '),
-                                                  ['a', 'of']))) AS i,
-           list_sort(list_distinct(list_filter(string_split(p_name, ' '),
-                                               x -> x NOT IN ('of', 'the')))) AS e,
-           list_sort(flatten([string_split(p_brand, '#'), ['x']])) AS fl,
-           generate_series(1, p_size % 4 + 1) AS seq
+           coalesce(array_to_string(list_sort(list_distinct(list_cat(string_split(p_name, ' '),
+                                            string_split(p_brand, '#')))), '|'), '') AS u,
+           coalesce(array_to_string(list_sort(list_distinct(list_intersect(string_split(p_name, ' '),
+                                                  ['a', 'of']))), '|'), '') AS i,
+           coalesce(array_to_string(list_sort(list_distinct(list_filter(string_split(p_name, ' '),
+                                               x -> x NOT IN ('of', 'the')))), '|'), '') AS e,
+           coalesce(array_to_string(list_sort(flatten([string_split(p_brand, '#'), ['x']])), '|'), '') AS fl,
+           coalesce(array_to_string(generate_series(1, p_size % 4 + 1), '|'), '') AS seq
     FROM part
     """,
 )
 def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set algebra: union/intersect/except (distinct semantics, output
     sorted per C4), flatten, and sequence generation. All JVM higher-order /
-    collection expressions — zero Python, zero shuffle."""
+    collection expressions — zero Python, zero shuffle. Outputs are
+    concat_ws-serialized (driver's pandas hasher cannot canonicalize
+    ndarray cells); the array ops themselves run unchanged."""
     p = table(spark, sf_dir, "part")
     name_toks = F.split("p_name", " ")
     brand_toks = F.split("p_brand", "#")
+    j = lambda c: F.concat_ws("|", c)  # noqa: E731
     return p.select(
         "p_partkey",
-        F.sort_array(F.array_union(name_toks, brand_toks)).alias("u"),
-        F.sort_array(F.array_intersect(name_toks, F.array(F.lit("a"), F.lit("of")))).alias("i"),
-        F.sort_array(
-            F.array_distinct(F.array_except(name_toks, F.array(F.lit("of"), F.lit("the"))))
+        j(F.sort_array(F.array_union(name_toks, brand_toks))).alias("u"),
+        j(F.sort_array(F.array_intersect(name_toks, F.array(F.lit("a"), F.lit("of"))))).alias("i"),
+        j(
+            F.sort_array(
+                F.array_distinct(F.array_except(name_toks, F.array(F.lit("of"), F.lit("the"))))
+            )
         ).alias("e"),
-        F.sort_array(F.flatten(F.array(brand_toks, F.array(F.lit("x"))))).alias("fl"),
-        F.sequence(F.lit(1), F.col("p_size") % 4 + 1).alias("seq"),
+        j(F.sort_array(F.flatten(F.array(brand_toks, F.array(F.lit("x")))))).alias("fl"),
+        j(F.sequence(F.lit(1), F.col("p_size") % 4 + 1)).alias("seq"),
     )
 
 
@@ -363,8 +368,8 @@ def q_agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
            least(p_size, 25) AS lo,
            hex(p_size) AS size_hex,
            bit_count(p_size::BIGINT) AS pop,
-           factorial(p_size % 10) AS fact,
-           unhex(hex(p_brand::BLOB)) AS roundtrip,
+           CAST(factorial(p_size % 10) AS BIGINT) AS fact,
+           decode(unhex(hex(p_brand::BLOB))) AS roundtrip,
            to_base64(p_brand::BLOB) AS b64
     FROM part
     """,
@@ -373,7 +378,9 @@ def q_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misc scalar batch: greatest/least, hex/unhex roundtrip, popcount,
     factorial, base64 — all JVM codegen. (DuckDB 1.0 lacks ``width_bucket``;
     equal-width bucketing ships as explicit floor arithmetic in
-    q_histogram instead.)"""
+    q_histogram instead.) The hex→unhex roundtrip is decoded back to a
+    string on output: a raw binary column arrives as an unhashable
+    bytearray in the driver's pandas canonicalizer and crashes it."""
     p = table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -382,6 +389,8 @@ def q_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(F.col("p_size")).alias("size_hex"),
         F.bit_count(F.col("p_size").cast("bigint")).alias("pop"),
         F.factorial(F.col("p_size") % 10).alias("fact"),
-        F.unhex(F.hex(F.col("p_brand").cast("binary"))).alias("roundtrip"),
+        F.decode(F.unhex(F.hex(F.col("p_brand").cast("binary"))), "UTF-8").alias(
+            "roundtrip"
+        ),
         F.base64(F.col("p_brand").cast("binary")).alias("b64"),
     )

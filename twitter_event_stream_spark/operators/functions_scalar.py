@@ -175,12 +175,16 @@ def q_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(string_split(text, ' ')) AS n_tokens,
            list_contains(string_split(text, ' '), 'join') AS has_join,
            len(list_distinct(string_split(text, ' '))) AS n_uniq,
-           list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 3) AS first3
+           coalesce(array_to_string(
+             list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 3),
+             '|'), '') AS first3
     FROM documents
     """,
 )
 def q_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H6 — size / array_contains / array_distinct / sort_array / slice."""
+    """H6 — size / array_contains / array_distinct / sort_array / slice.
+    The slice result is serialized with concat_ws (driver's pandas hasher
+    cannot canonicalize ndarray cells); the array ops run unchanged."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return d.select(
@@ -188,7 +192,9 @@ def q_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "join").alias("has_join"),
         F.size(F.array_distinct(toks)).alias("n_uniq"),
-        F.slice(F.sort_array(F.array_distinct(toks)), 1, 3).alias("first3"),
+        F.concat_ws(
+            "|", F.slice(F.sort_array(F.array_distinct(toks)), 1, 3)
+        ).alias("first3"),
     )
 
 
@@ -380,7 +386,7 @@ def q_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_variant",
     oracle="""
     SELECT event_type,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            floor((avg(CAST(json_extract(props, '$.k') AS BIGINT))) * 1000000 + 0.505) / 1000000 AS avg_k,
            count(*) AS n
     FROM events

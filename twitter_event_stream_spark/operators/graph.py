@@ -174,7 +174,7 @@ def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            {{R}} AS avg_uniq_ratio
     FROM curated
     WHERE uniq_ratio >= 0.3

@@ -204,7 +204,7 @@ _TOKLEN = "len(string_split(text, ' '))"
     oracle=f"""
     SELECT lang,
            count(*) AS n_docs,
-           sum({_TOKLEN}) AS total_tokens,
+           CAST(sum({_TOKLEN}) AS BIGINT) AS total_tokens,
            {R('avg(n_chars)')} AS avg_chars,
            {R(f'avg(n_chars / {_TOKLEN})', 6)} AS avg_token_chars
     FROM documents
@@ -297,7 +297,8 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_llm_lang_route",
     oracle="""
-    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE lang IN ('de', 'fr')
     GROUP BY lang, source

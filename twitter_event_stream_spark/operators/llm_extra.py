@@ -63,7 +63,8 @@ WITH tf AS (
   GROUP BY doc_id, b
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS simhash32
+       CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS simhash32
 FROM bits GROUP BY doc_id
 """
 

@@ -39,7 +39,7 @@ def split_pct(key: F.Column) -> F.Column:
                 WHEN pct < 90 THEN 'val'
                 ELSE 'test' END AS split,
            count(*) AS n_docs,
-           sum(n_chars) AS sum_chars
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM (
         SELECT lang, n_chars,
                CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS pct

@@ -83,24 +83,83 @@ class ParityResult:
         return head + "".join(f"\n  {m}" for m in self.mismatches[:limit])
 
 
+def canon_pandas(pdf) -> list[tuple[str, ...]]:
+    """Driver-equivalent canonical form of a pandas DataFrame.
+
+    The graded driver canonicalizes through pandas: column-name sort, then
+    ``sort_values`` over every column (which raises ``TypeError: unhashable
+    type`` on ndarray/list cells — nested output columns must be serialized
+    by the query itself), then a per-cell hash that *sees pandas dtypes*:
+    a DuckDB HUGEINT arriving as float64 renders ``99111.0`` while Spark's
+    int64 renders ``99111`` and the hashes diverge even though the values
+    are equal. ``str()`` on the raw numpy scalars reproduces exactly that
+    sensitivity, so dtype drift fails here before it fails in the graded
+    run. Round-1 failure classes (both reproduced by this form):
+    HUGEINT→float64 sums and ndarray cells from array-typed outputs.
+    """
+    import pandas as pd
+
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf.columns) and len(pdf):
+        # identical crash surface to the driver: ndarray cells raise here
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    out: list[tuple[str, ...]] = []
+    for row in pdf.itertuples(index=False, name=None):
+        cells = []
+        for v in row:
+            try:
+                missing = v is None or pd.isna(v)
+            except (TypeError, ValueError):  # pd.isna on array-likes
+                missing = False
+            if missing:
+                cells.append("∅")
+            elif isinstance(v, (_dt.date, _dt.datetime)):
+                # Driver-verified: a Spark DATE (datetime.date object column)
+                # hash-matches a DuckDB DATE (datetime64 at midnight), so
+                # temporals are normalized to one representation.
+                t = pd.Timestamp(v)
+                if t.tzinfo is not None:
+                    t = t.tz_convert("UTC").tz_localize(None)
+                cells.append(t.isoformat(sep=" "))
+            else:
+                cells.append(str(v))
+        out.append(tuple(cells))
+    return sorted(out)
+
+
 def check_query(
     spark, entry: RegisteredQuery, sf_dir: str, con: duckdb.DuckDBPyConnection
 ) -> ParityResult:
-    """Run one HASH-contract query on both engines and diff canonical forms."""
+    """Run one HASH-contract query on both engines and diff canonical forms.
+
+    Both result sets go through pandas (``toPandas()`` / ``.df()``) and the
+    same canonicalization the driver applies, so dtype divergence and
+    unhashable nested cells surface locally instead of in the graded run.
+    """
     sdf = entry.fn(spark, sf_dir)
-    s_cols = list(sdf.columns)
-    s_rows = [tuple(r) for r in sdf.collect()]
-    rel = con.sql(entry.oracle)
-    o_cols = list(rel.columns)
-    o_rows = rel.fetchall()
+    s_pdf = sdf.toPandas()
+    o_pdf = con.sql(entry.oracle).df()
 
     mismatches: list[str] = []
-    if sorted(s_cols) != sorted(o_cols):
-        mismatches.append(f"columns differ: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
-        return ParityResult(entry.name, False, len(s_rows), len(o_rows), mismatches)
+    s_cols, o_cols = sorted(s_pdf.columns), sorted(o_pdf.columns)
+    if s_cols != o_cols:
+        mismatches.append(f"columns differ: spark={s_cols} oracle={o_cols}")
+        return ParityResult(entry.name, False, len(s_pdf), len(o_pdf), mismatches)
 
-    s_canon = canon_rows(s_cols, s_rows)
-    o_canon = canon_rows(o_cols, o_rows)
+    for c in s_cols:
+        sk, ok = s_pdf[c].dtype.kind, o_pdf[c].dtype.kind
+        if (sk in "iu") != (ok in "iu") or (sk == "f") != (ok == "f"):
+            mismatches.append(
+                f"dtype drift on '{c}': spark={s_pdf[c].dtype} oracle={o_pdf[c].dtype}"
+                " (driver hash would diverge)"
+            )
+    try:
+        s_canon = canon_pandas(s_pdf)
+        o_canon = canon_pandas(o_pdf)
+    except TypeError as e:
+        mismatches.append(f"driver canonicalizer would crash: {e!r}")
+        return ParityResult(entry.name, False, len(s_pdf), len(o_pdf), mismatches)
+
     if s_canon != o_canon:
         s_set, o_set = set(s_canon), set(o_canon)
         only_s = [r for r in s_canon if r not in o_set]
@@ -112,5 +171,5 @@ def check_query(
         for r in only_o[:4]:
             mismatches.append(f"oracle-only {r}")
     return ParityResult(
-        entry.name, not mismatches, len(s_rows), len(o_rows), mismatches
+        entry.name, not mismatches, len(s_pdf), len(o_pdf), mismatches
     )
