@@ -33,6 +33,11 @@ def connected_components(
     shuffle join + one shuffle agg per round, converges in graph-diameter
     rounds. Deterministic (pure min semilattice). Nodes with no edges are
     not returned (caller treats them as singleton clusters).
+
+    Exactly ONE Spark action per round: the previous label rides through the
+    aggregate as ``max(old)`` (each node contributes its old label exactly
+    once), so convergence is read with a narrow ``isEmpty`` over the
+    checkpointed round result instead of a second join+count job.
     """
     # localCheckpoint (eager) truncates lineage every round — without it the
     # logical plan doubles per iteration and the driver OOMs building plan
@@ -49,27 +54,73 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    label_type = labels.schema["label"].dataType.simpleString()
     for _ in range(max_iter):
-        nbr = e.join(
-            labels.select(F.col("node").alias("b"), "label"), "b"
-        ).select(F.col("a").alias("node"), "label")
-        new = (
-            labels.select("node", "label")
-            .union(nbr)
+        nbr = (
+            e.join(labels.select(F.col("node").alias("b"), "label"), "b")
+            .select(
+                F.col("a").alias("node"),
+                F.col("label").alias("cand"),
+                F.lit(None).cast(label_type).alias("old"),
+            )
+        )
+        merged = (
+            labels.select(
+                "node",
+                F.col("label").alias("cand"),
+                F.col("label").alias("old"),
+            )
+            .unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("cand").alias("label"), F.max("old").alias("old"))
             .localCheckpoint()
         )
-        changed = (
-            new.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        labels = merged.select("node", "label")
+        # label = min(old, neighbor labels) ≤ old, so "<" means it moved.
+        if merged.filter(F.col("label") < F.col("old")).isEmpty():
             break
     return labels
+
+
+# Shared-per-session cache for the near-dup graph. The three graph queries
+# (CC clustering, corpus curation, PageRank) all consume the same MinHash
+# candidate-pair edge list, and two of them the same CC labels; recomputing
+# the shingle→signature→band pipeline per query tripled the cost of the
+# correctness sweep. Keyed by (Spark application, sf_dir) so a new session
+# or a different scale factor rebuilds; values are localCheckpoint'ed, so
+# the cached plan is a scan of materialized blocks, not a live lineage.
+_GRAPH_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cached(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    df = _GRAPH_CACHE.get(key)
+    if df is None:
+        df = build().localCheckpoint()
+        _GRAPH_CACHE[key] = df
+    return df
+
+
+def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-MinHash candidate pairs (a_id, b_id), computed once per
+    (session, sf_dir) and reused by every graph query."""
+    return _cached(
+        spark,
+        sf_dir,
+        "pairs",
+        lambda: registry.get("q_llm_minhash_det").fn(spark, sf_dir).select("a_id", "b_id"),
+    )
+
+
+def neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component labels over :func:`neardup_pairs`, cached like
+    the pairs (CC is iterative — by far the most expensive shared piece)."""
+    return _cached(
+        spark,
+        sf_dir,
+        "labels",
+        lambda: connected_components(neardup_pairs(spark, sf_dir), "a_id", "b_id"),
+    )
 
 
 @query(
@@ -117,8 +168,7 @@ def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint as a recursive transitive closure — feasible at oracle scale,
     while the engine's label propagation runs one distributed round per
     graph-diameter hop at any scale."""
-    pairs = registry.get("q_llm_minhash_det").fn(spark, sf_dir).select("a_id", "b_id")
-    labels = connected_components(pairs, "a_id", "b_id")
+    labels = neardup_labels(spark, sf_dir)
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     cluster = F.coalesce(F.col("label"), F.col("doc_id"))
     return (
@@ -190,8 +240,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition is the point — at 100 TB this is one pass over text for
     signatures, diameter-bounded label-propagation rounds on the (tiny)
     signature graph, then a pure-canonical scan for stats."""
-    pairs = registry.get("q_llm_minhash_det").fn(spark, sf_dir).select("a_id", "b_id")
-    labels = connected_components(pairs, "a_id", "b_id")
+    labels = neardup_labels(spark, sf_dir)
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     toks = F.split("text", " ")
     n_tokens = F.size(toks)
@@ -265,6 +314,6 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the most-connected member of each duplicate cluster (vs CC's arbitrary
     min-id). Iterative, so no SQL oracle; the test checks the distributed
     ranks against an exact NumPy power iteration on the same edges."""
-    edges = registry.get("q_llm_minhash_det").fn(spark, sf_dir)
+    edges = neardup_pairs(spark, sf_dir)
     pr = pagerank(edges.select(F.col("a_id").alias("a"), F.col("b_id").alias("b")))
     return pr.select("node", F.round("rank", 6).alias("rank"))
