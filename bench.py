@@ -41,16 +41,23 @@ BENCH_QUERIES: dict[str, object] = {
 
 def bench_streaming(spark, sf_dir: str) -> dict:
     """Streaming throughput: the full userstream-bridge dataflow (ingest →
-    decode/dispatch → subscription join → dedup → legacy reshape → fan-out
-    counting sink) over a 20-chunk ordered replay of `events`, availableNow.
-    Reported as events/sec of end-to-end micro-batch throughput — the
-    reference's own job shape, the engine's streaming headline."""
+    decode/dispatch → subscription join → dedup → legacy reshape →
+    partition-parallel per-client fan-out) over a 20-chunk ordered replay of
+    `events`, availableNow. Reported as events/sec of end-to-end micro-batch
+    throughput — the reference's own job shape, the engine's streaming
+    headline. The fan-out is the foreachPartition demux (executors write
+    per-client streams; the driver never touches a payload), so the number
+    covers delivery, not just routing."""
+    import os as _os
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
-    from twitter_event_stream_spark.streaming.pipelines import bridge_pipeline
+    from twitter_event_stream_spark.streaming.pipelines import (
+        bridge_pipeline,
+        fanout_foreach_partition,
+    )
     from twitter_event_stream_spark.streaming.replay import (
         replay_stream,
         write_replay_chunks,
@@ -58,6 +65,7 @@ def bench_streaming(spark, sf_dir: str) -> dict:
 
     chunk_dir = tempfile.mkdtemp(prefix="tes_bench_replay_")
     ckpt = tempfile.mkdtemp(prefix="tes_bench_ckpt_")
+    fanout_dir = tempfile.mkdtemp(prefix="tes_bench_fanout_")
     # Stateful streaming disables AQE, and the FIRST checkpoint pins the
     # state-store partition count forever — so unlike batch, the shuffle
     # partition number must be sized to state volume up front. At this
@@ -82,27 +90,53 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         def count_batch(batch, _batch_id) -> None:
             routed["n"] += batch.count()
 
-        stream = replay_stream(spark, chunk_dir, files_per_trigger=2)
+        # Phase 1 — routing only (the r1-comparable number): the full
+        # bridge, counting sink, no delivery work.
         t = time.perf_counter()
         q = (
-            bridge_pipeline(stream, subs)
+            bridge_pipeline(replay_stream(spark, chunk_dir, files_per_trigger=2), subs)
             .writeStream.foreachBatch(count_batch)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(300)
-        dt = time.perf_counter() - t
+        routing_dt = time.perf_counter() - t
+
+        # Phase 2 — per-client ordered DELIVERY via the partition-parallel
+        # fan-out (strictly more work than phase 1: one extra hash shuffle
+        # per micro-batch for client co-location + executor-side writes).
+        ckpt2 = tempfile.mkdtemp(prefix="tes_bench_ckpt2_")
+        t = time.perf_counter()
+        q = (
+            bridge_pipeline(replay_stream(spark, chunk_dir, files_per_trigger=2), subs)
+            .writeStream.foreachBatch(fanout_foreach_partition(fanout_dir))
+            .option("checkpointLocation", ckpt2)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        delivery_dt = time.perf_counter() - t
+        shutil.rmtree(ckpt2, ignore_errors=True)
+        delivered = 0
+        for root, _dirs, files in _os.walk(fanout_dir):
+            for fname in files:
+                with open(_os.path.join(root, fname), "rb") as f:
+                    delivered += sum(1 for _ in f)
         return {
             "events": n_events,
             "routed_payloads": routed["n"],
-            "sec": round(dt, 3),
-            "events_per_sec": int(n_events / dt),
+            "sec": round(routing_dt, 3),
+            "events_per_sec": int(n_events / routing_dt),
+            "delivered_payloads": delivered,
+            "delivery_sec": round(delivery_dt, 3),
+            "delivery_events_per_sec": int(n_events / delivery_dt),
         }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(chunk_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(fanout_dir, ignore_errors=True)
 
 
 def main() -> None:

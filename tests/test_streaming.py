@@ -18,6 +18,7 @@ from twitter_event_stream_spark.streaming.pipelines import (
     bridge_pipeline,
     decode_events,
     fanout_foreach_batch,
+    fanout_foreach_partition,
     running_user_counters,
     windowed_counts,
 )
@@ -173,6 +174,58 @@ def test_bridge_pipeline_fanout(spark, sf_dir, chunk_dir):
     assert got == want
     # R5: payloads are legacy-shaped JSON.
     sample = next(iter(sinks.values()))[0]
+    assert '"event"' in sample and '"created_at"' in sample
+
+
+def test_bridge_pipeline_fanout_partitioned(spark, sf_dir, chunk_dir):
+    """R9 scale path: the foreachPartition demux must deliver exactly the
+    same per-client payload multiset as the collect-based double, with
+    per-client delivery order (batch file name order, ts within file)
+    non-decreasing — and no payload ever crossing the driver."""
+    import json
+    import os
+
+    subs = spark.createDataFrame(
+        [(u, f"client_{u % 3}") for u in range(0, 10)], "user_id long, client_id string"
+    )
+    stream = replay_stream(spark, chunk_dir, files_per_trigger=3)
+    bridged = bridge_pipeline(stream, subs)
+    out = tempfile.mkdtemp(prefix="tes_fanout_part_")
+    ckpt = tempfile.mkdtemp(prefix="tes_ckpt_fanout_part_")
+    q = (
+        bridged.writeStream.foreachBatch(fanout_foreach_partition(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    got: dict[str, list[str]] = {}
+    for client_dir in sorted(os.listdir(out)):
+        client = client_dir.split("=", 1)[1]
+        payloads: list[str] = []
+        cdir = os.path.join(out, client_dir)
+        for fname in sorted(os.listdir(cdir)):  # batch id order == delivery order
+            with open(os.path.join(cdir, fname), encoding="utf-8") as f:
+                batch_payloads = [line.rstrip("\n") for line in f]
+            created = [json.loads(p)["created_at"] for p in batch_payloads]
+            assert created == sorted(created), "R11: ts order broken within a batch"
+            payloads.extend(batch_payloads)
+        got[client] = payloads
+    shutil.rmtree(out, ignore_errors=True)
+
+    ev = table(spark, sf_dir, "events")
+    want: dict[str, int] = {}
+    for row in (
+        ev.filter(F.col("user_id") < 10)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ):
+        want[f"client_{row.user_id % 3}"] = want.get(f"client_{row.user_id % 3}", 0) + row.n
+    assert {c: len(p) for c, p in got.items()} == want
+    sample = next(iter(got.values()))[0]
     assert '"event"' in sample and '"created_at"' in sample
 
 

@@ -81,13 +81,84 @@ def bridge_pipeline(
 def fanout_foreach_batch(
     sinks: dict[str, list],
 ) -> Callable[[DataFrame, int], None]:
-    """R9 — one ingest query demuxed to N per-client buffers via
-    foreachBatch. ``sinks`` maps client_id → list collecting payloads (test
-    double for the per-connection socket writers)."""
+    """R9 (test double) — one ingest query demuxed to N per-client buffers
+    via foreachBatch. ``sinks`` maps client_id → list collecting payloads.
+
+    This variant collects every micro-batch to the driver so tests can
+    assert on in-memory buffers; it is NOT the scale path — at production
+    volume the driver would serialize every event. The deployable form is
+    :func:`fanout_foreach_partition`, which keeps payloads on the
+    executors."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         for row in batch.orderBy("ts", "payload").collect():  # R11 ordering
             sinks.setdefault(row.client_id, []).append(row.payload)
+
+    return handle
+
+
+def _write_fanout_chunks(base_dir: str, batch_id: int):
+    """Executor-side per-client writer for one micro-batch partition,
+    Arrow-batched: payloads arrive as pandas chunks (no per-row Python), and
+    each client's lines are joined and appended in one call. Stands in for
+    the reference's per-connection socket writers — a real deployment opens
+    one connection per client here (connection pool per executor) instead
+    of an append file. Module-level so the closure sent to ``mapInPandas``
+    pickles without dragging the DataFrame along."""
+
+    def write(chunks) -> Iterable[pd.DataFrame]:
+        import os
+
+        writers: dict[str, object] = {}
+        n = 0
+        try:
+            for pdf in chunks:  # chunk order == sorted partition order
+                # groupby(sort=False) keeps within-group row order, so ts
+                # ordering from sortWithinPartitions survives.
+                for client, grp in pdf.groupby("client_id", sort=False):
+                    w = writers.get(client)
+                    if w is None:
+                        d = os.path.join(base_dir, f"client_id={client}")
+                        os.makedirs(d, exist_ok=True)
+                        w = open(
+                            os.path.join(d, f"batch-{batch_id:09d}.ndjson"),
+                            "a",
+                            encoding="utf-8",
+                        )
+                        writers[client] = w
+                    w.write("\n".join(grp["payload"]) + "\n")
+                    n += len(grp)
+        finally:
+            for w in writers.values():
+                w.close()
+        yield pd.DataFrame({"n_written": [n]})
+
+    return write
+
+
+def fanout_foreach_partition(base_dir: str) -> Callable[[DataFrame, int], None]:
+    """R9 at scale — demux a micro-batch to per-client streams WITHOUT the
+    driver touching a single payload.
+
+    ``repartition(client_id)`` routes each client's rows to exactly one
+    task (hash partitioning; several clients may share a task, handled by
+    the per-partition writer map), ``sortWithinPartitions`` restores R11
+    per-client ordering inside the batch, and an Arrow-batched
+    ``mapInPandas`` writer runs on the executors. The driver only
+    coordinates micro-batches and collects one count row per partition, so
+    fan-out bandwidth scales with the executor count — the collect-based
+    double above is O(stream) on one node. Each (client, batch) produces
+    one append file named by batch id, so concatenating a client's files in
+    name order replays its stream in delivery order."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.repartition("client_id")
+            .sortWithinPartitions("client_id", "ts", "payload")
+            .select("client_id", "payload")
+            .mapInPandas(_write_fanout_chunks(base_dir, batch_id), "n_written long")
+            .collect()
+        )
 
     return handle
 
