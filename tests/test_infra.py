@@ -29,6 +29,25 @@ def test_parquet_sink_roundtrip(spark, sf_dir):
     shutil.rmtree(out, ignore_errors=True)
 
 
+def test_orc_sink_roundtrip(spark, sf_dir):
+    """X50 — ORC source/sink: write + re-read preserves rows and schema, and
+    a filtered re-read pushes the predicate into the ORC scan (same pushdown
+    contract as the parquet path)."""
+    out = tempfile.mkdtemp(prefix="tes_orc_")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == ev.count()
+    assert dict(back.dtypes) == dict(ev.dtypes)
+    filtered = back.filter(F.col("user_id") == 7)
+    assert filtered.count() == ev.filter(F.col("user_id") == 7).count()
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "user_id" in plan
+    shutil.rmtree(out, ignore_errors=True)
+
+
 def test_partitioned_write_lang_route(spark, sf_dir):
     """K10 INFRA — partitionBy('lang') write produces per-lang directories
     and partition pruning reads only the requested language."""

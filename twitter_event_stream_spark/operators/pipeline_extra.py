@@ -1,0 +1,275 @@
+"""X4x — second batch of pipeline-grade extensions: exact distinct via
+mergeable bitmaps, content-policy/PII scanning, winnowing document
+fingerprints, recursive CTEs, batch sessionization, and int8 embedding
+quantization.
+
+Scale notes per operator live in the docstrings; the common thread is that
+every one is built-in JVM expressions (no Python in the row path) and every
+aggregation is partial-aggregable, so the shuffles carry per-group partials
+only. Reference checkout is empty (SURVEY §0.1) — these extend the §2.3
+inventory as first-class training-data-pipeline operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (kept for parity with sibling modules)
+
+from twitter_event_stream_spark.registry import query
+from twitter_event_stream_spark.tables import table
+
+#: ASCII-only so Java regex (Spark) and RE2 (DuckDB) agree on every class.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_DIGIT_RUN_RE = "[0-9]{4,}"
+_DENYLIST_RE = r"\b(key|hash)\b"
+
+
+@query(
+    "q_bitmap_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X44 — EXACT distinct counting via mergeable bitmaps
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg):
+    ids are bucketed into fixed-width bitmap segments, each (group, bucket)
+    aggregates to one ≤4 KB bitmap, and the per-group count is the sum of
+    per-bucket popcounts. Unlike ``count(DISTINCT)`` (whose expand forces
+    every raw id through the shuffle) the shuffle carries one bitmap per
+    (partition × group × bucket) — the same mergeable-partial shape as the
+    HLL sketch (X33) but exact. The oracle states the same cardinality with
+    a plain distinct count."""
+    table(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_users
+        FROM (
+          SELECT event_type, bitmap_bucket_number(user_id) AS bkt,
+                 bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id))) AS cnt
+          FROM events GROUP BY 1, 2
+        )
+        GROUP BY event_type
+        """
+    )
+
+
+@query(
+    "q_policy_scan",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE len(regexp_extract_all(text, '{_EMAIL_RE}')) > 0)
+             AS docs_with_email,
+           CAST(sum(len(regexp_extract_all(text, '{_DIGIT_RUN_RE}'))) AS BIGINT)
+             AS n_long_digit_runs,
+           CAST(sum(len(regexp_extract_all(text, '{_DENYLIST_RE}'))) AS BIGINT)
+             AS n_denylist_hits
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_policy_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45 — content-policy / PII scan over the corpus: per language, how
+    many documents match an email pattern, how many long digit runs
+    (phone/ID-shaped PII) appear, and how many denylisted-term hits. The
+    email/digit patterns are legitimately zero on the synthetic fixture
+    (no digits in the text) — they still pin cross-engine regex parity —
+    while the denylist hits are non-zero so the hash is meaningful. One
+    scan, three regexp_count expressions, one partial-agg rollup: at
+    100 TB this is the standard safety-filter pass, embarrassingly
+    parallel, no shuffle beyond per-language partials."""
+    table(spark, sf_dir, "documents")
+    return spark.sql(
+        f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               count_if(regexp_count(text, '{_EMAIL_RE}') > 0) AS docs_with_email,
+               CAST(sum(regexp_count(text, '{_DIGIT_RUN_RE}')) AS BIGINT)
+                 AS n_long_digit_runs,
+               CAST(sum(regexp_count(text, '\\\\b(key|hash)\\\\b')) AS BIGINT)
+                 AS n_denylist_hits
+        FROM documents
+        GROUP BY lang
+        """
+    )
+
+
+@query(
+    "q_winnow_fingerprint",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, pos, CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) AS h,
+             length(text) - 3 AS n_grams
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 3)) AS pos,
+                   unnest(list_transform(range(1, length(text) - 2),
+                                         i -> substr(text, i, 4))) AS gram
+            FROM documents WHERE doc_id < 50) t
+    ), w AS (
+      SELECT doc_id, pos, n_grams,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+      FROM g
+    )
+    SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n_grams - 4
+    """,
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X46 — winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k=4 char-gram (md5-prefix
+    arithmetic, portable across engines), then keep the minimum hash of
+    every w=5 consecutive window. Guarantees any shared substring of
+    length ≥ k+w-1 shares a fingerprint — the position-robust exact-dup
+    detector that complements MinHash (set-similarity) and SimHash
+    (distribution-similarity). Per doc the work is local (explode + one
+    intra-doc window); the fingerprint set is what a pipeline would
+    inverted-index for O(shared-fp) candidate lookup at corpus scale.
+    Note Spark's ``posexplode`` is 0-based vs the oracle's 1-based
+    ``generate_series`` — pos is shifted to 1-based before the tail filter
+    so both engines drop the same clipped windows."""
+    table(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        WITH g AS (
+          SELECT doc_id, pos0 + 1 AS pos,
+                 CAST(conv(substr(md5(gram), 1, 8), 16, 10) AS BIGINT) AS h,
+                 length(text) - 3 AS n_grams
+          FROM (SELECT doc_id, text,
+                       posexplode(transform(sequence(1, length(text) - 3),
+                                            i -> substring(text, i, 4))) AS (pos0, gram)
+                FROM documents WHERE doc_id < 50)
+        ), w AS (
+          SELECT doc_id, pos, n_grams,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+          FROM g
+        )
+        SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n_grams - 4
+        """
+    )
+
+
+#: Identical text on both engines — recursion is ANSI WITH RECURSIVE.
+_RECURSIVE_SQL = """
+WITH RECURSIVE m(mon) AS (
+  SELECT 1 UNION ALL SELECT mon + 1 FROM m WHERE mon < 12
+)
+SELECT mon, count(o_orderkey) AS n_orders,
+       floor((coalesce(sum(o_totalprice), 0)) * 100 + 0.505) / 100 AS total
+FROM m LEFT JOIN orders ON month(o_orderdate) = mon
+GROUP BY mon
+"""
+
+
+@query("q_recursive_cte", oracle=_RECURSIVE_SQL)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47 — recursive CTE (Spark 4 ``WITH RECURSIVE``): a generated month
+    ladder LEFT-joined to orders so empty months survive with zero counts.
+    The recursion itself is tiny driver-side iteration; the point is the
+    engine executes ANSI recursive SQL natively — the oracle runs the
+    byte-identical statement. (CC clustering deliberately does NOT use
+    recursion: a transitive closure materializes O(cluster²) rows, while
+    the hash-min loop in operators/graph.py stays linear — recursion is
+    for hierarchies/ladders, not 100 TB graph connectivity.)"""
+    table(spark, sf_dir, "orders")
+    return spark.sql(_RECURSIVE_SQL)
+
+
+#: Gaps-and-islands sessionization. ``{INT30}`` is replaced per dialect
+#: (Spark: INTERVAL 30 MINUTES, DuckDB: INTERVAL 30 MINUTE); DuckDB also
+#: needs the TIMESTAMPTZ→TIMESTAMP cast on the raw column.
+_SESSIONIZE_SQL = """
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       + {INT30}
+              THEN 1 ELSE 0 END AS new_s
+  FROM {EVENTS}
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM t
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(ts) AS session_start, count(*) AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+
+@query(
+    "q_sessionize",
+    oracle=_SESSIONIZE_SQL.format(
+        INT30="INTERVAL 30 MINUTE",
+        EVENTS="(SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events) ev0",
+    ),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X48 — batch sessionization with explicit session IDs
+    (gaps-and-islands: lag → new-session flag → running sum), the batch
+    twin of I3's ``session_window`` aggregate that I3 cannot express —
+    session_window yields bounds, not joinable per-user session keys. The
+    ≥-gap convention matches session_window's half-open semantics (SURVEY
+    I3 note). Two window passes over the same (user_id, ts) sort — Spark
+    plans ONE exchange+sort reused by both windows, then a partial-agg
+    rollup; per-user state at 100 TB is the sort run, not materialized
+    sessions."""
+    table(spark, sf_dir, "events")
+    return spark.sql(
+        _SESSIONIZE_SQL.format(INT30="INTERVAL 30 MINUTES", EVENTS="events")
+    )
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), sc AS (
+      SELECT vec_id, e,
+             greatest(list_aggregate(list_transform(e, x -> abs(x)), 'max') / 127.0,
+                      1e-12) AS scale
+      FROM s
+    )
+    SELECT vec_id,
+           len(list_filter(e, x -> abs(floor(x / scale + 0.5)) >= 127)) AS n_sat,
+           floor((list_sum(list_transform(e,
+                    x -> pow(x - floor(x / scale + 0.5) * scale, 2))) / len(e))
+                 * 10000000000 + 0.505) / 10000000000 AS mse
+    FROM sc
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X49 — symmetric int8 embedding quantization (per-vector absmax
+    scaling, the storage/ANN-recall trade every vector store makes):
+    scale = absmax/127, codes = round(x/scale), reported as saturation
+    count and dequantization MSE per vector. All JVM higher-order
+    functions over the embedding array — elementwise chains evaluate in
+    identical IEEE order on both engines, so even the MSE hash-matches
+    (same discipline as H7's dot product). At 100 TB this is a mapper:
+    no shuffle at all."""
+    table(spark, sf_dir, "embeddings")
+    return spark.sql(
+        """
+        WITH s AS (
+          SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ), sc AS (
+          SELECT vec_id, e,
+                 greatest(array_max(transform(e, x -> abs(x))) / 127.0, 1e-12)
+                   AS scale
+          FROM s
+        )
+        SELECT vec_id,
+               size(filter(e, x -> abs(floor(x / scale + 0.5)) >= 127)) AS n_sat,
+               floor((aggregate(transform(e,
+                        x -> pow(x - floor(x / scale + 0.5) * scale, 2)),
+                        0D, (a, v) -> a + v) / size(e))
+                     * 10000000000 + 0.505) / 10000000000 AS mse
+        FROM sc
+        """
+    )

@@ -82,6 +82,7 @@ def _load_operator_modules() -> None:
         llm,
         llm_extra,
         multimodal,
+        pipeline_extra,
         sampling,
         scans,
         sets,
