@@ -224,6 +224,153 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Deterministic stratified sample: identical SQL up to the STRING/VARCHAR
+#: cast keyword. Hash-ranked row_number per stratum — membership is a pure
+#: function of the key (rerun/layout/cluster-size stable), the property
+#: random sampling loses the moment partitioning changes (cf. X32).
+_STRATIFIED_SQL = """
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS {STR})), doc_id) AS rn
+  FROM documents
+)
+SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_id
+FROM ranked WHERE rn <= 20 GROUP BY lang
+"""
+
+
+@query("q_stratified_sample", oracle=_STRATIFIED_SQL.format(STR="VARCHAR"))
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X51 — deterministic stratified sampling: exactly-N-per-stratum via
+    md5-hash ranking inside each language. Because the rank order is a pure
+    function of the keys, the sample is identical across reruns, engines,
+    and cluster layouts — the property a training-data pipeline needs for
+    reproducible eval subsets. One window per stratum (shuffle on lang) +
+    a partial-agg rollup; at 100 TB the WindowGroupLimit pushdown keeps
+    only ~N rows per stratum ahead of the final sort."""
+    table(spark, sf_dir, "documents")
+    return spark.sql(_STRATIFIED_SQL.format(STR="STRING"))
+
+
+_FEATURE_HASH_SQL = """
+SELECT doc_id, CAST({CONV} % 64 AS INT) AS bucket, count(*) AS cnt
+FROM (SELECT doc_id, {EXPL} AS token FROM documents WHERE doc_id < 20) t
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "q_feature_hash",
+    oracle=_FEATURE_HASH_SQL.format(
+        CONV="CAST(concat('0x', substr(md5(token), 1, 4)) AS BIGINT)",
+        EXPL="unnest(string_split(text, ' '))",
+    ),
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X52 — the hashing trick (Weinberger et al., ICML'09): tokens map to
+    a fixed 64-bucket feature space through an md5 prefix, giving bounded-
+    width sparse features with no vocabulary build — the standard way to
+    featurize unbounded token streams at corpus scale (no global dictionary
+    shuffle, fully map-side until the per-doc count rollup). md5-prefix
+    arithmetic is engine-portable, so bucket ids hash-match exactly."""
+    table(spark, sf_dir, "documents")
+    return spark.sql(
+        _FEATURE_HASH_SQL.format(
+            CONV="conv(substr(md5(token), 1, 4), 16, 10)",
+            EXPL="explode(split(text, ' '))",
+        )
+    )
+
+
+_BUCKETIZE_SQL = """
+WITH b AS (
+  SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bin
+  FROM events
+)
+SELECT bin, count(*) AS n,
+       floor((min(value)) * 100 + 0.505) / 100 AS lo,
+       floor((max(value)) * 100 + 0.505) / 100 AS hi
+FROM b GROUP BY bin
+"""
+
+
+@query("q_quantile_bucketize", oracle=_BUCKETIZE_SQL)
+def q_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X53 — equal-frequency discretization (decile binning via ntile with a
+    unique tiebreak, so bin membership is total-order deterministic): the
+    feature-engineering twin of X11's equal-width histogram. The single
+    global sort is the scale cost; the per-bin cutpoints this emits are
+    what a pipeline broadcasts to bucketize the full dataset without
+    re-sorting. Byte-identical SQL on both engines."""
+    table(spark, sf_dir, "events")
+    return spark.sql(_BUCKETIZE_SQL)
+
+
+_ZNORM_SQL = """
+WITH s AS (
+  SELECT event_id, event_type, value,
+         avg(value) OVER (PARTITION BY event_type) AS mu,
+         stddev_samp(value) OVER (PARTITION BY event_type) AS sd
+  FROM events
+)
+SELECT event_id, event_type,
+       floor(((value - mu) / sd) * 1000000 + 0.505) / 1000000 AS z
+FROM s WHERE event_id < 2000
+"""
+
+
+@query("q_znorm", oracle=_ZNORM_SQL)
+def q_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54 — per-group z-score normalization through unbounded window
+    aggregates (group stats joined back to every row without a self-join).
+    Catalyst plans one exchange on event_type shared by both window
+    functions. At 100 TB the same semantics would usually flip to the
+    two-pass broadcast form (tiny stats agg → broadcast join) to avoid
+    sorting the fact table — both shapes ship in this engine (cf.
+    q_scalar_subquery X3); this row pins the window form. Byte-identical
+    SQL on both engines; ulp drift collapsed by the shared rounding
+    formula."""
+    table(spark, sf_dir, "events")
+    return spark.sql(_ZNORM_SQL)
+
+
+_PROFILE_SQL = """
+SELECT col, CAST(n AS BIGINT) AS n, CAST(n_null AS BIGINT) AS n_null,
+       CAST(n_distinct AS BIGINT) AS n_distinct, min_s, max_s
+FROM (
+  SELECT 'o_orderkey' AS col, count(*) AS n, count_if(o_orderkey IS NULL) AS n_null,
+         count(DISTINCT o_orderkey) AS n_distinct,
+         CAST(min(o_orderkey) AS {STR}) AS min_s, CAST(max(o_orderkey) AS {STR}) AS max_s
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', count(*), count_if(o_orderstatus IS NULL),
+         count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', count(*), count_if(o_orderdate IS NULL),
+         count(DISTINCT o_orderdate),
+         CAST(CAST(min(o_orderdate) AS DATE) AS {STR}),
+         CAST(CAST(max(o_orderdate) AS DATE) AS {STR})
+  FROM orders
+) t
+"""
+
+
+@query("q_data_profile", oracle=_PROFILE_SQL.format(STR="VARCHAR"))
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55 — data-quality profiling: per-column row count, null count,
+    distinct count, and min/max rendered as strings (ints/strings/dates
+    only — double→string repr differs across engines and is banned by
+    convention C2). The long-format UNION ALL keeps one scan per column
+    family; Spark shares the cached scan across branches. This is the
+    pre-training sanity pass a pipeline runs before pointing 1000
+    executors at a new drop."""
+    table(spark, sf_dir, "orders")
+    return spark.sql(_PROFILE_SQL.format(STR="STRING"))
+
+
 @query(
     "q_embed_quantize",
     oracle="""
