@@ -268,3 +268,38 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_stratified_sample_group_limit(spark, sf_dir):
+    """X51: the per-stratum rank filter must trigger WindowGroupLimit so
+    only ~N rows per stratum survive ahead of the window sort, and the
+    window + rollup share a single exchange."""
+    plan = _plan(spark, sf_dir, "q_stratified_sample")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_znorm_single_exchange(spark, sf_dir):
+    """X54: both unbounded window aggregates (avg, stddev) must share one
+    exchange and one Window node — no per-function re-shuffle."""
+    plan = _plan(spark, sf_dir, "q_znorm")
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """X48: lag-window, running-sum window, AND the per-session rollup all
+    run on the one user_id exchange (hash(user_id) co-locates every
+    (user_id, session_id) group)."""
+    plan = _plan(spark, sf_dir, "q_sessionize")
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2  # partial→final rollup
+
+
+def test_bitmap_distinct_partial_agg(spark, sf_dir):
+    """X44: the bitmap build must be two-phase (map-side partial bitmaps
+    before the shuffle) — the whole point of the operator is that raw ids
+    never cross the wire."""
+    plan = _plan(spark, sf_dir, "q_bitmap_distinct")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial" in plan.lower()
