@@ -172,6 +172,10 @@ def main() -> None:
         "q_split_assign",
         "q_hll_partitioned",
         "q_theta_overlap",
+        "q_winnow_fingerprint",
+        "q_bitmap_distinct",
+        "q_sessionize",
+        "q_stratified_sample",
         "q_kll_quantiles",
     ):
         t = time.perf_counter()

@@ -48,6 +48,25 @@ def test_orc_sink_roundtrip(spark, sf_dir):
     shutil.rmtree(out, ignore_errors=True)
 
 
+def test_xml_decode_roundtrip(spark, sf_dir):
+    """X56 — XML wire-format decode (Spark 4 built-in to_xml/from_xml): the
+    XML twin of the NDJSON decode path (R2). Typed struct → XML string →
+    from_xml with an explicit schema must round-trip values exactly.
+    (Avro needs the external spark-avro jar — not deployable in this
+    container, documented env-gated like the Kafka source A6.)"""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    wire = ev.select(
+        F.to_xml(F.struct("event_id", "user_id", "event_type")).alias("x")
+    )
+    decoded = wire.select(
+        F.from_xml("x", "event_id LONG, user_id LONG, event_type STRING").alias("e")
+    ).select("e.*")
+    assert decoded.schema.simpleString() == ev.schema.simpleString()
+    got = {(r.event_id, r.user_id, r.event_type) for r in decoded.collect()}
+    want = {(r.event_id, r.user_id, r.event_type) for r in ev.collect()}
+    assert got == want
+
+
 def test_partitioned_write_lang_route(spark, sf_dir):
     """K10 INFRA — partitionBy('lang') write produces per-lang directories
     and partition pruning reads only the requested language."""
