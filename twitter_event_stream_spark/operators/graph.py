@@ -270,6 +270,7 @@ def pagerank(
     dst: str = "b",
     iterations: int = 15,
     damping: float = 0.85,
+    tol: float | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over an undirected edge list.
 
@@ -280,6 +281,19 @@ def pagerank(
     symmetrization means every node has out-degree ≥ 1, so no dangling-mass
     redistribution term is needed. Returns (node, rank) for nodes with ≥ 1
     edge; ranks over those nodes sum to ~1.
+
+    With ``tol`` set, iteration stops early once every node's rank moved
+    less than ``tol`` — the previous rank rides through the contribution
+    aggregate as ``max(old)`` (each node contributes it exactly once), so
+    the convergence read is a narrow ``isEmpty`` over the checkpointed
+    round result: ONE Spark action per round, same discipline as
+    :func:`connected_components`. With ``tol=None`` the exact fixed
+    iteration count runs on a leaner per-round plan (no old-rank union) —
+    the form the NumPy parity test pins, and what `q_pagerank_neardup`
+    uses: at damping 0.85 a 1e-6 L∞ tolerance needs ~50+ rounds (delta
+    shrinks as 0.85^t), so on this graph the fixed 15 is strictly cheaper
+    than converging — measured 18.5 s vs 3.9 s at sf0.01. ``tol`` exists
+    for graphs where ranking stability matters more than round count.
     """
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -291,19 +305,33 @@ def pagerank(
     adj = e.join(deg, "a").localCheckpoint()
     n = deg.count()
     ranks = deg.select(F.col("a").alias("node"), F.lit(1.0 / n).alias("rank"))
+    base = F.lit((1.0 - damping) / n)
     for _ in range(iterations):
         contrib = adj.join(
             ranks.withColumnRenamed("node", "a"), "a"
         ).select(F.col("b").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
-        ranks = (
-            contrib.groupBy("node")
-            .agg(F.sum("c").alias("s"))
-            .select(
-                "node",
-                (F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("s")).alias("rank"),
+        if tol is None:
+            ranks = (
+                contrib.groupBy("node")
+                .agg((base + F.lit(damping) * F.sum("c")).alias("rank"))
+                .localCheckpoint()
+            )
+            continue
+        merged = (
+            contrib.withColumn("old", F.lit(None).cast("double"))
+            .unionByName(
+                ranks.select("node", F.lit(0.0).alias("c"), F.col("rank").alias("old"))
+            )
+            .groupBy("node")
+            .agg(
+                (base + F.lit(damping) * F.sum("c")).alias("rank"),
+                F.max("old").alias("old"),
             )
             .localCheckpoint()
         )
+        ranks = merged.select("node", "rank")
+        if merged.filter(F.abs(F.col("rank") - F.col("old")) >= tol).isEmpty():
+            break
     return ranks
 
 

@@ -371,6 +371,56 @@ def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_PROFILE_SQL.format(STR="STRING"))
 
 
+#: Per-label centroid cosine matrix. ``pos`` never crosses engines (each
+#: side joins its own positions), so Spark's 0-based posexplode and the
+#: oracle's 1-based generate_series need no shift here. Centroid
+#: components are rounded to 9 dp BEFORE the pairwise products so parallel
+#: vs sequential summation drift cannot amplify through the dot product.
+_CENTROID_SQL = """
+WITH comp AS (
+  SELECT label, pos, v FROM ({EXPL}) t
+), cent AS (
+  SELECT label, pos, floor((avg(v)) * 1000000000 + 0.505) / 1000000000 AS c
+  FROM comp GROUP BY label, pos
+), pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum(a.c * b.c) AS dot,
+         sum(a.c * a.c) AS na, sum(b.c * b.c) AS nb
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+       floor((dot / (sqrt(na) * sqrt(nb))) * 1000000 + 0.505) / 1000000 AS cos_sim
+FROM pairs
+"""
+
+
+@query(
+    "q_embed_centroids",
+    oracle=_CENTROID_SQL.format(
+        EXPL="""SELECT label,
+      unnest(generate_series(1, len(embedding))) AS pos,
+      unnest(embedding::DOUBLE[]) AS v FROM embeddings"""
+    ),
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X57 — per-class embedding centroids and their pairwise cosine
+    matrix: the embedding-space health check a pipeline runs after
+    ingesting a labeled drop (collapsed classes → near-1 cosines; it is
+    also the spherical-kmeans update step). Long-format (label, pos)
+    partial aggregation — the centroid shuffle carries dims × classes
+    rows regardless of corpus size, and the pairwise join is over the
+    tiny centroid set only. Class count is bounded, so at 100 TB the
+    centroid agg is the only pass over the data."""
+    table(spark, sf_dir, "embeddings")
+    return spark.sql(
+        _CENTROID_SQL.format(
+            EXPL="SELECT label, posexplode(transform(embedding,"
+            " x -> CAST(x AS DOUBLE))) AS (pos, v) FROM embeddings"
+        )
+    )
+
+
 @query(
     "q_embed_quantize",
     oracle="""
