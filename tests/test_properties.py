@@ -117,3 +117,89 @@ def test_array_hof_dot_product_agrees(spark, vecs):
         f" {R(f'sqrt({duck_dot})', 6)} AS nrm FROM prop_t"
     )
     _compare(spark, pdf, spark_exprs, duck_sql)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.text(alphabet="abcdef ", min_size=20, max_size=60),
+    st.text(alphabet="abcdef ", min_size=20, max_size=60),
+    st.text(alphabet="abcdef ", min_size=8, max_size=12),
+)
+def test_winnowing_shared_substring_guarantee(spark, prefix_a, prefix_b, shared):
+    """X46 spec property (Schleimer et al. thm 1): two documents sharing a
+    substring of length ≥ k + w - 1 (= 8 for k=4, w=5) must share at least
+    one winnowing fingerprint. Exercised through the same SQL as the
+    contract query, on hypothesis-generated documents."""
+    docs = [(0, prefix_a + shared), (1, prefix_b + shared)]
+    spark.createDataFrame(docs, "doc_id long, text string").createOrReplaceTempView(
+        "documents"
+    )
+    try:
+        rows = spark.sql(
+            """
+            WITH g AS (
+              SELECT doc_id, pos0 + 1 AS pos,
+                     CAST(conv(substr(md5(gram), 1, 8), 16, 10) AS BIGINT) AS h,
+                     length(text) - 3 AS n_grams
+              FROM (SELECT doc_id, text,
+                           posexplode(transform(sequence(1, length(text) - 3),
+                                                i -> substring(text, i, 4))) AS (pos0, gram)
+                    FROM documents)
+            ), w AS (
+              SELECT doc_id, pos, n_grams,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+              FROM g
+            )
+            SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n_grams - 4
+            """
+        ).collect()
+    finally:
+        spark.catalog.dropTempView("documents")
+    fps = {0: set(), 1: set()}
+    for r in rows:
+        fps[r.doc_id].add(r.fp)
+    assert fps[0] & fps[1], "shared 8+ char substring must share a fingerprint"
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.floats(min_value=-100.0, max_value=100.0, allow_nan=False, width=32),
+        min_size=4,
+        max_size=16,
+    )
+)
+def test_quantize_error_bound(spark, vec):
+    """X49 spec property: symmetric absmax int8 quantization reconstructs
+    every component within scale/2 (half a quantization step), and no code
+    exceeds ±127 by more than the rounding of absmax itself."""
+    if max(abs(v) for v in vec) == 0.0:
+        vec[0] = 1.0
+    pdf = pd.DataFrame({"vec_id": [1], "embedding": [vec]})
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("prop_emb")
+    try:
+        row = spark.sql(
+            """
+            WITH s AS (
+              SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM prop_emb
+            ), sc AS (
+              SELECT vec_id, e,
+                     greatest(array_max(transform(e, x -> abs(x))) / 127.0, 1e-12)
+                       AS scale
+              FROM s
+            )
+            SELECT scale,
+                   array_max(transform(e,
+                     x -> abs(x - floor(x / scale + 0.5) * scale))) AS max_err,
+                   array_max(transform(e,
+                     x -> abs(floor(x / scale + 0.5)))) AS max_code
+            FROM sc
+            """
+        ).first()
+    finally:
+        spark.catalog.dropTempView("prop_emb")
+    assert row.max_err <= row.scale / 2 + 1e-12
+    assert row.max_code <= 128  # absmax rounds to at most 127.5 -> 128
