@@ -359,6 +359,25 @@ def test_observe_metrics(spark, sf_dir):
     assert abs(m["sum_value"] - ev.agg(F.sum("value")).collect()[0][0]) < 1e-6
 
 
+def test_explicit_cache_reuse(spark, sf_dir):
+    """X58 — explicit DataFrame caching: a persisted intermediate must plan
+    InMemoryTableScan for every downstream consumer (the manual counterpart
+    of the loader's view cache), and unpersist must release it."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 10).cache()
+    try:
+        n = li.count()  # materialize
+        agg = li.groupBy("l_returnflag").count()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        assert agg.count() > 0 and n > 0
+    finally:
+        li.unpersist()
+    plan_after = (
+        li.groupBy("l_returnflag").count()._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "InMemoryTableScan" not in plan_after
+
+
 def test_loader_cache_interleaves_scale_factors(spark):
     """tables.py caches per (session, sf_dir): interleaving two scale
     factors on ONE session must keep each dir's data distinct — a cache
