@@ -529,3 +529,58 @@ def test_udtf_table_argument_partition_by(spark, sf_dir):
         ).collect()
     )
     assert got == want
+
+
+def test_multimodal_frame_sample(spark, sf_dir):
+    """X59 — video frame-sampling plumbing: every payload yields exactly
+    n_frames rows with deterministic, in-order byte windows; the 1→N
+    explode inside mapInPandas is the shape a real ffmpeg sampler uses."""
+    from twitter_event_stream_spark.operators.multimodal import (
+        frame_sample,
+        with_payload,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    frames = frame_sample(with_payload(d), n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 30 * 4
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append((r.frame_idx, bytes(r.frame)))
+    texts = {r.doc_id: r.text for r in d.select("doc_id", "text").collect()}
+    for doc_id, fr in per_doc.items():
+        fr.sort()
+        assert [i for i, _ in fr] == [0, 1, 2, 3]
+        raw = texts[doc_id].encode()
+        step = max(1, len(raw) // 4)
+        assert fr[0][1] == raw[:step]  # first window is the payload head
+    # determinism across runs
+    again = {(r.doc_id, r.frame_idx): bytes(r.frame) for r in frames.collect()}
+    assert {(r.doc_id, r.frame_idx): bytes(r.frame) for r in rows} == again
+
+
+def test_multimodal_resize_contract(spark, sf_dir):
+    """X59 — image resize plumbing: transformed payloads have exactly
+    width*height bytes and metadata (n_bytes, digest) recomputed on the NEW
+    bytes; the real-decode seam raises NotImplementedError."""
+    import pytest as _pytest
+
+    from twitter_event_stream_spark.operators.multimodal import (
+        transform_media,
+        with_payload,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    out = transform_media(with_payload(d), width=8, height=8)
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(bytes(r.payload)) == 64
+        assert r.meta.n_bytes == 64
+        assert r.meta.mime == "image/thumb;8x8"
+    import hashlib as _hashlib
+
+    sample = rows[0]
+    assert sample.meta.digest == _hashlib.md5(bytes(sample.payload)).hexdigest()
+    with _pytest.raises(Exception):  # NotImplementedError crosses the Py4J boundary
+        transform_media(with_payload(d), real_decode=True).collect()

@@ -112,3 +112,77 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.digest").alias("digest"),
         F.col("meta.mime").alias("mime"),
     )
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame-sampling plumbing: one input payload row → ``n_frames``
+    output rows, Arrow-batched.
+
+    A real sampler seeks ``n_frames`` evenly spaced timestamps with ffmpeg;
+    the container has no codecs, so the deterministic stand-in slices the
+    payload into evenly spaced byte windows — which exercises everything
+    Spark-side that matters: the 1→N explode inside ``mapInPandas`` (output
+    batches are NOT 1:1 with input batches), the per-frame binary column,
+    and the (doc_id, frame_idx) schema a downstream per-frame featurizer
+    consumes. Narrow transformation — no shuffle at any scale."""
+
+    def sample(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_bytes = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(blob)
+                step = max(1, len(raw) // n_frames)
+                for i in range(n_frames):
+                    lo = min(i * step, max(0, len(raw) - 1))
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_bytes.append(raw[lo : lo + step])
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "frame": out_bytes}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        sample, "doc_id long, frame_idx int, frame binary"
+    )
+
+
+def transform_media(
+    media: DataFrame, width: int = 32, height: int = 32, real_decode: bool = False
+) -> DataFrame:
+    """Image resize/re-encode plumbing: payload in → transformed payload +
+    refreshed metadata out.
+
+    ``real_decode=True`` is the PIL seam (``NotImplementedError`` here);
+    the deterministic stand-in emits a pseudo-thumbnail of exactly
+    ``width*height`` bytes cycled from the source payload, so the contract
+    a real resize must satisfy — new binary column, updated (mime, n_bytes,
+    digest) metadata recomputed ON the transformed bytes — is pinned by
+    tests. Runs as a narrow Arrow-batched map; at 100 TB this is the
+    embarrassingly parallel stage between scan and feature extraction."""
+
+    def resize(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if real_decode:
+            raise NotImplementedError(
+                "image resize requires PIL/turbojpeg, absent in this container"
+            )
+        target = width * height
+        for pdf in batches:
+            thumbs = []
+            for blob in pdf["payload"]:
+                raw = bytes(blob) or b"\x00"
+                reps = (target // len(raw)) + 1
+                thumbs.append((raw * reps)[:target])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": thumbs})
+
+    out = media.select("doc_id", "payload").mapInPandas(
+        resize, "doc_id long, payload binary"
+    )
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit(f"image/thumb;{width}x{height}").alias("mime"),
+            F.length("payload").alias("n_bytes"),
+            F.md5("payload").alias("digest"),
+        ).alias("meta"),
+    )
