@@ -177,6 +177,10 @@ def main() -> None:
         "q_sessionize",
         "q_stratified_sample",
         "q_kll_quantiles",
+        "q_skew_profile",
+        "q_range_bucket_join",
+        "q_pack_sequences",
+        "q_ewma",
     ):
         t = time.perf_counter()
         registry.get(name).fn(spark, sf_dir).collect()

@@ -303,3 +303,30 @@ def test_bitmap_distinct_partial_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_bitmap_distinct")
     assert plan.count("HashAggregate") >= 2
     assert "partial" in plan.lower()
+
+
+def test_range_bucket_join_is_hash_join(spark, sf_dir):
+    """X61: the bucketed range join must plan an equi-join (hash or
+    sort-merge on (user_id, bucket)), never the BroadcastNestedLoopJoin an
+    unbounded time-range theta predicate alone would force."""
+    plan = _plan(spark, sf_dir, "q_range_bucket_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_skew_profile_no_global_sort(spark, sf_dir):
+    """X60: the top-10 heavy keys come from TakeOrderedAndProject over the
+    per-key counts — profiling a 100 TB key distribution must not globally
+    sort it."""
+    plan = _plan(spark, sf_dir, "q_skew_profile")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    """X62: the running-sum window and the per-sequence rollup share the
+    (lang, shard) exchange — packing is one shuffle end-to-end."""
+    plan = _plan(spark, sf_dir, "q_pack_sequences")
+    assert plan.count("Exchange") <= 2  # window exchange + final agg reuse
+    assert "Window" in plan

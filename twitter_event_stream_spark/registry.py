@@ -84,6 +84,7 @@ def _load_operator_modules() -> None:
         multimodal,
         pipeline_extra,
         sampling,
+        scale_ops,
         scans,
         sets,
         sorts,
