@@ -203,3 +203,77 @@ def test_quantize_error_bound(spark, vec):
         spark.catalog.dropTempView("prop_emb")
     assert row.max_err <= row.scale / 2 + 1e-12
     assert row.max_code <= 128  # absmax rounds to at most 127.5 -> 128
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False).map(
+            lambda v: round(v, 2)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_ewma_fold_matches_pandas(spark, values):
+    """X65: the HOF-fold EWMA equals pandas ewm(alpha, adjust=False) —
+    the textbook recursive definition — on arbitrary value sequences."""
+    import pandas as _pd
+    from pyspark.sql import functions as _F
+
+    pdf = _pd.DataFrame(
+        {"i": range(len(values)), "v": _pd.Series(values, dtype="float64")}
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        sdf.groupBy()
+        .agg(
+            _F.expr(
+                "aggregate(slice(array_sort(collect_list(struct(i, v))), 2,"
+                " size(collect_list(struct(i, v))) - 1),"
+                " element_at(array_sort(collect_list(struct(i, v))), 1).v,"
+                " (acc, s) -> 0.25 * s.v + 0.75 * acc)"
+            ).alias("ewma")
+        )
+        .collect()[0]["ewma"]
+    )
+    want = pdf["v"].ewm(alpha=0.25, adjust=False).mean().iloc[-1]
+    assert math.isclose(got, want, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False).map(
+            lambda v: round(v, 2)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_rolling_median_matches_pandas(spark, values):
+    """X68: the frame-collected order-statistic rolling median equals
+    pandas rolling(5, min_periods=1).median() on arbitrary sequences."""
+    import pandas as _pd
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    pdf = _pd.DataFrame(
+        {"i": range(len(values)), "v": _pd.Series(values, dtype="float64")}
+    )
+    sdf = spark.createDataFrame(pdf)
+    w = _W.orderBy("i").rowsBetween(-4, _W.currentRow)
+    vs = _F.array_sort(_F.collect_list("v").over(w))
+    n = _F.size(vs)
+    lo = _F.floor((n + 1) / 2).cast("int")
+    hi = (_F.floor(n / 2) + 1).cast("int")
+    got = {
+        r["i"]: r["m"]
+        for r in sdf.select(
+            "i",
+            ((_F.element_at(vs, lo) + _F.element_at(vs, hi)) / 2.0).alias("m"),
+        ).collect()
+    }
+    want = pdf["v"].rolling(5, min_periods=1).median()
+    for i in range(len(values)):
+        assert math.isclose(got[i], want.iloc[i], rel_tol=1e-9, abs_tol=1e-9)

@@ -88,6 +88,7 @@ def _load_operator_modules() -> None:
         scans,
         sets,
         sorts,
+        timeseries,
         udfs,
         windowed,
         windows,
