@@ -527,3 +527,29 @@ def test_stream_stream_left_outer_join(spark, sf_dir, chunk_dir):
     assert matched == bmatched
     assert nulls <= bnulls
     assert len(nulls) >= 0.9 * len(bnulls), (len(nulls), len(bnulls))
+
+
+def test_running_ewma_matches_batch_fold(spark, sf_dir, chunk_dir):
+    """I8/X65: streaming EWMA over an in-order replay must converge to the
+    batch q_ewma fold — same recursion, same order, same doubles (the batch
+    output is 6dp-rounded, hence the 1e-6 tolerance)."""
+    from twitter_event_stream_spark import registry
+    from twitter_event_stream_spark.streaming.pipelines import running_ewma
+
+    stream = replay_stream(spark, chunk_dir, files_per_trigger=5).filter(
+        F.col("user_id") < 20
+    )
+    rows = _drain(spark, running_ewma(stream), "t_ewma", output_mode="update")
+    final: dict[int, tuple] = {}
+    for r in rows:  # one row per (user, trigger); keep the last update
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            final[r.user_id] = (r.n_events, r.ewma)
+    batch = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in registry.get("q_ewma").fn(spark, sf_dir).collect()
+    }
+    assert set(final) == set(batch)
+    for uid, (n, e) in final.items():
+        assert batch[uid][0] == n
+        assert abs(batch[uid][1] - e) < 1e-6

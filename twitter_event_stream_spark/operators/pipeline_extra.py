@@ -470,3 +470,60 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sc
         """
     )
+
+
+@query(
+    "q_llm_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_transform(range(1, len(string_split(text, ' ')) - 1),
+                            i -> string_split(text, ' ')[i] || ' ' ||
+                                 string_split(text, ' ')[i + 1] || ' ' ||
+                                 string_split(text, ' ')[i + 2]) AS tri
+      FROM documents WHERE doc_id < 400
+    )
+    SELECT doc_id, lang,
+           CAST(len(tri) AS INT) AS n_trigrams,
+           CAST(len(tri) - len(list_distinct(tri)) AS INT) AS n_dup_trigrams,
+           floor(((len(tri) - len(list_distinct(tri)))
+                  / CAST(nullif(len(tri), 0) AS DOUBLE)) * 1000000 + 0.505)
+             / 1000000 AS dup_ratio
+    FROM t
+    """,
+)
+def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70 — repetition quality gate (the Gopher-rules signal): the fraction
+    of a document's word trigrams that are repeats. Degenerate generated or
+    boilerplate text repeats n-grams heavily; natural prose sits near zero.
+    Computed entirely with array HOFs per row — no explode, no shuffle at
+    all until the caller aggregates — so it composes into the curation
+    filter chain at zero distributed cost. Docs under 3 tokens emit a NULL
+    ratio (nullif guard, identical both engines). The trigram list is built
+    with an n>=3 CASE guard because Spark's `sequence(1, n)` turns
+    *descending* when n < 1 while DuckDB's `range` returns empty."""
+    tri = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN"
+        " transform(sequence(1, size(split(text, ' ')) - 2),"
+        "  i -> concat(element_at(split(text, ' '), i), ' ',"
+        "              element_at(split(text, ' '), i + 1), ' ',"
+        "              element_at(split(text, ' '), i + 2)))"
+        " ELSE array() END"
+    )
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    n_tri = F.size(F.col("tri"))
+    n_dup = n_tri - F.size(F.array_distinct("tri"))
+    from twitter_event_stream_spark.exprs import rnd
+
+    return (
+        d.withColumn("tri", tri)
+        .select(
+            "doc_id",
+            "lang",
+            n_tri.alias("n_trigrams"),
+            n_dup.alias("n_dup_trigrams"),
+            rnd(n_dup / F.nullif(n_tri, F.lit(0)).cast("double"), 6).alias(
+                "dup_ratio"
+            ),
+        )
+    )

@@ -201,6 +201,48 @@ def running_user_counters(events: DataFrame) -> DataFrame:
 
 
 
+def running_ewma(events: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """I8/X65 — streaming EWMA: the batch HOF fold (`q_ewma`,
+    operators/scale_ops.py) run incrementally. The state store holds one
+    (ewma, n) pair per key; each micro-batch sorts its rows into
+    (ts, event_id) order and continues the fold from the carried value —
+    the same IEEE op sequence as the batch `aggregate(...)`, so over an
+    in-order replay the final streamed value equals the batch result
+    bit-for-bit (asserted in tests). This is the batch/stream duality the
+    engine aims for: one smoothing definition, two execution modes, state
+    bounded at one double per key."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            cur, n = state.get
+            has = True
+        else:
+            cur, n, has = 0.0, 0, False
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            for v in batch["value"]:
+                if not has:
+                    cur, has = float(v), True
+                else:
+                    cur = alpha * float(v) + (1.0 - alpha) * cur
+                n += 1
+        state.update((cur, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma": [cur]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, ewma double",
+        stateStructType="ewma double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def user_counters_tws(events: DataFrame) -> DataFrame:
     """I8 (Spark-4 form) — the same per-user running counters as
     running_user_counters, on the transformWithState API: typed ValueState
