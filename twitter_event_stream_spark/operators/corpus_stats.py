@@ -100,7 +100,7 @@ def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              unnest(list_distinct(list_transform(range(1, length(text) - 1),
                                                  i -> substr(text, i, 3)))) AS shingle
-      FROM documents WHERE doc_id < 120
+      FROM documents WHERE doc_id < 120 AND length(text) >= 3
     ), sz AS (
       SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
     ), inter AS (
@@ -147,7 +147,12 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair compare is a broadcast-size join of two signature tables).
     Pairs below 20 shared shingles are skipped — the estimator isn't used
     at low overlap, and the floor keeps the audited set drift-stable."""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    d = table(spark, sf_dir, "documents").filter(
+        # Guard: Spark `sequence(1, len-2)` DESCENDS for len < 3 ([1, 0]),
+        # where DuckDB `range` yields empty — exclude sub-shingle texts on
+        # both sides (they produce no shingles either way).
+        (F.col("doc_id") < 120) & (F.length("text") >= 3)
+    )
     shingles = F.expr(
         "array_distinct(transform(sequence(1, length(text) - 2),"
         " i -> substring(text, i, 3)))"
