@@ -15,6 +15,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from twitter_event_stream_spark.streaming.pipelines import (
+    as_event_time,
     bridge_pipeline,
     decode_events,
     fanout_foreach_batch,
@@ -83,7 +84,9 @@ def test_stream_dedup_within_watermark(spark, sf_dir, late_chunk_dir):
     """I5: the late fixture re-emits ~1% of rows two chunks later (~6 days
     of event time); with a 15-day watermark the duplicates are inside the
     dedup state horizon and must all be removed."""
-    stream = replay_stream(spark, late_chunk_dir).withWatermark("ts", "15 days")
+    stream = as_event_time(replay_stream(spark, late_chunk_dir)).withWatermark(
+        "ts", "15 days"
+    )
     rows = _drain(
         spark,
         stream.dropDuplicatesWithinWatermark(["event_id"]).select("event_id"),
@@ -291,26 +294,26 @@ def test_stream_stream_interval_join(spark, sf_dir, chunk_dir):
     """I7 — watermark-bounded stream-stream join: clicks ⋈ purchases within
     5 minutes per user, both sides streaming. Result must equal the batch
     interval join (C10) over the same rows."""
-    clicks = (
+    clicks = as_event_time(
         replay_stream(spark, chunk_dir, files_per_trigger=3)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("c_user"),
             F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "1 hour")
-    )
-    purchases = (
+        ),
+        "c_ts",
+    ).withWatermark("c_ts", "1 hour")
+    purchases = as_event_time(
         replay_stream(spark, chunk_dir, files_per_trigger=3)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 hour")
-    )
+        ),
+        "p_ts",
+    ).withWatermark("p_ts", "1 hour")
     joined = clicks.join(
         purchases,
         (F.col("c_user") == F.col("p_user"))
@@ -483,16 +486,16 @@ def test_stream_stream_left_outer_join(spark, sf_dir, chunk_dir):
     from twitter_event_stream_spark.streaming.replay import run_available_now
 
     def side(et, prefix):
-        return (
+        return as_event_time(
             replay_stream(spark, chunk_dir, files_per_trigger=3)
             .filter(F.col("event_type") == et)
             .select(
                 F.col("event_id").alias(f"{prefix}_id"),
                 F.col("user_id").alias(f"{prefix}_user"),
                 F.col("ts").alias(f"{prefix}_ts"),
-            )
-            .withWatermark(f"{prefix}_ts", "10 minutes")
-        )
+            ),
+            f"{prefix}_ts",
+        ).withWatermark(f"{prefix}_ts", "10 minutes")
 
     j = side("click", "c").join(
         side("purchase", "p"),

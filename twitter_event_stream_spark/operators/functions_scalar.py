@@ -118,7 +118,7 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H4 — date parts, truncation, datediff, interval arithmetic.
     (`dayofweek` deliberately avoided: Spark 1=Sunday vs DuckDB 0=Sunday.)"""
     o = table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
     )
     return o.select(
         "o_orderkey",

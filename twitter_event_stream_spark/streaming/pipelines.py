@@ -21,11 +21,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-#: R2 — the wire schema of a raw JSON event line.
+#: R2 — the wire schema of a raw JSON event line. ``ts`` is TIMESTAMP_NTZ to
+#: match the batch fixture tables (the events parquet stores
+#: isAdjustedToUTC=false micros, which Spark reads as NTZ), so decoded
+#: streams union/join with batch tables without an implicit type coercion.
 WIRE_SCHEMA = (
-    "event_id long, ts timestamp, user_id long, event_type string, "
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
+
+
+def as_event_time(df: DataFrame, *cols: str) -> DataFrame:
+    """Cast NTZ timestamp columns to TIMESTAMP (LTZ) at the watermark
+    boundary.
+
+    Spark Structured Streaming hard-requires event-time columns to be
+    TIMESTAMP (``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE`` otherwise), while the
+    engine's wire/batch schema is TIMESTAMP_NTZ. The session time zone is
+    pinned to UTC (session.py), so this cast relabels the same instant —
+    values are bit-identical. Pipelines cast back to NTZ on their output
+    columns so stream results schema-match their batch analogs.
+    """
+    out = df
+    for c in cols or ("ts",):
+        out = out.withColumn(c, F.col(c).cast("timestamp"))
+    return out
 
 
 def decode_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
@@ -49,7 +69,7 @@ def bridge_pipeline(
     NDJSON payload column plus routing keys.
     """
     routed = (
-        events.withWatermark("ts", watermark)
+        as_event_time(events).withWatermark("ts", watermark)
         # R6 — redelivery dedup, state bounded by the watermark.
         .dropDuplicatesWithinWatermark(["event_id"])
         # R3 — event-type dispatch: keep the service event kinds, tag class.
@@ -74,7 +94,7 @@ def bridge_pipeline(
                 F.col("props").alias("meta"),
             )
         ).alias("payload"),
-        F.col("ts"),
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
     )
 
 
@@ -167,10 +187,13 @@ def windowed_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFra
     """I1+I4 — watermarked tumbling-window aggregation (streaming form of
     q_window_tumbling); late rows beyond the watermark are dropped."""
     return (
-        events.withWatermark("ts", watermark)
+        as_event_time(events).withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour"))
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("window.start").alias("bucket_ts"), "n_events")
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("bucket_ts"),
+            "n_events",
+        )
     )
 
 
@@ -291,11 +314,11 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
     (unlike fixed windows, a session's bounds move), and the watermark both
     finalizes sessions and bounds state."""
     return (
-        events.withWatermark("ts", watermark)
+        as_event_time(events).withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
-            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
             "user_id",
             "n_events",
         )

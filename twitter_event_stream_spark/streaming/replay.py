@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from twitter_event_stream_spark.tables import table
 
 EVENTS_SCHEMA = (
-    "event_id long, ts timestamp, user_id long, event_type string, "
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
