@@ -3,10 +3,13 @@
 Every query callable goes through :func:`load_tables`, which
 
 1. re-applies the runtime session conventions (UTC, nanosAsLong, AQE);
-2. reads each parquet table of the scale-factor directory;
-3. normalizes ``events.ts`` from INT64 nanoseconds to ``TimestampType``
-   microseconds (SURVEY §1.3(1)) using integer division (``ts DIV 1000``)
-   so no double-rounding can perturb the value;
+2. reads each parquet table of the scale-factor directory — the current
+   fixtures store every timestamp as µs NTZ (isAdjustedToUTC=false), which
+   Spark reads natively as ``TIMESTAMP_NTZ`` (SURVEY §1.3(1));
+3. keeps a guarded ns fallback: if a regenerated ``events.ts`` arrives as
+   INT64 nanoseconds (read as ``bigint`` under nanosAsLong), it is
+   normalized to µs with integer division (``ts DIV 1000``) so no
+   double-rounding can perturb the value — a no-op against current data;
 4. registers each table as a temp view under its canonical name.
 
 DataFrames are lazy, so loading is cheap; a small per-(session, dir) cache
@@ -51,8 +54,10 @@ _active_views: dict[int, str] = {}
 def _normalize_events(df: DataFrame) -> DataFrame:
     """INT64 ns → TimestampType µs, losslessly (data is µs-precision).
 
-    ``ts DIV 1000`` stays in integer arithmetic; a double division here
-    could round (ulp at 1.7e18 is 256 ns).
+    Dormant against current fixtures (µs NTZ → the ``bigint`` guard never
+    fires); kept for a ns-typed testdata regeneration. ``ts DIV 1000``
+    stays in integer arithmetic; a double division here could round (ulp
+    at 1.7e18 is 256 ns).
     """
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
