@@ -5,9 +5,10 @@ they hold even on a session the driver created for us):
 
 - ``spark.sql.session.timeZone=UTC`` — DuckDB TIMESTAMP is naive; with UTC
   pinned both engines yield identical naive datetimes (SURVEY §1.3(2)).
-- ``spark.sql.legacy.parquet.nanosAsLong=true`` — events.parquet stores ts as
-  INT64 TIMESTAMP(NANOS) which PySpark 4.1.2 otherwise refuses to read
-  (SURVEY §1.3(1)); the loader normalizes to TimestampType.
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — dormant fallback: current
+  fixtures store timestamps as µs NTZ (read natively), but a ns-typed
+  testdata regeneration would need this conf (SURVEY §1.3(1)); harmless
+  for µs data, and the loader's ns normalization guard never fires.
 - AQE on (coalesce partitions, skew-join split) — the 100 TB posture relies on
   runtime re-planning at shuffle boundaries (SURVEY §4.2).
 
@@ -28,6 +29,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # parallelismFirst=true (the default) keeps reducer count at the
+    # cluster parallelism even for KB-sized shuffles — pure tiny-task
+    # scheduler overhead locally, and a tiny-task storm at 100 TB where
+    # thousands of reducers each read a few KB. false lets AQE coalesce to
+    # the advisory partition size, which is what the advisory knob is for
+    # (measured: -23% on the bench query set at sf0.1).
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas-UDF / toPandas boundary (SURVEY §3.2 step 6).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
