@@ -1,0 +1,308 @@
+"""Corpus-curation pipeline operators (SURVEY §2.3 extensions, X85–X89):
+PII scrubbing, URL/domain blocklist filtering, token-budget data mixing,
+deterministic training order, and BM25 retrieval scoring.
+
+These are the remaining steps a production training-data pipeline runs
+between raw crawl and tokenizer that the engine did not yet name as
+first-class queries. Scale thread: every one is built from per-row
+expressions plus at most one shuffle — PII scrubbing and training order are
+embarrassingly parallel, domain filtering is a broadcast anti-join, data
+mixing is one window cumsum per source, and BM25 joins a broadcast
+3-term query profile against a per-(doc, term) partial aggregate. The
+reference checkout is empty (SURVEY §0.1); these extend the §2.3 surface.
+
+The documents fixture is synthetic prose without PII or URLs, so X85/X86
+first *derive* deterministic PII-bearing text / URL columns from doc_id —
+the regex and filter machinery is what's under test, and both engines
+derive identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from twitter_event_stream_spark.exprs import R, rnd
+from twitter_event_stream_spark.registry import query
+from twitter_event_stream_spark.tables import table
+
+#: RE2-and-Java-compatible redaction patterns (no lookaround, no \b).
+_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+_IPV4 = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+_PHONE = "\\+1-555-[0-9][0-9][0-9][0-9]"
+
+
+@query(
+    "q_pii_scrub",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@mail.example.com from 10.' || (doc_id % 200) || '.0.' ||
+             (doc_id % 256) || ' call +1-555-' || (1000 + doc_id % 9000)
+               AS full_text
+      FROM documents WHERE doc_id < 2000
+    ), s AS (
+      SELECT doc_id, full_text,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(full_text, '{_EMAIL}', '<EMAIL>', 'g'),
+                 '{_IPV4}', '<IP>', 'g'),
+               '{_PHONE}', '<PHONE>', 'g') AS scrubbed
+      FROM t
+    )
+    SELECT doc_id,
+           len(regexp_split_to_array(full_text, '{_EMAIL}')) - 1 AS n_emails,
+           len(regexp_split_to_array(
+                 regexp_replace(full_text, '{_EMAIL}', '<EMAIL>', 'g'),
+                 '{_IPV4}')) - 1 AS n_ips,
+           len(regexp_split_to_array(full_text, '{_PHONE}')) - 1 AS n_phones,
+           md5(scrubbed) AS scrub_md5
+    FROM s
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X85 — PII redaction: emails, IPv4 addresses, and phone numbers are
+    replaced by typed placeholders, with per-document redaction counts and
+    a digest of the scrubbed text. Pure per-row `regexp_replace` chains —
+    zero shuffle, the plan is one scan + project at any corpus size. The
+    patterns are written in the RE2 ∩ Java-regex dialect so the DuckDB
+    oracle runs the byte-identical regexes; IP counting runs after email
+    redaction so a dotted mail host is never double-counted."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    full = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@mail.example.com from 10."), F.col("doc_id") % 200,
+        F.lit(".0."), F.col("doc_id") % 256,
+        F.lit(" call +1-555-"), F.lit(1000) + F.col("doc_id") % 9000,
+    )
+    t = d.select("doc_id", full.alias("full_text"))
+    no_email = F.regexp_replace("full_text", _EMAIL, "<EMAIL>")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(no_email, _IPV4, "<IP>"), _PHONE, "<PHONE>"
+    )
+
+    def count(src, pat):
+        return F.size(F.split(src, pat)) - 1
+
+    return t.select(
+        "doc_id",
+        count(F.col("full_text"), _EMAIL).alias("n_emails"),
+        count(no_email, _IPV4).alias("n_ips"),
+        count(F.col("full_text"), _PHONE).alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_md5"),
+    )
+
+
+@query(
+    "q_domain_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             'https://' ||
+             ['docs.example.org', 'blog.example.net', 'spam.example.biz',
+              'mirror.example.io', 'ads.example.click'][doc_id % 5 + 1] ||
+             '/d/' || doc_id AS url
+      FROM documents WHERE doc_id < 2000
+    ), h AS (
+      SELECT doc_id, lang, url,
+             regexp_extract(url, 'https://([^/]+)/', 1) AS host
+      FROM t
+    )
+    SELECT doc_id, lang, host
+    FROM h
+    WHERE host NOT IN ('spam.example.biz', 'ads.example.click')
+    """,
+)
+def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X86 — URL/domain blocklist filtering: extract the host from each
+    document's source URL and drop blocklisted domains. The blocklist is a
+    broadcast anti-join (real blocklists are ~1e5 rows — always the small
+    side), so the fact table never shuffles; host extraction is a per-row
+    regexp. The oracle expresses the same filter as NOT IN."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    domains = F.array(
+        F.lit("docs.example.org"), F.lit("blog.example.net"),
+        F.lit("spam.example.biz"), F.lit("mirror.example.io"),
+        F.lit("ads.example.click"),
+    )
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit("https://"),
+            F.element_at(domains, (F.col("doc_id") % 5 + 1).cast("int")),
+            F.lit("/d/"), F.col("doc_id"),
+        ).alias("url"),
+    )
+    h = t.select(
+        "doc_id", "lang",
+        F.regexp_extract("url", "https://([^/]+)/", 1).alias("host"),
+    )
+    blocklist = spark.createDataFrame(
+        [("spam.example.biz",), ("ads.example.click",)], "host string"
+    )
+    return h.join(F.broadcast(blocklist), "host", "left_anti").select(
+        "doc_id", "lang", "host"
+    )
+
+
+@query(
+    "q_mix_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             md5(doc_id::VARCHAR) AS rk
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY rk
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 20000
+    """,
+)
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X87 — token-budget data mixing: within each language, documents are
+    drawn in hash order (md5 of doc_id — a deterministic, rerun-stable
+    permutation) and kept while the running token count stays within the
+    per-source budget. This is how a pipeline hits a target corpus mixture
+    (e.g. "20k tokens per language") reproducibly: one window cumsum per
+    source, one shuffle on the source key, no RNG state. At 100 TB the
+    window partitions by source — bounded count, each a parallel
+    partition."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 20000)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
+
+
+@query(
+    "q_train_order",
+    oracle="""
+    SELECT epoch, doc_id,
+           row_number() OVER (PARTITION BY epoch
+                              ORDER BY md5(epoch || ':' || doc_id)) AS pos
+    FROM documents, (SELECT unnest(['e1', 'e2']) AS epoch)
+    WHERE doc_id < 2000
+    """,
+)
+def q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X88 — deterministic training order: each epoch's global shuffle is
+    the rank of md5(epoch:doc_id), so any worker can recompute any
+    sample's position without coordination, and a rerun of epoch N yields
+    the identical permutation (the reproducibility property loaders built
+    on RNG state lose on restart). Epochs are independent permutations.
+    One row_number window per epoch; at scale the total order is consumed
+    range-partitioned (each reader takes a pos range)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    t = d.select(
+        "doc_id", F.explode(F.array(F.lit("e1"), F.lit("e2"))).alias("epoch")
+    )
+    w = Window.partitionBy("epoch").orderBy(
+        F.md5(F.concat(F.col("epoch"), F.lit(":"), F.col("doc_id")))
+    )
+    return t.select("epoch", "doc_id", F.row_number().over(w).alias("pos"))
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dlen) AS avg_len FROM dl
+    ), df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+    ), qterms AS (
+      SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 3
+    ), tf AS (
+      SELECT t.doc_id, t.tok, count(*) AS tf
+      FROM toks t JOIN qterms q ON q.tok = t.tok
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT tf.doc_id,
+             sum(ln((stats.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0) *
+                 (tf.tf * 2.2) /
+                 (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen / stats.avg_len)))
+               AS score
+      FROM tf
+      JOIN qterms q ON q.tok = tf.tok
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY 1
+    )
+    SELECT doc_id, score_r, rn FROM (
+      SELECT doc_id, {R('score', 6)} AS score_r,
+             row_number() OVER (ORDER BY {R('score', 6)} DESC, doc_id) AS rn
+      FROM scored
+    ) t WHERE rn <= 50
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X89 — BM25 (k1=1.2, b=0.75) retrieval scoring of the corpus against
+    its own 3 highest-df tokens (a self-contained query profile — in
+    production the terms come from the search query). Shape: one tokenize →
+    per-(doc, term) tf partial agg; document lengths and the 3-term
+    df/idf profile are tiny aggregates joined back as broadcasts, so the
+    only data-sized shuffles are the tf groupBy and the final top-50
+    TakeOrdered. Ranking is on the rounded score with a doc_id tiebreak
+    (C2/C9 conventions)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    # One (doc, term) partial aggregate feeds tf, doc lengths, AND document
+    # frequencies: the three consumers sit on the identical exchange, which
+    # the physical planner deduplicates (ReusedExchange) — the corpus is
+    # tokenized and shuffled once, everything downstream aggregates the
+    # already-tiny (doc, term) table.
+    base = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = base.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avg_len")
+    )
+    qterms = (
+        base.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "tok")
+        .limit(3)
+    )
+    tf = base.join(F.broadcast(qterms), "tok")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = idf * (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avg_len"))
+    )
+    scored = (
+        tf.join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    w = Window.orderBy(F.col("score_r").desc(), "doc_id")
+    return (
+        scored.select("doc_id", rnd("score", 6).alias("score_r"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+    )

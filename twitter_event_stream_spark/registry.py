@@ -75,6 +75,7 @@ def _load_operator_modules() -> None:
     from twitter_event_stream_spark.operators import (  # noqa: F401
         aggregates,
         corpus_stats,
+        curation_extra,
         eventflow,
         filters,
         graph,
