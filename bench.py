@@ -181,6 +181,11 @@ def main() -> None:
         "q_range_bucket_join",
         "q_pack_sequences",
         "q_ewma",
+        "q_pii_scrub",
+        "q_domain_filter",
+        "q_mix_sample",
+        "q_train_order",
+        "q_bm25",
     ):
         t = time.perf_counter()
         registry.get(name).fn(spark, sf_dir).collect()

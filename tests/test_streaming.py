@@ -556,3 +556,61 @@ def test_running_ewma_matches_batch_fold(spark, sf_dir, chunk_dir):
     for uid, (n, e) in final.items():
         assert batch[uid][0] == n
         assert abs(batch[uid][1] - e) < 1e-6
+
+
+def test_stream_stream_full_outer_join(spark, sf_dir, chunk_dir):
+    """I7 (full-outer form, X41 companion) — watermark-bounded FULL OUTER
+    stream-stream join: unmatched rows of BOTH sides must surface with
+    NULLs once the watermark expires their state. Matched pairs must equal
+    the batch join exactly; each side's null set is a subset of the
+    batch's unmatched rows (watermark-trailing rows held back), with ≥90%
+    emitted over the full replay."""
+
+    def side(et, prefix):
+        return as_event_time(
+            replay_stream(spark, chunk_dir, files_per_trigger=3)
+            .filter(F.col("event_type") == et)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            ),
+            f"{prefix}_ts",
+        ).withWatermark(f"{prefix}_ts", "10 minutes")
+
+    j = side("click", "c").join(
+        side("purchase", "p"),
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 5 MINUTES")),
+        "fullOuter",
+    ).select("c_id", "p_id")
+    rows = _drain(spark, j, "t_ss_fouter")
+    matched = {(r.c_id, r.p_id) for r in rows if r.c_id is not None and r.p_id is not None}
+    c_nulls = {r.c_id for r in rows if r.p_id is None}
+    p_nulls = {r.p_id for r in rows if r.c_id is None}
+
+    ev = table(spark, sf_dir, "events")
+    c = ev.filter("event_type='click'").select(
+        F.col("event_id").alias("c_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    p = ev.filter("event_type='purchase'").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("u2"),
+        F.col("ts").alias("p_ts"),
+    )
+    b = c.join(
+        p,
+        (c.user_id == F.col("u2"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 5 MINUTES")),
+        "full",
+    ).select("c_id", "p_id")
+    brows = b.collect()
+    bmatched = {(r.c_id, r.p_id) for r in brows if r.c_id is not None and r.p_id is not None}
+    bc_nulls = {r.c_id for r in brows if r.p_id is None}
+    bp_nulls = {r.p_id for r in brows if r.c_id is None}
+    assert matched == bmatched
+    assert c_nulls <= bc_nulls and p_nulls <= bp_nulls
+    assert len(c_nulls) >= 0.9 * len(bc_nulls), (len(c_nulls), len(bc_nulls))
+    assert len(p_nulls) >= 0.9 * len(bp_nulls), (len(p_nulls), len(bp_nulls))
