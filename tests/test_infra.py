@@ -584,3 +584,45 @@ def test_multimodal_resize_contract(spark, sf_dir):
     assert sample.meta.digest == _hashlib.md5(bytes(sample.payload)).hexdigest()
     with _pytest.raises(Exception):  # NotImplementedError crosses the Py4J boundary
         transform_media(with_payload(d), real_decode=True).collect()
+
+
+def test_compact_write_sizes_files(spark, sf_dir):
+    """Layout: the sized-file writer must (a) roundtrip the data exactly,
+    (b) produce a bounded file count — neither one giant file nor a spray
+    of tiny ones, (c) with partition_by, lay out Hive dirs with few files
+    per partition value."""
+    import glob
+    import os
+    import tempfile
+
+    from twitter_event_stream_spark.operators.layout import compact_write
+
+    d = table(spark, sf_dir, "documents")
+    n = d.count()
+
+    out = tempfile.mkdtemp(prefix="tes_compact_")
+    planned = compact_write(d, out, target_mb=1)
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert 1 <= len(files) <= max(planned, 32)
+    assert spark.read.parquet(out).count() == n
+
+    out2 = tempfile.mkdtemp(prefix="tes_compact_part_")
+    compact_write(d, out2, target_mb=1, partition_by=["lang"])
+    langs = {r.lang for r in d.select("lang").distinct().collect()}
+    dirs = {
+        p.split("=", 1)[1]
+        for p in os.listdir(out2)
+        if p.startswith("lang=")
+    }
+    assert dirs == {str(l) for l in langs}
+    back = spark.read.parquet(out2)
+    assert back.count() == n
+    # few files per partition dir (rows for one lang land in few tasks)
+    for p in os.listdir(out2):
+        if p.startswith("lang="):
+            pf = glob.glob(os.path.join(out2, p, "*.parquet"))
+            assert 1 <= len(pf) <= 8, (p, len(pf))
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(out2, ignore_errors=True)
