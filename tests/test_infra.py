@@ -626,3 +626,37 @@ def test_compact_write_sizes_files(spark, sf_dir):
 
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(out2, ignore_errors=True)
+
+
+def test_parquet_schema_evolution_merge(spark, sf_dir):
+    """A2 evolution posture: a long-lived 100 TB table accretes columns
+    over time; readers must union old and new file schemas
+    (mergeSchema) with NULL backfill, and a plain read pinned to the
+    newest schema must still project the old files. Writes two
+    generations of the documents table (gen2 adds a column, drops
+    another) and checks both read modes."""
+    import shutil
+    import tempfile
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out = tempfile.mkdtemp(prefix="tes_evolve_")
+    gen1 = d.filter(F.col("doc_id") % 2 == 0)
+    gen2 = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .withColumn("quality", (F.col("doc_id") % 100).cast("double"))
+        .drop("lang")
+    )
+    gen1.write.parquet(out + "/g=1")
+    gen2.write.parquet(out + "/g=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) >= {"doc_id", "text", "lang", "quality"}
+    assert merged.count() == d.count()
+    # old files surface the new column as NULL, new files the dropped one
+    assert merged.filter(F.col("quality").isNull()).count() == gen1.count()
+    assert merged.filter(F.col("lang").isNull()).count() == gen2.count()
+
+    # schema-pinned read: project the union schema over all files
+    pinned = spark.read.schema(merged.schema).parquet(out)
+    assert pinned.count() == d.count()
+    shutil.rmtree(out, ignore_errors=True)
