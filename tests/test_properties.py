@@ -327,3 +327,44 @@ def test_ann_recall_bounds_sf01():
     hits = sum(len(exact_top5(p, "euclid") & lsh.get(p, set())) for p in range(5))
     lsh_recall = hits / (5 * 5)
     assert lsh_recall >= 0.8, f"LSH recall@5 degraded: {lsh_recall:.2f}"
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="ab.@0-+ %_c", min_size=0, max_size=30), min_size=1, max_size=20
+    )
+)
+def test_pii_regex_dialect_agrees(spark, texts):
+    """X85 regex-dialect property: the PII patterns are written in the
+    RE2 ∩ Java subset, so `regexp_replace` must agree byte-for-byte
+    between Spark and DuckDB on adversarial text built from the PII
+    alphabet (dots, @, digits, +, -) — including degenerate near-matches
+    the fixture never produces."""
+    from twitter_event_stream_spark.operators.curation_extra import (
+        _EMAIL,
+        _IPV4,
+        _PHONE,
+    )
+
+    # Seed some true positives among the noise so replacement paths run.
+    seeded = [
+        t + s
+        for t, s in zip(
+            texts,
+            ["", " a1@b.co", " 1.2.3.4", " +1-555-0000", " x@y.zz 9.9.9.9"] * 4,
+        )
+    ]
+    pdf = pd.DataFrame({"s": pd.Series(seeded, dtype="object")})
+    # Spark SQL string literals process backslash escapes; DuckDB's don't.
+    se, si, sp = (p.replace("\\", "\\\\") for p in (_EMAIL, _IPV4, _PHONE))
+    spark_exprs = [
+        f"regexp_replace(regexp_replace(regexp_replace(s, '{se}', '<E>'),"
+        f" '{si}', '<I>'), '{sp}', '<P>') AS scrub",
+    ]
+    duck_sql = (
+        "SELECT regexp_replace(regexp_replace(regexp_replace(s,"
+        f" '{_EMAIL}', '<E>', 'g'), '{_IPV4}', '<I>', 'g'),"
+        f" '{_PHONE}', '<P>', 'g') AS scrub FROM prop_t"
+    )
+    _compare(spark, pdf, spark_exprs, duck_sql)
