@@ -1,6 +1,7 @@
-"""Corpus-curation pipeline operators (SURVEY §2.3 extensions, X85–X89):
+"""Corpus-curation pipeline operators (SURVEY §2.3 extensions, X85–X89, X92):
 PII scrubbing, URL/domain blocklist filtering, token-budget data mixing,
-deterministic training order, and BM25 retrieval scoring.
+deterministic training order, BM25 retrieval scoring, and corpus-wide
+paragraph-level dedup.
 
 These are the remaining steps a production training-data pipeline runs
 between raw crawl and tokenizer that the engine did not yet name as
@@ -305,4 +306,83 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("doc_id", rnd("score", 6).alias("score_r"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 50)
+    )
+
+
+@query(
+    "q_para_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, '. ') AS parts
+      FROM documents WHERE doc_id < 2000
+    ), p AS (
+      SELECT doc_id, unnest(parts) AS para,
+             generate_subscripts(parts, 1) AS pos
+      FROM d
+    ), r AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY md5(para)
+                                ORDER BY doc_id, pos) AS rn
+      FROM p
+    ), kept AS (
+      SELECT doc_id, pos, para FROM r WHERE rn = 1
+    ), rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(para, '. ' ORDER BY pos)) AS rebuilt_md5
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.parts) AS BIGINT) AS n_paras,
+           COALESCE(rebuilt.n_kept, 0) AS n_kept,
+           COALESCE(rebuilt.rebuilt_md5, md5('')) AS rebuilt_md5
+    FROM d t LEFT JOIN rebuilt ON rebuilt.doc_id = t.doc_id
+    """,
+)
+def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X92 — corpus-wide paragraph-level exact dedup (the C4/RefinedWeb
+    line-dedup pass): every paragraph keeps only its first occurrence in
+    (doc_id, pos) order across the WHOLE corpus; documents are reassembled
+    from their surviving paragraphs, reported as kept-count + digest.
+    Scale shape: paragraphs shuffle once, partitioned by md5(paragraph) —
+    content-hash partitioning, so identical paragraphs meet in one task no
+    matter how many documents or executors — then one per-doc regroup.
+    First-occurrence rank inside each hash cell is a WindowGroupLimit-style
+    rank-filter, never a global sort."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 2000)
+        .select("doc_id", F.split("text", "\\. ").alias("parts"))
+    )
+    p = d.select(
+        "doc_id", F.posexplode("parts").alias("pos0", "para")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "para")
+    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "pos")
+    kept = (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    ". ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                        lambda s: s["para"],
+                    ),
+                )
+            ).alias("rebuilt_md5"),
+        )
+    )
+    return (
+        d.select("doc_id", F.size("parts").cast("long").alias("n_paras"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("rebuilt_md5", F.md5(F.lit(""))).alias("rebuilt_md5"),
+        )
     )
