@@ -330,3 +330,24 @@ def test_pack_sequences_single_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_pack_sequences")
     assert plan.count("Exchange") <= 2  # window exchange + final agg reuse
     assert "Window" in plan
+
+
+def test_aqe_coalesces_small_shuffles(spark, sf_dir):
+    """Perf posture (round 4): coalescePartitions.parallelismFirst=false
+    must let AQE shrink KB-sized shuffles to the advisory partition size
+    instead of keeping one reducer per core — the tiny-task guard that
+    cut the sf0.1 bench ~23%. The final adaptive plan of a small groupBy
+    must read the shuffle with fewer partitions than the configured
+    shuffle partition count."""
+    from pyspark.sql import functions as F
+
+    from twitter_event_stream_spark import registry
+
+    assert (
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.parallelismFirst")
+        == "false"
+    )
+    df = registry.get("q_agg_basic").fn(spark, sf_dir)
+    df.collect()  # materialize so the adaptive plan is final
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead coalesced" in plan, plan[:2000]
