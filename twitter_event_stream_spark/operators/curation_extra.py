@@ -386,3 +386,81 @@ def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("rebuilt_md5", F.md5(F.lit(""))).alias("rebuilt_md5"),
         )
     )
+
+
+@query(
+    "q_bigram_lm",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 2000
+    ), b0 AS (
+      SELECT doc_id,
+             unnest(list_zip(w[1:len(w) - 1], w[2:len(w)])) AS bg
+      FROM d WHERE len(w) >= 2
+    ), b AS (
+      SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM b0
+    ), cnt2 AS (
+      SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2
+    ), cnt1 AS (
+      SELECT w1, count(*) AS c1 FROM b GROUP BY 1
+    ), v AS (
+      SELECT count(DISTINCT w2) AS vocab FROM b
+    ), p AS (
+      SELECT cnt2.w1, cnt2.w2,
+             ln((cnt2.c2 + 1.0) / (cnt1.c1 + v.vocab)) AS lp
+      FROM cnt2 JOIN cnt1 USING (w1) CROSS JOIN v
+    ), s AS (
+      SELECT b.doc_id, count(*) AS n_bigrams, avg(p.lp) AS avg_lp
+      FROM b JOIN p ON b.w1 = p.w1 AND b.w2 = p.w2
+      GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, {R('avg_lp', 6)} AS avg_logp
+    FROM s
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X93 — bigram language-model scoring with add-1 smoothing: each
+    document's mean log P(w2|w1) under the corpus MLE bigram model — the
+    sequence-structure upgrade of the unigram perplexity proxy
+    (`q_llm_unigram_logprob`): shuffled or boilerplate token streams score
+    low even when their unigram mix looks normal. Bigrams come from
+    zipping two slices of the token array — per-row HOFs, no self-join,
+    no positional shuffle; the model table is bounded by vocab² and joins
+    back as a broadcast, so the token stream shuffles exactly once (the
+    per-doc agg)."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 2000)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
+    )
+    n1 = F.size("w") - 1
+    b = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", 1, n1).alias("w1"),
+                F.slice("w", 2, n1).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    cnt2 = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cnt1 = b.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = b.agg(F.count_distinct("w2").alias("vocab"))
+    p = (
+        cnt2.join(cnt1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1", "w2",
+            F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vocab"))).alias("lp"),
+        )
+    )
+    return (
+        b.join(F.broadcast(p), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            rnd(F.avg("lp"), 6).alias("avg_logp"),
+        )
+    )
