@@ -660,3 +660,43 @@ def test_parquet_schema_evolution_merge(spark, sf_dir):
     pinned = spark.read.schema(merged.schema).parquet(out)
     assert pinned.count() == d.count()
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_multimodal_audio_chunks(spark, sf_dir):
+    """X59 (audio) — overlapping chunk segmentation plumbing: chunk k
+    starts at k*(chunk-overlap), adjacent chunks share exactly
+    overlap_bytes, offsets are recomputable from the stride arithmetic,
+    full payload coverage, deterministic across runs; the real-decode
+    seam raises."""
+    import pytest as _pytest
+
+    from twitter_event_stream_spark.operators.multimodal import (
+        audio_chunk,
+        with_payload,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    chunks = audio_chunk(with_payload(d), chunk_bytes=64, overlap_bytes=16)
+    rows = chunks.collect()
+    texts = {r.doc_id: r.text.encode() for r in d.select("doc_id", "text").collect()}
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.byte_off, bytes(r.chunk)))
+    assert set(per_doc) == set(texts)
+    for doc_id, cs in per_doc.items():
+        cs.sort()
+        raw = texts[doc_id]
+        assert [i for i, _, _ in cs] == list(range(len(cs)))
+        for i, off, blob in cs:
+            assert off == i * 48  # stride = chunk - overlap
+            assert blob == raw[off : off + 64]
+        # overlap: next chunk's head == previous chunk's tail
+        for (_, off1, b1), (_, off2, b2) in zip(cs, cs[1:]):
+            if len(b1) == 64:
+                assert b1[48:] == b2[:16]
+        # coverage: last chunk reaches payload end
+        assert cs[-1][1] + len(cs[-1][2]) == len(raw)
+    again = {(r.doc_id, r.chunk_idx): bytes(r.chunk) for r in chunks.collect()}
+    assert {(r.doc_id, r.chunk_idx): bytes(r.chunk) for r in rows} == again
+    with _pytest.raises(Exception):
+        audio_chunk(with_payload(d), real_decode=True).collect()

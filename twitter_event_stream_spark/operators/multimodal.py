@@ -186,3 +186,52 @@ def transform_media(
             F.md5("payload").alias("digest"),
         ).alias("meta"),
     )
+
+
+def audio_chunk(
+    media: DataFrame,
+    chunk_bytes: int = 4096,
+    overlap_bytes: int = 512,
+    real_decode: bool = False,
+) -> DataFrame:
+    """Audio segmentation plumbing: one payload row → N overlapping chunk
+    rows with per-chunk offsets — the third modality's 1→N seam beside
+    video ``frame_sample`` and image ``transform_media``.
+
+    A real segmenter decodes PCM and windows by duration (e.g. 30 s
+    Whisper windows with 1 s overlap); without codecs the deterministic
+    stand-in windows the raw bytes with the same stride arithmetic, which
+    pins everything Spark-side: the overlapping 1→N explode in
+    ``mapInPandas`` (chunk k starts at k·(chunk−overlap), so adjacent
+    chunks share ``overlap_bytes``), per-chunk (doc_id, chunk_idx,
+    byte_off) addressing for downstream ASR/featurizers, and chunk-level
+    metadata. Narrow transformation — no shuffle at any scale."""
+
+    def segment(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if real_decode:
+            raise NotImplementedError(
+                "audio decoding requires torchaudio/ffmpeg, absent in this "
+                "container"
+            )
+        stride = max(1, chunk_bytes - overlap_bytes)
+        for pdf in batches:
+            doc, idx, off, chunk = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(blob)
+                k = 0
+                for lo in range(0, max(1, len(raw)), stride):
+                    doc.append(doc_id)
+                    idx.append(k)
+                    off.append(lo)
+                    chunk.append(raw[lo : lo + chunk_bytes])
+                    k += 1
+                    if lo + chunk_bytes >= len(raw):
+                        break
+            yield pd.DataFrame(
+                {"doc_id": doc, "chunk_idx": idx, "byte_off": off,
+                 "chunk": chunk}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        segment, "doc_id long, chunk_idx int, byte_off long, chunk binary"
+    )
