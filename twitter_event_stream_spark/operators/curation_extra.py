@@ -464,3 +464,94 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.avg("lp"), 6).alias("avg_logp"),
         )
     )
+
+
+@query(
+    "q_text_normalize",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, length(text) AS n_chars_raw,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+               '  +', ' ', 'g')) AS norm
+      FROM documents WHERE doc_id < 2000
+    )
+    SELECT doc_id, n_chars_raw,
+           CAST(length(norm) AS BIGINT) AS n_chars_norm,
+           md5(norm) AS norm_md5
+    FROM n
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X95 — canonical text normalization (the pass every exact-dedup and
+    fingerprint stage assumes): lowercase, non-alphanumerics to spaces,
+    whitespace collapsed, trimmed — reported as before/after lengths plus
+    the normalized digest. Pure per-row expressions, zero shuffle; the
+    regexes live in the RE2 ∩ Java dialect so the oracle is
+    byte-identical."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]+", " "),
+            "  +", " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
+@query(
+    "q_k_anonymity",
+    oracle="""
+    SELECT lang, source, n_chars // 200 AS len_bucket,
+           count(*) AS k
+    FROM documents
+    GROUP BY 1, 2, 3
+    HAVING count(*) < 5
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X96 — k-anonymity risk scan over quasi-identifiers: groups of
+    documents sharing a (lang, source, length-bucket) combination with
+    fewer than k=5 members are re-identification risks a release pipeline
+    must suppress or generalize. One partial-aggregated groupBy on the
+    quasi-id tuple — the aggregated table is bounded by the quasi-id
+    domain, not the corpus; at 100 TB the HAVING filter runs on the
+    final agg, never the facts."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            "lang", "source",
+            F.expr("n_chars DIV 200").alias("len_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") < 5)
+    )
+
+
+@query(
+    "q_corpus_rollup",
+    oracle="""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY ROLLUP (lang, source)
+    """,
+)
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X97 — the dataset-card table: doc/token/char totals per (lang,
+    source), per lang, and grand total in one ROLLUP pass (partial
+    map-side aggregation; the rollup expansion happens on the tiny
+    aggregated table, so corpus rows shuffle once)."""
+    d = table(spark, sf_dir, "documents")
+    return d.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
