@@ -614,3 +614,38 @@ def test_stream_stream_full_outer_join(spark, sf_dir, chunk_dir):
     assert c_nulls <= bc_nulls and p_nulls <= bp_nulls
     assert len(c_nulls) >= 0.9 * len(bc_nulls), (len(c_nulls), len(bc_nulls))
     assert len(p_nulls) >= 0.9 * len(bp_nulls), (len(p_nulls), len(bp_nulls))
+
+
+def test_curation_stream_scrubs_and_dedups(spark, sf_dir, late_chunk_dir):
+    """X85/X95 streaming composition: the curation pipeline over a replay
+    with duplicate re-emissions must (a) dedup to the batch count under a
+    watermark covering the late window, (b) scrub injected PII so no raw
+    pattern survives, (c) emit batch-compatible NTZ event time."""
+    from twitter_event_stream_spark.operators.curation_extra import _EMAIL
+    from twitter_event_stream_spark.streaming.pipelines import curation_stream
+
+    raw = replay_stream(spark, late_chunk_dir, files_per_trigger=3).withColumn(
+        "props",
+        F.concat(
+            F.coalesce(F.col("props"), F.lit("")),
+            F.lit(" reach me at user"),
+            F.col("user_id"),
+            F.lit("@leak.example.com or 192.168.0."),
+            F.col("user_id") % 256,
+        ),
+    )
+    out = curation_stream(raw, watermark="15 days")
+    assert dict(out.dtypes)["ts"] == "timestamp_ntz"
+    rows = _drain(spark, out, "t_curation")
+    n_batch = table(spark, sf_dir, "events").count()
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids)) == n_batch, "dedup failed"
+    import re as _re
+
+    email_re = _re.compile(_EMAIL)
+    scrubbed_seen = 0
+    for r in rows:
+        assert email_re.search(r.props) is None, r.props
+        assert "192.168.0." not in r.props
+        scrubbed_seen += "<EMAIL>" in r.props
+    assert scrubbed_seen == len(rows), "every row carried injected PII"

@@ -323,3 +323,38 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
             "n_events",
         )
     )
+
+
+def curation_stream(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    min_payload_chars: int = 1,
+) -> DataFrame:
+    """Streaming corpus curation — the batch X85/X95 passes composed onto
+    the event stream: watermarked redelivery dedup, PII scrub of the
+    payload column (same RE2∩Java regexes as `q_pii_scrub`, so batch and
+    stream scrub identically), and a minimal quality gate. Everything
+    after the dedup is a narrow per-row transform, so the stage runs at
+    source parallelism on any cluster; output `ts` is cast back to NTZ to
+    schema-match the batch tables (see `as_event_time`)."""
+    from twitter_event_stream_spark.operators.curation_extra import (
+        _EMAIL,
+        _IPV4,
+        _PHONE,
+    )
+
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("props", _EMAIL, "<EMAIL>"), _IPV4, "<IP>"
+        ),
+        _PHONE,
+        "<PHONE>",
+    )
+    return (
+        as_event_time(events)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .withColumn("props", scrubbed)
+        .filter(F.length("props") >= min_payload_chars)
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    )
