@@ -351,3 +351,51 @@ def test_aqe_coalesces_small_shuffles(spark, sf_dir):
     df.collect()  # materialize so the adaptive plan is final
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead coalesced" in plan, plan[:2000]
+
+
+def test_domain_filter_anti_join_is_broadcast(spark, sf_dir):
+    """X86: the blocklist must build a broadcast anti-join — the fact side
+    never shuffles for a filter against a small list."""
+    from twitter_event_stream_spark import registry
+
+    plan = (
+        registry.get("q_domain_filter")
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1500]
+
+
+def test_para_dedup_rank_filter_is_group_limit(spark, sf_dir):
+    """X92: the first-occurrence rank filter must compile to a Partial
+    WindowGroupLimit — each map task keeps one row per paragraph hash
+    BEFORE the shuffle, which is the operator's skew defense (a paragraph
+    duplicated across the whole corpus ships ~one row per task, not all
+    copies into one reducer)."""
+    from twitter_event_stream_spark import registry
+
+    plan = (
+        registry.get("q_para_dedup")
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:1500]
+
+
+def test_mix_sample_single_exchange(spark, sf_dir):
+    """X87: the budgeted draw is ONE hash exchange on the source key — the
+    window cumsum and the budget filter must not add further shuffles."""
+    from twitter_event_stream_spark import registry
+
+    plan = (
+        registry.get("q_mix_sample")
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
