@@ -700,3 +700,29 @@ def test_multimodal_audio_chunks(spark, sf_dir):
     assert {(r.doc_id, r.chunk_idx): bytes(r.chunk) for r in rows} == again
     with _pytest.raises(Exception):
         audio_chunk(with_payload(d), real_decode=True).collect()
+
+
+def test_simhash_banded_pairs_exact_recall(spark, sf_dir):
+    """K-extra scale path: the banded SimHash join must return EXACTLY the
+    all-pairs result (pigeonhole guarantees recall, the verify filter
+    guarantees precision), and its plan must be a hash join on the band
+    keys — no cartesian/nested-loop product."""
+    from twitter_event_stream_spark import registry
+    from twitter_event_stream_spark.operators.llm_extra import (
+        simhash_banded_pairs,
+    )
+
+    sh = (
+        registry.get("q_llm_simhash")
+        .fn(spark, sf_dir)
+        .select("doc_id", "simhash32")
+    )
+    banded = simhash_banded_pairs(spark, sh)
+    got = {(r.a_id, r.b_id, r.hamming) for r in banded.collect()}
+    want = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in registry.get("q_llm_simhash_pairs").fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan[:1500]

@@ -89,8 +89,10 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-extra — SimHash near-dup candidate pairs (Hamming ≤ 6) over the
-    bounded doc window. At corpus scale this join is banded (group by
-    simhash prefix) instead of pairwise — documented blocking strategy."""
+    bounded doc window. This HASH form stays all-pairs for oracle
+    bit-parity; the deployable scale form is :func:`simhash_banded_pairs`
+    (pigeonhole-banded equi-join, exact same result — asserted in
+    tests/test_infra.py)."""
     table(spark, sf_dir, "documents")
     return spark.sql(
         f"""
@@ -581,4 +583,68 @@ def q_contamination_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_test_docs"),
         F.count("hit").alias("n_contaminated"),
+    )
+
+
+def simhash_banded_pairs(
+    spark: SparkSession,
+    sh: DataFrame,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    bits: int = 32,
+) -> DataFrame:
+    """Banded SimHash candidate join — the 100 TB form of
+    ``q_llm_simhash_pairs``'s all-pairs comparison.
+
+    Pigeonhole: two ``bits``-bit signatures within Hamming distance ``k``
+    differ in at most ``k`` bands, so with ``n_bands > k`` at least one
+    band matches EXACTLY. Explode each signature into its (band_id,
+    band_value) keys, equi-join on them, dedupe, then verify the full
+    Hamming distance — candidates per document are bounded by band-bucket
+    occupancy, never the corpus, and the join is a plain hash join Spark
+    shuffles by (band, value). Recall is exact (the pigeonhole bound is a
+    guarantee, not an approximation) as the equality test asserts.
+
+    ``sh`` must carry (doc_id, simhash32). With n_bands=8 over 32 bits,
+    each band is 4 bits; Hamming ≤ 6 < 8 bands ⇒ no candidate is missed.
+    """
+    if n_bands <= max_hamming:
+        raise ValueError("need n_bands > max_hamming for exact recall")
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = sh.select(
+        "doc_id",
+        "simhash32",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash32", b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("val"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "simhash32", F.col("bk.band").alias("band"),
+             F.col("bk.val").alias("val"))
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash32").alias("a_sh"),
+        "band", "val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash32").alias("b_sh"),
+        "band", "val",
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sh", "b_sh")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
     )
