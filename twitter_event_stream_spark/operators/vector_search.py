@@ -198,3 +198,77 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("probe_id", "cand_id", F.round("sim", 4).alias("sim"), "rn")
     )
+
+
+def embed_neardup_blocked(
+    spark: SparkSession,
+    vectors: DataFrame,
+    threshold: float = 0.3,
+    n_cells: int = 8,
+    n_probe_cells: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-cell-blocked embedding near-duplicate pairs — the deployable
+    scale form of the label-blocked ``q_llm_embed_neardup`` stand-in.
+
+    Same coarse quantizer as :func:`ivf_topk` (seeded Lloyd on a bounded
+    sample); every vector is REPLICATED into its ``n_probe_cells`` nearest
+    cells, pairs form per cell via an equi-join on the cell id, then the
+    exact cosine filter verifies. Multi-probe replication is the recall
+    lever: two vectors whose similarity straddles a cell boundary still
+    meet in one of their shared probe cells. Candidate volume is bounded
+    by cell occupancy × probe factor — never all-pairs — and the join is a
+    plain hash join on the cell key (engine test pins recall vs the exact
+    pair set and a cartesian-free plan)."""
+    n = vectors.count()
+    step = max(1, n // 2048)
+    train_pdf = (
+        vectors.select("vec_id", "embedding")
+        .filter(F.col("vec_id") % step == 0)
+        .toPandas()
+    )
+    X = np.asarray(train_pdf["embedding"].tolist(), dtype=np.float64)
+    c_mat = _lloyd(X, n_cells, seed)
+    bc = spark.sparkContext.broadcast(c_mat)
+
+    def probe_cells(batches):
+        cm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            d2 = ((mat[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+            cells = np.argsort(d2, axis=1)[:, :n_probe_cells]
+            out = pdf.loc[pdf.index.repeat(n_probe_cells)].copy()
+            out["cell"] = cells.ravel().astype("int32")
+            yield out[["vec_id", "embedding", "cell"]]
+
+    assigned = vectors.select("vec_id", "embedding").mapInPandas(
+        probe_cells, "vec_id long, embedding array<float>, cell int"
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("av"), "cell"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("bv"), "cell"
+    )
+    dot = F.expr(
+        "aggregate(zip_with(transform(av, x -> CAST(x AS DOUBLE)),"
+        " transform(bv, x -> CAST(x AS DOUBLE)), (x, y) -> x * y),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    nrm = lambda col: F.sqrt(  # noqa: E731
+        F.expr(
+            f"aggregate(zip_with(transform({col}, x -> CAST(x AS DOUBLE)),"
+            f" transform({col}, x -> CAST(x AS DOUBLE)), (x, y) -> x * y),"
+            " 0D, (acc, v) -> acc + v)"
+        )
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", (dot / (nrm("av") * nrm("bv"))).alias("sim"))
+        .distinct()
+        .filter(F.col("sim") >= threshold)
+        .select("a_id", "b_id", F.round("sim", 4).alias("sim"))
+    )
