@@ -772,10 +772,13 @@ def test_survey_counts_match_registry():
 
     from twitter_event_stream_spark import registry
 
+    import os
+
     n_queries = len(registry.all_queries())
     n_oracles = len(registry.all_oracles())
 
-    survey = open("SURVEY.md", encoding="utf-8").read()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    survey = open(os.path.join(repo, "SURVEY.md"), encoding="utf-8").read()
     m = re.search(
         r"the shipped surface is\s+(\d+) queries \((\d+) HASH", survey
     )
@@ -784,7 +787,7 @@ def test_survey_counts_match_registry():
         f"SURVEY says {m.groups()}, registry has {n_queries}/{n_oracles}"
     )
 
-    readme = open("README.md", encoding="utf-8").read()
+    readme = open(os.path.join(repo, "README.md"), encoding="utf-8").read()
     m = re.search(r"exposes \*\*(\d+) queries\*\* \((\d+) with", readme)
     assert m, "README contract sentence not found"
     assert (int(m.group(1)), int(m.group(2))) == (n_queries, n_oracles), (

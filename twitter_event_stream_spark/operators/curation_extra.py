@@ -265,8 +265,9 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X89 — BM25 (k1=1.2, b=0.75) retrieval scoring of the corpus against
     its own 3 highest-df tokens (a self-contained query profile — in
     production the terms come from the search query). Shape: one tokenize →
-    per-(doc, term) tf partial agg; document lengths and the 3-term
-    df/idf profile are tiny aggregates joined back as broadcasts, so the
+    per-(doc, term) tf partial agg; the 3-term df/idf profile and the
+    1-row corpus stats broadcast, while per-doc lengths (corpus-sized)
+    join tf on the doc_id partitioning both sides already share — so the
     only data-sized shuffles are the tf groupBy and the final top-50
     TakeOrdered. Ranking is on the rounded score with a doc_id tiebreak
     (C2/C9 conventions)."""
@@ -275,8 +276,9 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One (doc, term) partial aggregate feeds tf, doc lengths, AND document
     # frequencies: the three consumers sit on the identical exchange, which
     # the physical planner deduplicates (ReusedExchange) — the corpus is
-    # tokenized and shuffled once, everything downstream aggregates the
-    # already-tiny (doc, term) table.
+    # tokenized and shuffled once; the (doc, term) table is far smaller
+    # than the token stream but still corpus-sized, so tf/dl never get
+    # broadcast hints below.
     base = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dl = base.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
     stats = dl.agg(
@@ -295,8 +297,11 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     term_score = idf * (F.col("tf") * 2.2) / (
         F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avg_len"))
     )
+    # dl is corpus-sized (one row per document) — tf⋈dl must stay a shuffle
+    # join on doc_id (both sides already partition there from `base`, so no
+    # extra exchange); only the 3-term profile and the 1-row stats broadcast.
     scored = (
-        tf.join(F.broadcast(dl), "doc_id")
+        tf.join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(term_score).alias("score"))
@@ -426,9 +431,11 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`q_llm_unigram_logprob`): shuffled or boilerplate token streams score
     low even when their unigram mix looks normal. Bigrams come from
     zipping two slices of the token array — per-row HOFs, no self-join,
-    no positional shuffle; the model table is bounded by vocab² and joins
-    back as a broadcast, so the token stream shuffles exactly once (the
-    per-doc agg)."""
+    no positional shuffle. The model table has one row per *observed*
+    bigram — far smaller than the stream but corpus-vocabulary-sized, so
+    it joins back WITHOUT a broadcast hint (AQE broadcasts it when it
+    measures small, shuffles when a web-scale vocabulary makes it large);
+    only the 1-row vocab count is hint-broadcast."""
     d = (
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 2000)
@@ -457,7 +464,7 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        b.join(F.broadcast(p), ["w1", "w2"])
+        b.join(p, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

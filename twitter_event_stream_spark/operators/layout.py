@@ -96,6 +96,7 @@ def compact_write(
     target_mb: int = 128,
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
+    json_to_parquet_ratio: float = 4.0,
 ) -> int:
     """Write ``df`` as parquet in ~``target_mb``-sized files; returns the
     planned file count.
@@ -106,33 +107,41 @@ def compact_write(
     footer reads. The fix is sizing output files to the scan-optimal range
     (~128 MB-1 GB) at write time:
 
-    1. estimate bytes/row JVM-side — ``avg(length(to_json(struct(*))))``
-       over a deterministic ~1% sample (json overestimates parquet's
-       encoded size, which errs toward *larger* files after compression —
-       the right direction);
-    2. plan ``n_files = clamp(est_total / target, 1, current partitions)``
-       and ``repartition(n_files)`` — one round-robin exchange;
-    3. with ``partition_by``, repartition on the partition columns instead
-       (each Hive partition's rows land in few tasks → few files per dir)
-       and let ``maxRecordsPerFile`` (derived from the same estimate) cap
-       stragglers from skewed partitions.
+    1. ONE extra pass estimates row count and bytes/row together:
+       ``count(*)`` plus ``avg(length(to_json(struct(*))))`` over a
+       deterministic ~1%% hash sample of rows, in a single aggregate (no
+       separate count job, no full-sample second scan);
+    2. JSON text runs ~2-8x larger than encoded+compressed parquet, so the
+       raw estimate is divided by ``json_to_parquet_ratio`` (default 4) —
+       without the correction the writer plans 4-8x too many files and
+       recreates the small-files problem it exists to solve;
+    3. ``repartition(n_files)`` — one round-robin exchange — plus
+       ``maxRecordsPerFile`` (from the same corrected estimate) as the
+       straggler cap; with ``partition_by`` the repartition is on the
+       partition columns instead, so each Hive partition's rows land in
+       few tasks -> few files per directory.
     """
-    n = df.count()
+    est = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(
+            F.when(
+                F.abs(F.hash(*[F.col(c) for c in df.columns]) % 100) == 0,
+                F.length(F.to_json(F.struct(*df.columns))),
+            )
+        ).alias("b"),
+    ).collect()[0]
+    n = est["n"]
+    writer_base = df.write.mode(mode)
     if n == 0:
-        df.write.mode(mode).parquet(path)
+        if partition_by:
+            writer_base.partitionBy(*partition_by).parquet(path)
+        else:
+            writer_base.parquet(path)
         return 1
-    sample = df.sample(fraction=min(1.0, 10_000 / n), seed=42)
-    row_bytes = (
-        sample.agg(
-            F.avg(F.length(F.to_json(F.struct(*df.columns)))).alias("b")
-        ).collect()[0]["b"]
-        or 1.0
-    )
-    est_total = n * row_bytes
-    n_files = max(1, min(int(est_total // (target_mb * 1024 * 1024)) + 1,
-                         df.rdd.getNumPartitions()))
-    max_records = max(1, int(target_mb * 1024 * 1024 / row_bytes))
-    writer = None
+    row_bytes = max(1.0, (est["b"] or 1.0) / json_to_parquet_ratio)
+    target_bytes = target_mb * 1024 * 1024
+    n_files = max(1, int(n * row_bytes // target_bytes) + 1)
+    max_records = max(1, int(target_bytes / row_bytes))
     if partition_by:
         out = df.repartition(*[F.col(c) for c in partition_by])
         writer = (

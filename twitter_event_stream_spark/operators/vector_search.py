@@ -94,6 +94,67 @@ def _lloyd(X: np.ndarray, n_cells: int, seed: int, iters: int = 10) -> np.ndarra
     return centers
 
 
+def _train_quantizer(spark, vectors, n_cells: int, seed: int):
+    """Train the coarse quantizer on a bounded deterministic sample and
+    broadcast the centroid matrix (shared by ivf_topk and
+    embed_neardup_blocked)."""
+    n = vectors.count()  # parquet metadata count — no scan
+    step = max(1, n // 2048)
+    train_pdf = (
+        vectors.select("vec_id", "embedding")
+        .filter(F.col("vec_id") % step == 0)
+        .toPandas()
+    )
+    X = np.asarray(train_pdf["embedding"].tolist(), dtype=np.float64)
+    return spark.sparkContext.broadcast(_lloyd(X, n_cells, seed))
+
+
+def _cell_assign(df, bc, n_probe: int):
+    """Arrow-batched centroid assignment: each row lands in its ``n_probe``
+    nearest cells (1 → inverted-list assignment, >1 → multi-probe
+    replication). Clamps to the trained center count, so a degenerate
+    corpus (fewer sampled vectors than probe cells) degrades to fewer
+    probes instead of a length-mismatch crash."""
+
+    def run(batches):
+        cm = bc.value
+        k = min(n_probe, len(cm))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            d2 = ((mat[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+            if k == 1:
+                out = pdf[["vec_id", "embedding"]].copy()
+                out["cell"] = d2.argmin(axis=1).astype("int32")
+            else:
+                cells = np.argsort(d2, axis=1)[:, :k]
+                out = pdf.loc[pdf.index.repeat(k)].copy()
+                out["cell"] = cells.ravel().astype("int32")
+            yield out[["vec_id", "embedding", "cell"]]
+
+    return df.select("vec_id", "embedding").mapInPandas(
+        run, "vec_id long, embedding array<float>, cell int"
+    )
+
+
+def _cosine(a_col: str, b_col: str):
+    """JVM-side cosine between two array<float> columns (double-widened
+    HOF fold — the oracle-parity arithmetic, shared by the per-cell
+    verifies)."""
+
+    def dot(x, y):
+        return F.expr(
+            f"aggregate(zip_with(transform({x}, v -> CAST(v AS DOUBLE)),"
+            f" transform({y}, v -> CAST(v AS DOUBLE)), (v, w) -> v * w),"
+            " 0D, (acc, v) -> acc + v)"
+        )
+
+    return dot(a_col, b_col) / (
+        F.sqrt(dot(a_col, a_col)) * F.sqrt(dot(b_col, b_col))
+    )
+
+
 def ivf_topk(
     spark: SparkSession,
     vectors: DataFrame,
@@ -118,47 +179,9 @@ def ivf_topk(
     sample instead of a distributed ML fit cut the fixture-scale build
     from ~3.5 s to ~0.5 s with identical recall bounds.
     """
-    n = vectors.count()  # parquet metadata count — no scan
-    step = max(1, n // 2048)
-    train_pdf = (
-        vectors.select("vec_id", "embedding")
-        .filter(F.col("vec_id") % step == 0)
-        .toPandas()
-    )
-    X = np.asarray(train_pdf["embedding"].tolist(), dtype=np.float64)
-    c_mat = _lloyd(X, n_cells, seed)
-    bc = spark.sparkContext.broadcast(c_mat)
-
-    def assign(batches):
-        cm = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
-            d2 = ((mat[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
-            out = pdf[["vec_id", "embedding"]].copy()
-            out["cell"] = d2.argmin(axis=1).astype("int32")
-            yield out
-
-    assigned = vectors.select("vec_id", "embedding").mapInPandas(
-        assign, "vec_id long, embedding array<float>, cell int"
-    )
-
-    def shortlist(batches):
-        cm = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
-            d2 = ((mat[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
-            cells = np.argsort(d2, axis=1)[:, :n_probe_cells]
-            out = pdf.loc[pdf.index.repeat(n_probe_cells)].copy()
-            out["cell"] = cells.ravel()
-            yield out[["vec_id", "embedding", "cell"]]
-
-    probe_cells = probes.select("vec_id", "embedding").mapInPandas(
-        shortlist, "vec_id long, embedding array<float>, cell int"
-    )
+    bc = _train_quantizer(spark, vectors, n_cells, seed)
+    assigned = _cell_assign(vectors, bc, 1)
+    probe_cells = _cell_assign(probes, bc, n_probe_cells)
 
     # Per-cell brute force: join probes to their cells' candidates.
     p = probe_cells.select(
@@ -169,26 +192,10 @@ def ivf_topk(
     c = assigned.select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"), "cell"
     )
-    dot = F.expr(
-        "aggregate(zip_with(transform(pv, x -> CAST(x AS DOUBLE)),"
-        " transform(cv, x -> CAST(x AS DOUBLE)), (x, y) -> x * y),"
-        " 0D, (acc, v) -> acc + v)"
-    )
-    norm = lambda col: F.sqrt(  # noqa: E731
-        F.expr(
-            f"aggregate(zip_with(transform({col}, x -> CAST(x AS DOUBLE)),"
-            f" transform({col}, x -> CAST(x AS DOUBLE)), (x, y) -> x * y),"
-            " 0D, (acc, v) -> acc + v)"
-        )
-    )
     sims = (
         p.join(c, "cell")
         .filter(F.col("probe_id") != F.col("cand_id"))
-        .select(
-            "probe_id",
-            "cand_id",
-            (dot / (norm("pv") * norm("cv"))).alias("sim"),
-        )
+        .select("probe_id", "cand_id", _cosine("pv", "cv").alias("sim"))
     )
     from pyspark.sql import Window
 
@@ -220,55 +227,24 @@ def embed_neardup_blocked(
     by cell occupancy × probe factor — never all-pairs — and the join is a
     plain hash join on the cell key (engine test pins recall vs the exact
     pair set and a cartesian-free plan)."""
-    n = vectors.count()
-    step = max(1, n // 2048)
-    train_pdf = (
-        vectors.select("vec_id", "embedding")
-        .filter(F.col("vec_id") % step == 0)
-        .toPandas()
-    )
-    X = np.asarray(train_pdf["embedding"].tolist(), dtype=np.float64)
-    c_mat = _lloyd(X, n_cells, seed)
-    bc = spark.sparkContext.broadcast(c_mat)
-
-    def probe_cells(batches):
-        cm = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
-            d2 = ((mat[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
-            cells = np.argsort(d2, axis=1)[:, :n_probe_cells]
-            out = pdf.loc[pdf.index.repeat(n_probe_cells)].copy()
-            out["cell"] = cells.ravel().astype("int32")
-            yield out[["vec_id", "embedding", "cell"]]
-
-    assigned = vectors.select("vec_id", "embedding").mapInPandas(
-        probe_cells, "vec_id long, embedding array<float>, cell int"
-    )
+    bc = _train_quantizer(spark, vectors, n_cells, seed)
+    assigned = _cell_assign(vectors, bc, n_probe_cells)
     a = assigned.select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("av"), "cell"
     )
     b = assigned.select(
         F.col("vec_id").alias("b_id"), F.col("embedding").alias("bv"), "cell"
     )
-    dot = F.expr(
-        "aggregate(zip_with(transform(av, x -> CAST(x AS DOUBLE)),"
-        " transform(bv, x -> CAST(x AS DOUBLE)), (x, y) -> x * y),"
-        " 0D, (acc, v) -> acc + v)"
-    )
-    nrm = lambda col: F.sqrt(  # noqa: E731
-        F.expr(
-            f"aggregate(zip_with(transform({col}, x -> CAST(x AS DOUBLE)),"
-            f" transform({col}, x -> CAST(x AS DOUBLE)), (x, y) -> x * y),"
-            " 0D, (acc, v) -> acc + v)"
-        )
-    )
-    return (
+    # Dedupe pairs BEFORE the O(dim) cosine: a pair sharing several probe
+    # cells produces one verify, not one per co-membership, and the dedup
+    # key is the id pair — never a recomputed float.
+    cand = (
         a.join(b, "cell")
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", (dot / (nrm("av") * nrm("bv"))).alias("sim"))
-        .distinct()
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return (
+        cand.select("a_id", "b_id", _cosine("av", "bv").alias("sim"))
         .filter(F.col("sim") >= threshold)
         .select("a_id", "b_id", F.round("sim", 4).alias("sim"))
     )

@@ -343,9 +343,16 @@ def curation_stream(
         _PHONE,
     )
 
+    # NULL-safe: a NULL payload normalizes to '' BEFORE scrub/gate, so the
+    # quality gate decides its fate (min_payload_chars=0 keeps it) instead
+    # of a three-valued NULL >= n predicate silently dropping it.
     scrubbed = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace("props", _EMAIL, "<EMAIL>"), _IPV4, "<IP>"
+            F.regexp_replace(
+                F.coalesce(F.col("props"), F.lit("")), _EMAIL, "<EMAIL>"
+            ),
+            _IPV4,
+            "<IP>",
         ),
         _PHONE,
         "<PHONE>",
