@@ -361,3 +361,73 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = neardup_pairs(spark, sf_dir)
     pr = pagerank(edges.select(F.col("a_id").alias("a"), F.col("b_id").alias("b")))
     return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+@query(
+    "q_dedup_cluster_stats",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, length(text) - 1),
+                                                 i -> substr(text, i, 3)))) AS shingle
+      FROM documents WHERE doc_id < 200
+    ), sig AS (
+      SELECT doc_id, band,
+             min(substr(md5(shingle || '#' || CAST(band AS VARCHAR)), 1, 16)) AS sig
+      FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band) b
+      GROUP BY doc_id, band
+    ), pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+                           AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 7
+    ), e AS (
+      SELECT a_id AS a, b_id AS b FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ), reach(src, dst) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+    ), labels AS (
+      SELECT src AS node, least(src, min(dst)) AS label FROM reach GROUP BY src
+    ), clustered AS (
+      SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+      WHERE d.doc_id < 200
+    ), sizes AS (
+      SELECT cluster_id, count(*) AS cluster_size
+      FROM clustered GROUP BY cluster_id
+    )
+    SELECT cluster_size,
+           count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+           CAST(cluster_size * count(*) - count(*) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X101 — dedup cluster-size distribution: for each near-dup cluster
+    size, how many clusters, how many documents they hold, and how many a
+    keep-one-canonical policy removes — the report a pipeline reads before
+    committing a dedup pass (a fat head of large clusters usually means
+    boilerplate, not true duplicates). Reuses the per-session cached CC
+    labels (`neardup_labels`), so the marginal cost over the clustering
+    itself is two aggregations of a doc-count-sized table."""
+    labels = neardup_labels(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    clustered = d.join(
+        F.broadcast(labels.select(F.col("node").alias("doc_id"), "label")),
+        "doc_id",
+        "left",
+    ).select(F.coalesce("label", "doc_id").alias("cluster_id"))
+    sizes = clustered.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+        (F.col("cluster_size") * F.count(F.lit(1)) - F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_removable"),
+    )
