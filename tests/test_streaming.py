@@ -649,3 +649,33 @@ def test_curation_stream_scrubs_and_dedups(spark, sf_dir, late_chunk_dir):
         assert "192.168.0." not in r.props
         scrubbed_seen += "<EMAIL>" in r.props
     assert scrubbed_seen == len(rows), "every row carried injected PII"
+
+
+def test_curation_stream_keeps_null_props(spark, sf_dir, chunk_dir):
+    """Regression (round-4 review): a NULL payload must normalize to ''
+    and pass a disabled quality gate (min_payload_chars=0) instead of
+    being dropped by a three-valued NULL >= 0 predicate; with a positive
+    gate the same rows are dropped BY THE GATE, observably."""
+    from twitter_event_stream_spark.streaming.pipelines import curation_stream
+
+    raw = replay_stream(spark, chunk_dir, files_per_trigger=5).withColumn(
+        "props",
+        F.when(F.col("event_id") % 10 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("props")
+        ),
+    )
+    kept = _drain(
+        spark, curation_stream(raw, watermark="15 days", min_payload_chars=0),
+        "t_cur_null0",
+    )
+    n_all = table(spark, sf_dir, "events").count()
+    assert len(kept) == n_all, "NULL-props rows were dropped with the gate off"
+    nullish = [r for r in kept if r.event_id % 10 == 0]
+    assert nullish and all(r.props == "" for r in nullish)
+
+    gated = _drain(
+        spark, curation_stream(raw, watermark="15 days", min_payload_chars=1),
+        "t_cur_null1",
+    )
+    n_null = table(spark, sf_dir, "events").filter("event_id % 10 = 0").count()
+    assert len(gated) == n_all - n_null, "gate should drop exactly the empty payloads"
