@@ -368,3 +368,49 @@ def test_pii_regex_dialect_agrees(spark, texts):
         f" '{_PHONE}', '<P>', 'g') AS scrub FROM prop_t"
     )
     _compare(spark, pdf, spark_exprs, duck_sql)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_para_dedup_matches_reference_model(spark, doc_paras):
+    """X92 property: on corpora drawn from a 4-paragraph alphabet (forcing
+    heavy cross-document duplication), the distributed first-occurrence
+    dedup must match a sequential Python reference model exactly — kept
+    counts AND the digest of every reassembled document."""
+    import hashlib
+
+    from twitter_event_stream_spark.operators.curation_extra import para_dedup
+
+    texts = [". ".join(ps) for ps in doc_paras]
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": pd.Series(texts, dtype="object")}
+    )
+    got = {
+        r.doc_id: (r.n_paras, r.n_kept, r.rebuilt_md5)
+        for r in para_dedup(spark.createDataFrame(pdf)).collect()
+    }
+
+    seen: set = set()
+    for doc_id, text in enumerate(texts):
+        parts = text.split(". ")
+        kept = []
+        for para in parts:
+            if para not in seen:
+                seen.add(para)
+                kept.append(para)
+        want = (
+            len(parts),
+            len(kept),
+            hashlib.md5(". ".join(kept).encode()).hexdigest(),
+        )
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)

@@ -352,11 +352,14 @@ def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     matter how many documents or executors — then one per-doc regroup.
     First-occurrence rank inside each hash cell is a WindowGroupLimit-style
     rank-filter, never a global sort."""
-    d = (
-        table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 2000)
-        .select("doc_id", F.split("text", "\\. ").alias("parts"))
-    )
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return para_dedup(docs)
+
+
+def para_dedup(docs: DataFrame) -> DataFrame:
+    """Core of X92 over any (doc_id, text) DataFrame — split out so the
+    property suite can run it on adversarial synthetic corpora."""
+    d = docs.select("doc_id", F.split("text", "\\. ").alias("parts"))
     p = d.select(
         "doc_id", F.posexplode("parts").alias("pos0", "para")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "para")
