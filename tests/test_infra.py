@@ -448,18 +448,19 @@ def test_theta_overlap_estimates_within_bound(spark, sf_dir):
 
 def test_kll_merged_quantiles_within_bound(spark, sf_dir):
     """Per-shard KLL sketches folded into one must reproduce exact
-    percentiles within rank error (value-space slack 10%)."""
+    percentiles within KLL's actual guarantee — RANK error, not value
+    error: the exact rank of each estimated quantile value must sit within
+    2% of the target rank. (Value-space slack is the wrong metric on a
+    thin tail, and sketch compaction is randomized, so a value-space bound
+    flakes with partition-layout changes.)"""
     from twitter_event_stream_spark import registry
 
     est = registry.get("q_kll_quantiles").fn(spark, sf_dir).first()
     ev = table(spark, sf_dir, "events")
-    exact = ev.agg(
-        F.percentile("value", 0.5).alias("p50"),
-        F.percentile("value", 0.9).alias("p90"),
-        F.percentile("value", 0.99).alias("p99"),
-    ).first()
-    for q in ["p50", "p90", "p99"]:
-        assert abs(est[q] - exact[q]) <= 0.10 * max(abs(exact[q]), 1.0), (q, est[q], exact[q])
+    n = ev.count()
+    for q, target in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]:
+        rank = ev.filter(F.col("value") <= F.lit(est[q])).count() / n
+        assert abs(rank - target) <= 0.02, (q, est[q], rank, target)
 
 
 def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
