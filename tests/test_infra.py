@@ -701,6 +701,16 @@ def test_multimodal_audio_chunks(spark, sf_dir):
     assert {(r.doc_id, r.chunk_idx): bytes(r.chunk) for r in rows} == again
     with _pytest.raises(Exception):
         audio_chunk(with_payload(d), real_decode=True).collect()
+    # >=1-chunk-per-payload contract: an EMPTY payload still emits exactly
+    # one zero-length chunk at offset 0 (no doc_id silently disappears).
+    empty = spark.createDataFrame(
+        [(1, b""), (2, b"abc")], "doc_id long, payload binary"
+    )
+    erows = sorted(
+        (r.doc_id, r.chunk_idx, r.byte_off, bytes(r.chunk))
+        for r in audio_chunk(empty, chunk_bytes=64, overlap_bytes=16).collect()
+    )
+    assert erows == [(1, 0, 0, b""), (2, 0, 0, b"abc")]
 
 
 def test_simhash_banded_pairs_exact_recall(spark, sf_dir):

@@ -386,9 +386,15 @@ def test_para_dedup_rank_filter_is_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:1500]
 
 
-def test_mix_sample_single_exchange(spark, sf_dir):
+def test_mix_sample_single_exchange_and_group_limit(spark, sf_dir):
     """X87: the budgeted draw is ONE hash exchange on the source key — the
-    window cumsum and the budget filter must not add further shuffles."""
+    rank prune, the window cumsum and the budget filter must not add further
+    shuffles — and the rank<=ceil(budget/min_tokens) pre-prune must compile
+    to a Partial (map-side) WindowGroupLimit, which is what bounds each
+    language's cumsum partition by the budget instead of the corpus size
+    (the r4 scale-weak fix; needs spark.sql.optimizer.
+    windowGroupLimitThreshold raised past the ~2k bound, pinned in
+    session.RUNTIME_CONFS)."""
     from twitter_event_stream_spark import registry
 
     plan = (
@@ -399,6 +405,36 @@ def test_mix_sample_single_exchange(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:1500]
+
+
+def test_bm25_top50_is_take_ordered(spark, sf_dir):
+    """X89: the final top-50 must plan TakeOrderedAndProject — the rank
+    column is recomputed over the <=50 surviving rows, so no corpus-sized
+    single-partition window sort exists in the plan."""
+    assert "TakeOrderedAndProject" in _plan(spark, sf_dir, "q_bm25")
+
+
+def test_train_order_two_pass_rank_no_single_task_window(spark, sf_dir):
+    """X88: the global per-epoch training order must be the two-pass
+    range-partitioned rank, not a per-epoch row_number window (which would
+    funnel the whole corpus through n_epochs reducers). Pinned shape:
+    a range exchange on (epoch, sort key); the big-side row_number window
+    partitioned by (partition id, epoch) — bounded groups, parallel — and
+    the tiny per-partition offsets joined back by BROADCAST hash join."""
+    from twitter_event_stream_spark import registry
+
+    plan = (
+        registry.get("q_train_order")
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange rangepartitioning" in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    rn_lines = [l for l in plan.splitlines() if "row_number()" in l]
+    assert rn_lines and all("pid" in l for l in rn_lines), rn_lines
 
 
 def test_no_unexpected_cartesian_or_bnlj(spark, sf_dir):

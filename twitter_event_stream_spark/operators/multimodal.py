@@ -205,7 +205,12 @@ def audio_chunk(
     ``mapInPandas`` (chunk k starts at k·(chunk−overlap), so adjacent
     chunks share ``overlap_bytes``), per-chunk (doc_id, chunk_idx,
     byte_off) addressing for downstream ASR/featurizers, and chunk-level
-    metadata. Narrow transformation — no shuffle at any scale."""
+    metadata. Narrow transformation — no shuffle at any scale.
+
+    Contract: every payload row emits AT LEAST one chunk — an empty
+    payload yields a single zero-length chunk at offset 0, so downstream
+    per-chunk joins never silently drop a document (an absent doc_id
+    would be indistinguishable from a filtered one)."""
 
     def segment(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if real_decode:

@@ -37,6 +37,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # (measured: -23% on the bench query set at sf0.1).
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let rank<=k filters compile to WindowGroupLimit for budget-scale k
+    # (default threshold 1000 blocks e.g. q_mix_sample's prune bound of
+    # budget/min_tokens ~= 2k). The rank-limit operator streams over sorted
+    # input counting rows per group — O(1) memory — so a large k is safe,
+    # and the map-side Partial group limit is the skew/volume defense.
+    "spark.sql.optimizer.windowGroupLimitThreshold": "1048576",
     # Arrow for every pandas-UDF / toPandas boundary (SURVEY §3.2 step 6).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
