@@ -191,6 +191,29 @@ def main() -> None:
         registry.get(name).fn(spark, sf_dir).collect()
         extra[name] = round(time.perf_counter() - t, 3)
 
+    # X99/X100 — the deployable scale twins of the all-pairs HASH contract
+    # forms. Timed here so the candidate-volume economics (banded equi-join
+    # vs bounded-window all-pairs; cell-blocked vs label-blocked) have a
+    # recorded wall-time at the bench scale and cost regressions surface.
+    from twitter_event_stream_spark.operators.llm_extra import (
+        simhash_banded_pairs,
+    )
+    from twitter_event_stream_spark.operators.vector_search import (
+        embed_neardup_blocked,
+    )
+
+    t = time.perf_counter()
+    sh = registry.get("q_llm_simhash").fn(spark, sf_dir).select(
+        "doc_id", "simhash32"
+    )
+    simhash_banded_pairs(spark, sh).collect()
+    extra["simhash_banded_pairs"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    embed_neardup_blocked(spark, emb, threshold=0.3).collect()
+    extra["embed_neardup_blocked"] = round(time.perf_counter() - t, 3)
+
     streaming = bench_streaming(spark, sf_dir)
 
     print(

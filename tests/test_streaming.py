@@ -651,6 +651,76 @@ def test_curation_stream_scrubs_and_dedups(spark, sf_dir, late_chunk_dir):
     assert scrubbed_seen == len(rows), "every row carried injected PII"
 
 
+def test_curation_stream_equals_batch_scrub(spark, sf_dir, chunk_dir):
+    """Round-5 parity pin (VERDICT r4 item 5): an availableNow replay of the
+    events fixture through `curation_stream` must equal the batch scrub of
+    the SAME rows end-to-end — full row-multiset equality on every output
+    column, not just counts/schema/pattern spot-checks — so the batch and
+    stream curation paths cannot drift apart silently. Both sides inject
+    identical deterministic PII and both sides scrub with the shared
+    regex constants (`curation_extra._EMAIL/_IPV4/_PHONE`)."""
+    from twitter_event_stream_spark.operators.curation_extra import (
+        _EMAIL,
+        _IPV4,
+        _PHONE,
+    )
+    from twitter_event_stream_spark.streaming.pipelines import curation_stream
+
+    def inject(df):
+        return df.withColumn(
+            "props",
+            F.concat(
+                F.coalesce(F.col("props"), F.lit("")),
+                F.lit(" contact user"),
+                F.col("user_id"),
+                F.lit("@leak.example.com from 10.0.0."),
+                F.col("user_id") % 256,
+                F.lit(" tel +1-555-01"),
+                F.lpad((F.col("user_id") % 100).cast("string"), 2, "0"),
+            ),
+        )
+
+    srows = _drain(
+        spark,
+        curation_stream(
+            inject(replay_stream(spark, chunk_dir, files_per_trigger=5)),
+            watermark="15 days",
+        ),
+        "t_cur_batch_parity",
+    )
+
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.coalesce(F.col("props"), F.lit("")), _EMAIL, "<EMAIL>"
+            ),
+            _IPV4,
+            "<IP>",
+        ),
+        _PHONE,
+        "<PHONE>",
+    )
+    brows = (
+        inject(table(spark, sf_dir, "events"))
+        .dropDuplicates(["event_id"])
+        .withColumn("props", scrubbed)
+        .filter(F.length("props") >= 1)
+        .collect()
+    )
+
+    def canon(rows):
+        return sorted(
+            (r.event_id, r.ts, r.user_id, r.event_type, r.value, r.props)
+            for r in rows
+        )
+
+    assert len(srows) == len(brows) > 0
+    assert canon(srows) == canon(brows)
+    # and the scrub actually fired on every row (the injected PII is gone)
+    assert all("<EMAIL>" in r.props and "<IP>" in r.props for r in srows)
+    assert all("<PHONE>" in r.props for r in srows)
+
+
 def test_curation_stream_keeps_null_props(spark, sf_dir, chunk_dir):
     """Regression (round-4 review): a NULL payload must normalize to ''
     and pass a disabled quality gate (min_payload_chars=0) instead of
