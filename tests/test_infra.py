@@ -629,6 +629,58 @@ def test_compact_write_sizes_files(spark, sf_dir):
     shutil.rmtree(out2, ignore_errors=True)
 
 
+def test_compact_write_size_bounds_at_scale(spark):
+    """Layout, graded-scale lane (VERDICT r4 stretch): at sf0.1 the
+    json->parquet row-size heuristic must actually land file sizes near
+    target — every non-straggler data file within 2x of target_mb either
+    way, with realistic row-group compression in play (sf0.001 is too
+    small for that). Also exercises compact_write(partition_by=...) at a
+    scale where each Hive dir holds real data volume. Env-gated on the
+    sf0.1 fixture like the ANN recall lane."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import pytest as _pytest
+
+    from twitter_event_stream_spark.operators.layout import compact_write
+
+    sf = os.environ.get("TES_ANN_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.exists(sf + "/events.parquet"):
+        _pytest.skip(f"sf0.1 fixture not present: {sf}")
+    ev = table(spark, sf, "events")
+    n = ev.count()
+
+    out = tempfile.mkdtemp(prefix="tes_compact_sf01_")
+    target_mb = 1
+    compact_write(ev, out, target_mb=target_mb)
+    files = sorted(
+        os.path.getsize(p) for p in glob.glob(os.path.join(out, "*.parquet"))
+    )
+    assert spark.read.parquet(out).count() == n
+    # Bound every file except the final remainder file (planned partition
+    # count rounds up, so the smallest file may be a fraction of target).
+    big = files[1:] if len(files) > 1 else files
+    for sz in big:
+        assert target_mb * 1024 * 1024 / 2 <= sz <= target_mb * 1024 * 1024 * 2, (
+            [round(s / 1024 / 1024, 2) for s in files]
+        )
+
+    out2 = tempfile.mkdtemp(prefix="tes_compact_sf01_part_")
+    compact_write(ev, out2, target_mb=target_mb, partition_by=["event_type"])
+    back = spark.read.parquet(out2)
+    assert back.count() == n
+    for p in os.listdir(out2):
+        if p.startswith("event_type="):
+            pf = glob.glob(os.path.join(out2, p, "*.parquet"))
+            # sized, not sprayed: each Hive dir stays within a small
+            # multiple of its data/target ratio
+            assert 1 <= len(pf) <= 16, (p, len(pf))
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(out2, ignore_errors=True)
+
+
 def test_parquet_schema_evolution_merge(spark, sf_dir):
     """A2 evolution posture: a long-lived 100 TB table accretes columns
     over time; readers must union old and new file schemas
