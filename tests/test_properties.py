@@ -420,3 +420,43 @@ def test_para_dedup_matches_reference_model(spark, doc_paras):
             hashlib.md5(". ".join(kept).encode()).hexdigest(),
         )
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
+@settings(**_SETTINGS)
+@given(
+    groups=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "skew"]),
+            st.integers(min_value=0, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=300,
+        unique=True,
+    ),
+    n_parts=st.sampled_from([1, 2, 3, 8]),
+)
+def test_two_pass_rank_matches_naive_window(spark, groups, n_parts):
+    """X88 primitive: `two_pass_rank` must equal the naive per-group
+    row_number window for ANY grouping — skewed group sizes, a single
+    group, groups smaller than the partition count, n_parts=1 (degenerate
+    single range) — because the two-pass decomposition is a pure algebraic
+    rewrite of the rank, not an approximation. Keys are made unique per
+    group by construction (the operator's documented tie precondition)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from twitter_event_stream_spark.operators.scale_ops import two_pass_rank
+
+    rows = [(g, f"{k:06d}") for g, k in groups]
+    df = spark.createDataFrame(rows, "g string, k string")
+    got = {
+        (r.g, r.k): r.pos
+        for r in two_pass_rank(df, ["g"], "k", n_parts=n_parts).collect()
+    }
+    want = {
+        (r.g, r.k): r.pos
+        for r in df.withColumn(
+            "pos", F.row_number().over(W.partitionBy("g").orderBy("k"))
+        ).collect()
+    }
+    assert got == want

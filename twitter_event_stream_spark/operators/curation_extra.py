@@ -239,50 +239,22 @@ def q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical permutation (the reproducibility property loaders built
     on RNG state lose on restart). Epochs are independent permutations.
 
-    Scale shape — two-pass range-partitioned rank (the classic distributed
-    zipWithIndex), NOT a per-epoch row_number window: a window partitioned
-    by epoch funnels the whole corpus through num_epochs reducers, each
-    sorting |corpus| rows. Instead: (1) repartitionByRange on (epoch, sort
-    key) splits the global (epoch, key) order into N contiguous ranges;
-    (2) each partition ranks its own rows locally (the window partitions by
-    (partition id, epoch), so every group is bounded by the range-partition
-    size and N*E groups rank in parallel); (3) per-partition row counts —
-    N*E tiny rows — turn into broadcast prefix-sum offsets, and
-    pos = offset + local rank. Same total order, no single-task sort, and
-    the result is produced already range-partitioned for readers that
-    consume a pos range."""
+    Scale shape: `scale_ops.two_pass_rank` — the range-partition +
+    broadcast-offset distributed zipWithIndex — NOT a per-epoch row_number
+    window (which funnels the whole corpus through num_epochs reducers,
+    each sorting |corpus| rows). Same total order, no single-task sort,
+    and the result is produced already range-partitioned for readers that
+    consume a pos range; the rank algebra is property-tested against the
+    naive single-window reference on adversarial groupings."""
+    from twitter_event_stream_spark.operators.scale_ops import two_pass_rank
+
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     t = d.select(
         "doc_id", F.explode(F.array(F.lit("e1"), F.lit("e2"))).alias("epoch")
     ).withColumn(
         "sk", F.md5(F.concat(F.col("epoch"), F.lit(":"), F.col("doc_id")))
     )
-    n_parts = spark.sparkContext.defaultParallelism
-    # Pass 1: contiguous global ranges of (epoch, sk). For rows of the same
-    # epoch, a higher partition id always holds strictly larger sk values
-    # (md5 keys are unique, so range boundaries never split ties).
-    ranged = t.repartitionByRange(n_parts, "epoch", "sk").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    local = ranged.withColumn(
-        "lrank",
-        F.row_number().over(Window.partitionBy("pid", "epoch").orderBy("sk")),
-    )
-    # Pass 2: per-(partition, epoch) counts — at most n_parts * n_epochs
-    # rows — become exclusive prefix sums, broadcast back as rank offsets.
-    counts = ranged.groupBy("pid", "epoch").agg(F.count("*").alias("cnt"))
-    off_w = (
-        Window.partitionBy("epoch")
-        .orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "pid", "epoch",
-        F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("off"),
-    )
-    return local.join(F.broadcast(offsets), ["pid", "epoch"]).select(
-        "epoch", "doc_id", (F.col("off") + F.col("lrank")).alias("pos")
-    )
+    return two_pass_rank(t, ["epoch"], "sk").select("epoch", "doc_id", "pos")
 
 
 @query(

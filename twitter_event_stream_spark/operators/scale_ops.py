@@ -316,3 +316,64 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         " (acc, s) -> 0.25 * s.value + 0.75 * acc)"
     )
     return per.select("user_id", "n_events", rnd(ewma, 6).alias("ewma"))
+
+
+def two_pass_rank(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_col: str,
+    n_parts: int | None = None,
+    rank_name: str = "pos",
+) -> DataFrame:
+    """Distributed dense global rank of ``order_col`` within each
+    ``partition_cols`` group — the two-pass range-partition +
+    broadcast-offset form of zipWithIndex (X88's engine primitive).
+
+    A ``row_number`` window partitioned by a LOW-cardinality key funnels
+    each group through one reducer sorting |group| rows — the classic
+    100 TB non-shape. This operator keeps identical semantics with no
+    single-task sort:
+
+    1. ``repartitionByRange`` on (partition_cols…, order_col) splits the
+       global group+key order into ``n_parts`` contiguous ranges;
+    2. each range ranks locally (window on (partition id, group) — every
+       window group is bounded by the range-partition size, all ranking in
+       parallel);
+    3. per-(partition, group) row counts — at most n_parts × n_groups tiny
+       rows — become exclusive prefix sums broadcast back as offsets, and
+       rank = offset + local rank.
+
+    Requires ``order_col`` values unique within each group (range
+    boundaries must never split ties — md5/xxhash keys qualify); with
+    ties, rows of one tie could land in different ranges and the rank
+    would depend on boundary placement. The result is produced
+    range-partitioned, which is exactly how a global order is consumed
+    (each reader takes a contiguous rank range)."""
+    n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *partition_cols, order_col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_lrank",
+        F.row_number().over(
+            Window.partitionBy("_pid", *partition_cols).orderBy(order_col)
+        ),
+    )
+    counts = ranged.groupBy("_pid", *partition_cols).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    off_w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid",
+        *partition_cols,
+        F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["_pid", *partition_cols])
+        .withColumn(rank_name, F.col("_off") + F.col("_lrank"))
+        .drop("_pid", "_lrank", "_off")
+    )
