@@ -856,3 +856,37 @@ def test_survey_counts_match_registry():
     assert (int(m.group(1)), int(m.group(2))) == (n_queries, n_oracles), (
         f"README says {m.groups()}, registry has {n_queries}/{n_oracles}"
     )
+
+
+def test_all_queries_tolerate_empty_tables(spark, tmp_path_factory):
+    """Whole-registry robustness audit (round 5): every registered query
+    must run — not crash — against a fixture directory whose ten tables
+    have the production schemas but ZERO rows. At 100 TB empty inputs are
+    routine (an empty partition of a date-partitioned table, a filter that
+    matches nothing, a cold-start corpus), and an operator that divides by
+    a count, slices by size-1, or MLlib-fits on nothing fails exactly
+    there. Caught on first run: q_kll_quantiles (negative slice length),
+    q_llm_ann_ivf (quantizer trained on an empty sample), q_llm_ann_lsh
+    (MLlib fit on an empty corpus), q_pagerank_neardup (1/0 node count) —
+    all now short-circuit to empty/NULL results with their usual schema."""
+    import pyspark.sql.utils  # noqa: F401
+
+    from twitter_event_stream_spark import registry
+    from twitter_event_stream_spark.tables import TABLE_NAMES
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path_factory.mktemp("empty_sf"))
+    for name in TABLE_NAMES:
+        (
+            spark.read.parquet(f"{src}/{name}.parquet")
+            .limit(0)
+            .write.mode("overwrite")
+            .parquet(f"{d}/{name}.parquet")
+        )
+    failures = {}
+    for name, fn in sorted(registry.all_queries().items()):
+        try:
+            fn(spark, d).collect()
+        except Exception as e:  # noqa: BLE001 — the audit reports, not hides
+            failures[name] = f"{type(e).__name__}: {str(e)[:120]}"
+    assert not failures, failures

@@ -320,6 +320,8 @@ def pagerank(
     deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     adj = e.join(deg, "a").localCheckpoint()
     n = deg.count()
+    if n == 0:  # empty edge list -> empty ranks, same schema, no 1/0
+        return deg.select(F.col("a").alias("node"), F.lit(0.0).alias("rank"))
     ranks = deg.select(F.col("a").alias("node"), F.lit(1.0 / n).alias("rank"))
     base = F.lit((1.0 - damping) / n)
     for _ in range(iterations):

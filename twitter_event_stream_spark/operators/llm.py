@@ -365,6 +365,10 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", array_to_vector(F.col("embedding")).alias("features"))
+    if vecs.isEmpty():  # MLlib .fit raises on an empty corpus
+        return spark.createDataFrame(
+            [], "probe_id long, cand_id long, dist double"
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=0.5,
         numHashTables=4, seed=42,

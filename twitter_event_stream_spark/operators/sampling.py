@@ -125,8 +125,12 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.kll_sketch_agg_double("value").alias("sk"))
         .agg(F.sort_array(F.collect_list(F.struct("shard", "sk"))).alias("arr"))
         .select(
+            # greatest(...,0) and get(arr, 0): an empty corpus yields an
+            # empty sketch array (slice rejects negative lengths, [0]
+            # throws under ANSI) -> NULL quantiles, not a crash
             F.expr(
-                "aggregate(slice(arr, 2, size(arr)-1), arr[0].sk,"
+                "aggregate(slice(arr, 2, greatest(size(arr)-1, 0)),"
+                " get(arr, 0).sk,"
                 " (acc, x) -> kll_sketch_merge_double(acc, x.sk))"
             ).alias("m")
         )

@@ -97,7 +97,8 @@ def _lloyd(X: np.ndarray, n_cells: int, seed: int, iters: int = 10) -> np.ndarra
 def _train_quantizer(spark, vectors, n_cells: int, seed: int):
     """Train the coarse quantizer on a bounded deterministic sample and
     broadcast the centroid matrix (shared by ivf_topk and
-    embed_neardup_blocked)."""
+    embed_neardup_blocked). Returns ``None`` for an empty corpus — callers
+    short-circuit to an empty typed result instead of clustering nothing."""
     n = vectors.count()  # parquet metadata count — no scan
     step = max(1, n // 2048)
     train_pdf = (
@@ -105,6 +106,8 @@ def _train_quantizer(spark, vectors, n_cells: int, seed: int):
         .filter(F.col("vec_id") % step == 0)
         .toPandas()
     )
+    if len(train_pdf) == 0:
+        return None
     X = np.asarray(train_pdf["embedding"].tolist(), dtype=np.float64)
     return spark.sparkContext.broadcast(_lloyd(X, n_cells, seed))
 
@@ -180,6 +183,10 @@ def ivf_topk(
     from ~3.5 s to ~0.5 s with identical recall bounds.
     """
     bc = _train_quantizer(spark, vectors, n_cells, seed)
+    if bc is None:  # empty corpus -> empty result, same schema
+        return spark.createDataFrame(
+            [], "probe_id long, cand_id long, sim double, rn int"
+        )
     assigned = _cell_assign(vectors, bc, 1)
     probe_cells = _cell_assign(probes, bc, n_probe_cells)
 
@@ -234,6 +241,8 @@ def embed_neardup_blocked(
     the cell key (engine test pins recall vs the exact pair set and a
     cartesian-free plan)."""
     bc = _train_quantizer(spark, vectors, n_cells, seed)
+    if bc is None:  # empty corpus -> empty result, same schema
+        return spark.createDataFrame([], "a_id long, b_id long, sim double")
     assigned = _cell_assign(vectors, bc, n_probe_cells)
 
     def verify_cell(pdf: pd.DataFrame) -> pd.DataFrame:
