@@ -334,7 +334,9 @@ def q_llm_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    d = table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 500) & F.col("text").isNotNull()
+    )
     toks = d.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
     )
@@ -363,7 +365,7 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     vecs = e.select("vec_id", array_to_vector(F.col("embedding")).alias("features"))
     if vecs.isEmpty():  # MLlib .fit raises on an empty corpus
         return spark.createDataFrame(

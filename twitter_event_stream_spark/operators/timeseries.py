@@ -168,9 +168,11 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         n.alias("n_window"),
-        ((F.element_at(vs, lo) + F.element_at(vs, hi)) / 2.0).alias(
-            "rolling_med"
-        ),
+        # collect_list skips NULL values, so a frame of all-NULL values is
+        # empty (n=0) -> median NULL, not an element_at(0) ANSI error.
+        F.when(
+            n > 0, (F.element_at(vs, lo) + F.element_at(vs, hi)) / 2.0
+        ).alias("rolling_med"),
     )
 
 

@@ -36,6 +36,8 @@ def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @udf("double")
     def clip(v: float) -> float:
+        if v is None:  # NULL in, NULL out — built-in function discipline
+            return None
         return min(max(v, 5.0), 250.0)
 
     ev = table(spark, sf_dir, "events")
@@ -127,6 +129,8 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="token: string")
     class SplitWords:
         def eval(self, text: str):
+            if text is None:  # NULL document -> zero tokens, like explode
+                return
             for tok in text.split(" "):
                 yield (tok,)
 

@@ -35,7 +35,11 @@ def knn_topk(
 
     Returns (probe_id, cand_id, sim, rn); excludes self-matches.
     """
-    cand_pd = candidates.select(id_col, vec_col).toPandas()
+    cand_pd = (
+        candidates.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .toPandas()
+    )
     ids = cand_pd[id_col].to_numpy()
     mat = np.asarray(cand_pd[vec_col].tolist(), dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
@@ -62,8 +66,12 @@ def knn_topk(
                     rows.append((int(p_ids[i]), int(c_ids[j]), float(sims[i, j]), rank))
             yield pd.DataFrame(rows, columns=["probe_id", "cand_id", "sim", "rn"])
 
-    return probes.select(id_col, vec_col).mapInPandas(
-        topk_batches, "probe_id long, cand_id long, sim double, rn int"
+    return (
+        probes.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(
+            topk_batches, "probe_id long, cand_id long, sim double, rn int"
+        )
     )
 
 
@@ -103,7 +111,7 @@ def _train_quantizer(spark, vectors, n_cells: int, seed: int):
     step = max(1, n // 2048)
     train_pdf = (
         vectors.select("vec_id", "embedding")
-        .filter(F.col("vec_id") % step == 0)
+        .filter((F.col("vec_id") % step == 0) & F.col("embedding").isNotNull())
         .toPandas()
     )
     if len(train_pdf) == 0:
@@ -136,8 +144,10 @@ def _cell_assign(df, bc, n_probe: int):
                 out["cell"] = cells.ravel().astype("int32")
             yield out[["vec_id", "embedding", "cell"]]
 
-    return df.select("vec_id", "embedding").mapInPandas(
-        run, "vec_id long, embedding array<float>, cell int"
+    return (
+        df.select("vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull())
+        .mapInPandas(run, "vec_id long, embedding array<float>, cell int")
     )
 
 
