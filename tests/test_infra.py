@@ -937,3 +937,57 @@ def test_all_queries_tolerate_null_injection(spark, tmp_path_factory):
         except Exception as e:  # noqa: BLE001 — the audit reports, not hides
             failures[name] = f"{type(e).__name__}: {str(e)[:120]}"
     assert not failures, failures
+
+
+def test_all_queries_tolerate_adversarial_text(spark, tmp_path_factory):
+    """Whole-registry robustness audit #3 (round 5): every registered query
+    must run against fixtures whose string columns carry real-corpus text
+    hazards — multibyte CJK + emoji (astral plane), RTL override marks,
+    5000-char single tokens, NUL bytes, embedded tabs/newlines/quotes/
+    backslashes, combining diacritics. ~30% of rows in every string column
+    (except the categorical `lang`) get a deterministic nasty suffix.
+    Passed with zero fixes on first run — recorded so a future regex or
+    tokenizer change that chokes on any of these fails here, not on the
+    corpus."""
+    from pyspark.sql import functions as F
+
+    from twitter_event_stream_spark import registry
+    from twitter_event_stream_spark.tables import TABLE_NAMES
+
+    nasty = [
+        "éß中文 \U0001F600\U0001F4A9",
+        "‮ RTL ‬",
+        "a" * 5000,
+        "\x00nul\x00",
+        "tab\tnl\n quote'dq\" back\\",
+        "combining ź̂",
+    ]
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path_factory.mktemp("uni_sf"))
+    arr = F.array(*[F.lit(s) for s in nasty])
+    for name in TABLE_NAMES:
+        df = spark.read.parquet(f"{src}/{name}.parquet")
+        for c, t in df.dtypes:
+            if t == "string" and c != "lang":
+                pick = F.abs(
+                    F.xxhash64(F.lit(c), F.monotonically_increasing_id()) % 10
+                )
+                df = df.withColumn(
+                    c,
+                    F.when(
+                        pick < 3,
+                        F.concat(
+                            F.coalesce(F.col(c), F.lit("")),
+                            F.lit(" "),
+                            F.element_at(arr, (pick % 6 + 1).cast("int")),
+                        ),
+                    ).otherwise(F.col(c)),
+                )
+        df.write.mode("overwrite").parquet(f"{d}/{name}.parquet")
+    failures = {}
+    for name, fn in sorted(registry.all_queries().items()):
+        try:
+            fn(spark, d).collect()
+        except Exception as e:  # noqa: BLE001 — the audit reports, not hides
+            failures[name] = f"{type(e).__name__}: {str(e)[:120]}"
+    assert not failures, failures
