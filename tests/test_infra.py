@@ -991,3 +991,29 @@ def test_all_queries_tolerate_adversarial_text(spark, tmp_path_factory):
         except Exception as e:  # noqa: BLE001 — the audit reports, not hides
             failures[name] = f"{type(e).__name__}: {str(e)[:120]}"
     assert not failures, failures
+
+
+def test_bucketize_approx_matches_exact_populations(spark, sf_dir):
+    """X53 scale path: the sketch-based bucketizer must (a) plan NO global
+    sort and NO unpartitioned window — one mergeable aggregate plus a
+    per-row expression — and (b) land every bucket's population within
+    2x rank-error of the ideal n/n_buckets at fixture scale."""
+    from twitter_event_stream_spark.operators.pipeline_extra import (
+        bucketize_approx,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+    out = bucketize_approx(ev, "value", n_buckets=10, accuracy=10000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" not in plan
+    assert "Sort [value" not in plan
+    n = ev.count()
+    pops = {r.bin: r.c for r in out.groupBy("bin").count().withColumnRenamed("count", "c").collect()}
+    assert set(pops) == set(range(1, 11))
+    ideal = n / 10
+    slack = 2 * n / 10000 + 2  # 2x sketch rank error + tie slack
+    for b, c in pops.items():
+        assert abs(c - ideal) <= ideal * 0.2 + slack, (b, c, ideal)
+    # empty input degrades to NULL bins, not a crash
+    empty = bucketize_approx(ev.limit(0), "value")
+    assert empty.count() == 0

@@ -301,9 +301,11 @@ def q_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X53 — equal-frequency discretization (decile binning via ntile with a
     unique tiebreak, so bin membership is total-order deterministic): the
     feature-engineering twin of X11's equal-width histogram. The single
-    global sort is the scale cost; the per-bin cutpoints this emits are
-    what a pipeline broadcasts to bucketize the full dataset without
-    re-sorting. Byte-identical SQL on both engines."""
+    global sort is the scale cost of EXACT deciles; the deployable 100 TB
+    twin is :func:`bucketize_approx` below (mergeable-sketch cutpoints +
+    broadcast, no global sort — bounds-tested). The per-bin cutpoints this
+    exact form emits are what a pipeline broadcasts to bucketize the full
+    dataset without re-sorting. Byte-identical SQL on both engines."""
     table(spark, sf_dir, "events")
     return spark.sql(_BUCKETIZE_SQL)
 
@@ -526,4 +528,44 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dup_ratio"
             ),
         )
+    )
+
+
+def bucketize_approx(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Equal-frequency bucketize, 100 TB form (the scale twin of
+    `q_quantile_bucketize`'s exact ntile): approximate quantile cutpoints
+    from ONE mergeable-sketch aggregate (`approx_percentile`, GK-style —
+    partial per partition, merged on the driver side of the agg, never a
+    global sort), broadcast back as a literal array, bucket membership
+    decided per-row with a binary-search `width_bucket`-style expression.
+
+    Error model: approx_percentile guarantees rank error <= n/accuracy, so
+    bucket populations deviate from n/n_buckets by at most that bound —
+    the standard trade for removing the only global sort from the feature
+    pipeline. Returns the input plus a `bin` column (1..n_buckets)."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(
+        F.percentile_approx(col, F.array(*[F.lit(q) for q in qs]), accuracy)
+    ).first()[0]
+    if cuts is None:  # empty input
+        return df.withColumn("bin", F.lit(None).cast("int"))
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    # bin = 1 + number of cutpoints strictly below the value (ties go right,
+    # matching ntile's left-heavy fill closely enough for feature use)
+    return df.withColumn(
+        "bin",
+        (
+            F.aggregate(
+                arr,
+                F.lit(0),
+                lambda acc, c: acc
+                + F.when(F.col(col) > c, F.lit(1)).otherwise(F.lit(0)),
+            )
+            + 1
+        ).cast("int"),
     )
