@@ -460,3 +460,50 @@ def test_two_pass_rank_matches_naive_window(spark, groups, n_parts):
         ).collect()
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9999),  # doc key
+            st.sampled_from(["en", "de", "zh"]),
+            st.integers(min_value=1, max_value=400),  # n_tokens
+        ),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda t: t[0],
+    ),
+    budget=st.sampled_from([1, 50, 500, 5000]),
+)
+def test_mix_sample_prune_is_lossless(spark, docs, budget):
+    """X87 algebra: rank-pruning each language to ceil(budget/min_tokens)
+    rows before the cumsum must yield EXACTLY the naive unpruned
+    cumsum-filter result — the prune bound is a proof, not a heuristic
+    (any row past it cannot fit the budget because every doc adds at
+    least min_tokens). Exercised on adversarial mixes including budgets
+    below the smallest document."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(f"{k:05d}", lang, n) for k, lang, n in docs],
+        "rk string, lang string, n_tokens int",
+    )
+    min_tokens = max(1, min(n for _, _, n in docs))
+    bound = budget // min_tokens + 1
+    wr = W.partitionBy("lang").orderBy("rk")
+    wc = wr.rowsBetween(W.unboundedPreceding, W.currentRow)
+    pruned = (
+        df.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") <= bound)
+        .drop("r")
+        .withColumn("cum", F.sum("n_tokens").over(wc))
+        .filter(F.col("cum") <= budget)
+    )
+    naive = df.withColumn("cum", F.sum("n_tokens").over(wc)).filter(
+        F.col("cum") <= budget
+    )
+    got = {(r.lang, r.rk, r.cum) for r in pruned.collect()}
+    want = {(r.lang, r.rk, r.cum) for r in naive.collect()}
+    assert got == want
