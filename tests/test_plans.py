@@ -417,11 +417,13 @@ def test_bm25_top50_is_take_ordered(spark, sf_dir):
 
 def test_train_order_two_pass_rank_no_single_task_window(spark, sf_dir):
     """X88: the global per-epoch training order must be the two-pass
-    range-partitioned rank, not a per-epoch row_number window (which would
-    funnel the whole corpus through n_epochs reducers). Pinned shape:
-    a range exchange on (epoch, sort key); the big-side row_number window
-    partitioned by (partition id, epoch) — bounded groups, parallel — and
-    the tiny per-partition offsets joined back by BROADCAST hash join."""
+    bucketed rank, not a per-epoch row_number window (which would funnel
+    the whole corpus through n_epochs reducers). Pinned shape: the
+    big-side row_number window partitioned by (key-prefix bucket, epoch)
+    — bounded groups, parallel, bucket a pure expression of the key (NOT
+    repartitionByRange, whose sampled boundaries are not stable across
+    the two branches — the round-5 sf0.1 corruption) — and the tiny
+    per-bucket offsets joined back by BROADCAST hash join."""
     from twitter_event_stream_spark import registry
 
     plan = (
@@ -431,10 +433,10 @@ def test_train_order_two_pass_rank_no_single_task_window(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert "Exchange rangepartitioning" in plan, plan[:1500]
+    assert "Exchange rangepartitioning" not in plan, plan[:1500]
     assert "BroadcastHashJoin" in plan, plan[:1500]
     rn_lines = [l for l in plan.splitlines() if "row_number()" in l]
-    assert rn_lines and all("pid" in l for l in rn_lines), rn_lines
+    assert rn_lines and all("_bk" in l for l in rn_lines), rn_lines
 
 
 def test_no_unexpected_cartesian_or_bnlj(spark, sf_dir):

@@ -426,7 +426,7 @@ def test_para_dedup_matches_reference_model(spark, doc_paras):
 @given(
     groups=st.lists(
         st.tuples(
-            st.sampled_from(["a", "b", "c", "skew"]),
+            st.sampled_from(["a", "b", "c", "skew", None]),
             st.integers(min_value=0, max_value=10_000),
         ),
         min_size=1,
@@ -438,10 +438,12 @@ def test_para_dedup_matches_reference_model(spark, doc_paras):
 def test_two_pass_rank_matches_naive_window(spark, groups, n_parts):
     """X88 primitive: `two_pass_rank` must equal the naive per-group
     row_number window for ANY grouping — skewed group sizes, a single
-    group, groups smaller than the partition count, n_parts=1 (degenerate
-    single range) — because the two-pass decomposition is a pure algebraic
-    rewrite of the rank, not an approximation. Keys are made unique per
-    group by construction (the operator's documented tie precondition)."""
+    group, a NULL group (the round-5 review catch: a null-unsafe offsets
+    join silently dropped NULL groups), groups smaller than the partition
+    count, n_parts=1 — because the two-pass decomposition is a pure
+    algebraic rewrite of the rank, not an approximation. Keys are unique
+    per group by construction (the documented tie precondition) and
+    hex-alphabet (the documented key convention)."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
@@ -468,7 +470,9 @@ def test_two_pass_rank_matches_naive_window(spark, groups, n_parts):
         st.tuples(
             st.integers(min_value=0, max_value=9999),  # doc key
             st.sampled_from(["en", "de", "zh"]),
-            st.integers(min_value=1, max_value=400),  # n_tokens
+            # NULL / zero-token rows add nothing to the cumsum — the case
+            # that breaks a naive budget/min_tokens pigeonhole (r5 review)
+            st.one_of(st.none(), st.integers(min_value=0, max_value=400)),
         ),
         min_size=1,
         max_size=120,
@@ -477,11 +481,12 @@ def test_two_pass_rank_matches_naive_window(spark, groups, n_parts):
     budget=st.sampled_from([1, 50, 500, 5000]),
 )
 def test_mix_sample_prune_is_lossless(spark, docs, budget):
-    """X87 algebra: rank-pruning each language to ceil(budget/min_tokens)
-    rows before the cumsum must yield EXACTLY the naive unpruned
-    cumsum-filter result — the prune bound is a proof, not a heuristic
-    (any row past it cannot fit the budget because every doc adds at
-    least min_tokens). Exercised on adversarial mixes including budgets
+    """X87 algebra: rank-pruning each language to
+    ceil(budget/min_positive_tokens) + n_free rows before the cumsum must
+    yield EXACTLY the naive unpruned cumsum-filter result — the prune
+    bound is a proof, not a heuristic (an eligible row's prefix holds at
+    most budget/min_pos token-bearing rows plus every free row). Exercised
+    on adversarial mixes including NULL/zero-token documents and budgets
     below the smallest document."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
@@ -490,8 +495,10 @@ def test_mix_sample_prune_is_lossless(spark, docs, budget):
         [(f"{k:05d}", lang, n) for k, lang, n in docs],
         "rk string, lang string, n_tokens int",
     )
-    min_tokens = max(1, min(n for _, _, n in docs))
-    bound = budget // min_tokens + 1
+    positive = [n for _, _, n in docs if n is not None and n >= 1]
+    min_pos = max(1, min(positive)) if positive else 1
+    n_free = sum(1 for _, _, n in docs if n is None or n < 1)
+    bound = budget // min_pos + 1 + n_free
     wr = W.partitionBy("lang").orderBy("rk")
     wc = wr.rowsBetween(W.unboundedPreceding, W.currentRow)
     pruned = (

@@ -197,13 +197,21 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("rk"),
     )
-    # 1-row scalar: smallest per-doc token count (>=1 guard for empty text).
-    min_tokens = t.agg(
-        F.greatest(F.min("n_tokens"), F.lit(1)).alias("m")
-    ).first()["m"]
-    # Any row past this rank cannot satisfy cum_tokens <= budget, because the
-    # cumsum is over the same hash order and each doc adds >= min_tokens.
-    bound = int(_MIX_BUDGET // min_tokens) + 1
+    # 1-row scalar: smallest POSITIVE per-doc token count, plus the count of
+    # rows that add nothing to the cumsum (NULL/zero n_tokens — e.g. NULL
+    # text). Those free rows break the "every doc adds >= min_tokens"
+    # pigeonhole, so the sound rank bound widens by their total count
+    # (round-5 review catch; with the null-free fixtures n_free = 0 and the
+    # bound is exactly budget/min_tokens + 1).
+    stats = t.agg(
+        F.greatest(
+            F.min(F.when(F.col("n_tokens") >= 1, F.col("n_tokens"))), F.lit(1)
+        ).alias("m"),
+        F.count(
+            F.when(F.col("n_tokens").isNull() | (F.col("n_tokens") < 1), 1)
+        ).alias("n_free"),
+    ).first()
+    bound = int(_MIX_BUDGET // stats["m"]) + 1 + int(stats["n_free"])
     wr = Window.partitionBy("lang").orderBy("rk")
     pruned = (
         t.withColumn("r", F.row_number().over(wr))
@@ -239,13 +247,14 @@ def q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical permutation (the reproducibility property loaders built
     on RNG state lose on restart). Epochs are independent permutations.
 
-    Scale shape: `scale_ops.two_pass_rank` — the range-partition +
-    broadcast-offset distributed zipWithIndex — NOT a per-epoch row_number
-    window (which funnels the whole corpus through num_epochs reducers,
-    each sorting |corpus| rows). Same total order, no single-task sort,
-    and the result is produced already range-partitioned for readers that
-    consume a pos range; the rank algebra is property-tested against the
-    naive single-window reference on adversarial groupings."""
+    Scale shape: `scale_ops.two_pass_rank` — the deterministic key-prefix
+    bucket + broadcast-offset distributed zipWithIndex — NOT a per-epoch
+    row_number window (which funnels the whole corpus through num_epochs
+    reducers, each sorting |corpus| rows). Same total order, no
+    single-task sort, and each bucket holds a contiguous pos range for
+    readers that consume the order in slices; the rank algebra is
+    property-tested against the naive single-window reference on
+    adversarial groupings."""
     from twitter_event_stream_spark.operators.scale_ops import two_pass_rank
 
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)

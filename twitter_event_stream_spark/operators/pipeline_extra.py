@@ -556,16 +556,21 @@ def bucketize_approx(
         return df.withColumn("bin", F.lit(None).cast("int"))
     arr = F.array(*[F.lit(float(c)) for c in cuts])
     # bin = 1 + number of cutpoints strictly below the value (ties go right,
-    # matching ntile's left-heavy fill closely enough for feature use)
+    # matching ntile's left-heavy fill closely enough for feature use);
+    # NULL values get a NULL bin — percentile_approx ignored them for the
+    # cuts, so stuffing them into bin 1 would silently inflate it
     return df.withColumn(
         "bin",
-        (
-            F.aggregate(
-                arr,
-                F.lit(0),
-                lambda acc, c: acc
-                + F.when(F.col(col) > c, F.lit(1)).otherwise(F.lit(0)),
-            )
-            + 1
-        ).cast("int"),
+        F.when(
+            F.col(col).isNotNull(),
+            (
+                F.aggregate(
+                    arr,
+                    F.lit(0),
+                    lambda acc, c: acc
+                    + F.when(F.col(col) > c, F.lit(1)).otherwise(F.lit(0)),
+                )
+                + 1
+            ).cast("int"),
+        ),
     )

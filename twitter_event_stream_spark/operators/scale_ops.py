@@ -326,54 +326,68 @@ def two_pass_rank(
     rank_name: str = "pos",
 ) -> DataFrame:
     """Distributed dense global rank of ``order_col`` within each
-    ``partition_cols`` group — the two-pass range-partition +
-    broadcast-offset form of zipWithIndex (X88's engine primitive).
+    ``partition_cols`` group — the two-pass bucket + broadcast-offset form
+    of zipWithIndex (X88's engine primitive).
 
     A ``row_number`` window partitioned by a LOW-cardinality key funnels
     each group through one reducer sorting |group| rows — the classic
     100 TB non-shape. This operator keeps identical semantics with no
     single-task sort:
 
-    1. ``repartitionByRange`` on (partition_cols…, order_col) splits the
-       global group+key order into ``n_parts`` contiguous ranges;
-    2. each range ranks locally (window on (partition id, group) — every
-       window group is bounded by the range-partition size, all ranking in
-       parallel);
-    3. per-(partition, group) row counts — at most n_parts × n_groups tiny
-       rows — become exclusive prefix sums broadcast back as offsets, and
+    1. every row's bucket is a PURE EXPRESSION of its key — the first 4
+       hex chars of ``order_col`` scaled into ``n_parts`` contiguous key
+       ranges. Deterministic by construction: NOT ``repartitionByRange``,
+       whose sampled boundaries depend on the RDD id, so the local-rank
+       branch and the counts branch of this very query can disagree on
+       partition membership and silently corrupt ranks (caught by the
+       sf0.1 sweep in round 5);
+    2. each (bucket, group) ranks locally in one window — groups are
+       bounded by bucket occupancy (uniform for hash-derived keys), all
+       ranking in parallel;
+    3. per-(bucket, group) row counts — at most n_parts × n_groups tiny
+       rows — become exclusive prefix sums, broadcast back (null-safe on
+       group keys, so NULL groups rank like any other) and
        rank = offset + local rank.
 
-    Requires ``order_col`` values unique within each group (range
-    boundaries must never split ties — md5/xxhash keys qualify); with
-    ties, rows of one tie could land in different ranges and the rank
-    would depend on boundary placement. The result is produced
-    range-partitioned, which is exactly how a global order is consumed
-    (each reader takes a contiguous rank range)."""
+    Preconditions: ``order_col`` is a fixed-width lowercase-hex key
+    (md5/xxhash/sha — the engine's deterministic-order convention),
+    non-null, unique within each group. Lexicographic order of such keys
+    equals numeric order of any fixed prefix, so bucket boundaries respect
+    the global order with ties impossible. Balance follows from hash
+    uniformity; a non-uniform key degrades parallelism, never
+    correctness."""
     n = n_parts or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *partition_cols, order_col).withColumn(
-        "_pid", F.spark_partition_id()
+    bucket = F.expr(
+        f"CAST(CAST(conv(substring({order_col}, 1, 4), 16, 10) AS BIGINT)"
+        f" * {n} DIV 65536 AS INT)"
     )
-    local = ranged.withColumn(
+    b = df.withColumn("_bk", bucket)
+    local = b.withColumn(
         "_lrank",
         F.row_number().over(
-            Window.partitionBy("_pid", *partition_cols).orderBy(order_col)
+            Window.partitionBy("_bk", *partition_cols).orderBy(order_col)
         ),
     )
-    counts = ranged.groupBy("_pid", *partition_cols).agg(
+    counts = b.groupBy("_bk", *partition_cols).agg(
         F.count(F.lit(1)).alias("_cnt")
     )
     off_w = (
         Window.partitionBy(*partition_cols)
-        .orderBy("_pid")
+        .orderBy("_bk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = counts.select(
-        "_pid",
-        *partition_cols,
-        F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off"),
+    offsets = F.broadcast(
+        counts.select(
+            F.col("_bk").alias("_bk_o"),
+            *[F.col(c).alias(f"_g_{c}") for c in partition_cols],
+            F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off"),
+        )
     )
+    cond = local["_bk"] == offsets["_bk_o"]
+    for c in partition_cols:
+        cond = cond & local[c].eqNullSafe(offsets[f"_g_{c}"])
     return (
-        local.join(F.broadcast(offsets), ["_pid", *partition_cols])
+        local.join(offsets, cond)
         .withColumn(rank_name, F.col("_off") + F.col("_lrank"))
-        .drop("_pid", "_lrank", "_off")
+        .drop("_bk", "_bk_o", "_lrank", "_off", *[f"_g_{c}" for c in partition_cols])
     )

@@ -40,6 +40,10 @@ def knn_topk(
         .filter(F.col(vec_col).isNotNull())
         .toPandas()
     )
+    if len(cand_pd) == 0:  # empty candidate block -> empty result
+        return probes.sparkSession.createDataFrame(
+            [], "probe_id long, cand_id long, sim double, rn int"
+        )
     ids = cand_pd[id_col].to_numpy()
     mat = np.asarray(cand_pd[vec_col].tolist(), dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
@@ -107,13 +111,16 @@ def _train_quantizer(spark, vectors, n_cells: int, seed: int):
     broadcast the centroid matrix (shared by ivf_topk and
     embed_neardup_blocked). Returns ``None`` for an empty corpus — callers
     short-circuit to an empty typed result instead of clustering nothing."""
-    n = vectors.count()  # parquet metadata count — no scan
-    step = max(1, n // 2048)
-    train_pdf = (
-        vectors.select("vec_id", "embedding")
-        .filter((F.col("vec_id") % step == 0) & F.col("embedding").isNotNull())
-        .toPandas()
+    valid = vectors.select("vec_id", "embedding").filter(
+        F.col("embedding").isNotNull()
     )
+    n = valid.count()
+    step = max(1, n // 2048)
+    train_pdf = valid.filter(F.col("vec_id") % step == 0).toPandas()
+    if len(train_pdf) == 0 and n > 0:
+        # sparse/adversarial vec_ids can dodge the modulo sample entirely;
+        # fall back to a deterministic bounded TakeOrdered sample
+        train_pdf = valid.orderBy("vec_id").limit(2048).toPandas()
     if len(train_pdf) == 0:
         return None
     X = np.asarray(train_pdf["embedding"].tolist(), dtype=np.float64)
