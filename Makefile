@@ -7,7 +7,7 @@
 
 PY ?= python
 
-.PHONY: test test-driver-scale verify bench all
+.PHONY: test test-driver-scale verify verify-sf01 bench all
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -17,6 +17,9 @@ test-driver-scale:
 
 verify:
 	$(PY) .claude/skills/verify/driver_sim.py
+
+verify-sf01:
+	TES_VERIFY_SF_DIR=/root/testdata/sf0.1 $(PY) .claude/skills/verify/driver_sim.py
 
 bench:
 	$(PY) bench.py
