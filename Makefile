@@ -7,7 +7,7 @@
 
 PY ?= python
 
-.PHONY: test test-driver-scale verify verify-sf01 bench all
+.PHONY: test test-driver-scale verify verify-sf01 bench all record
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -25,3 +25,13 @@ bench:
 	$(PY) bench.py
 
 all: test test-driver-scale verify bench
+
+# One-shot per-round evidence recording: make record ROUND=06
+# Writes the four committed artifacts at the current sha. Run AFTER the
+# last code commit of the round so the artifacts describe HEAD.
+record:
+	test -n "$(ROUND)" || (echo "usage: make record ROUND=NN" && false)
+	$(PY) -m pytest tests/ -q 2>&1 | tail -1
+	TES_TEST_SF_DIR=/root/testdata/sf0.01 $(PY) -m pytest tests/ -q > PYTEST_DRIVER_SCALE_r$(ROUND).txt 2>&1; tail -1 PYTEST_DRIVER_SCALE_r$(ROUND).txt
+	$(PY) .claude/skills/verify/driver_sim.py > CORRECTNESS_FULL_r$(ROUND).txt 2>&1; tail -2 CORRECTNESS_FULL_r$(ROUND).txt
+	TES_VERIFY_SF_DIR=/root/testdata/sf0.1 $(PY) .claude/skills/verify/driver_sim.py > CORRECTNESS_FULL_SF01_r$(ROUND).txt 2>&1; tail -2 CORRECTNESS_FULL_SF01_r$(ROUND).txt
