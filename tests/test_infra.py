@@ -1029,3 +1029,49 @@ def test_bucketize_approx_matches_exact_populations(spark, sf_dir):
     # empty input degrades to NULL bins, not a crash
     empty = bucketize_approx(ev.limit(0), "value")
     assert empty.count() == 0
+
+
+def test_events_ns_timestamp_fallback_normalizes(spark, sf_dir):
+    """SURVEY §1.3(1) dormant path: a testdata regeneration that stores
+    `events.ts` as parquet INT64 TIMESTAMP(NANOS) reads as bigint under
+    the pinned nanosAsLong conf, and the loader's `_normalize_events`
+    guard must convert it to µs TimestampType with integer `DIV 1000`
+    (no double-rounding) — yielding exactly the same instants as the
+    native µs fixture. Previously this guard shipped untested."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from twitter_event_stream_spark.tables import table
+
+    t = pq.read_table(sf_dir + "/events.parquet")
+    idx = t.schema.get_field_index("ts")
+    ns_col = t.column("ts").cast(pa.timestamp("ns"))
+    t_ns = t.set_column(idx, pa.field("ts", pa.timestamp("ns")), ns_col)
+    d = tempfile.mkdtemp(prefix="tes_ns_events_")
+    _os.makedirs(d + "/events.parquet", exist_ok=True)
+    pq.write_table(
+        t_ns,
+        d + "/events.parquet/part-0.parquet",
+        coerce_timestamps=None,
+        use_deprecated_int96_timestamps=False,
+    )
+    # the loader reads the whole fixture dir — link the other nine tables
+    from twitter_event_stream_spark.tables import TABLE_NAMES
+
+    for name in TABLE_NAMES:
+        if name != "events":
+            _os.symlink(f"{sf_dir}/{name}.parquet", f"{d}/{name}.parquet")
+    got = table(spark, d, "events")
+    assert dict(got.dtypes)["ts"] == "timestamp"
+    want = {
+        r.event_id: r.ts for r in table(spark, sf_dir, "events").collect()
+    }
+    for r in got.collect():
+        w = want[r.event_id]
+        assert (r.ts.year, r.ts.month, r.ts.day, r.ts.hour, r.ts.minute,
+                r.ts.second, r.ts.microsecond) == (
+            w.year, w.month, w.day, w.hour, w.minute, w.second, w.microsecond
+        ), (r.event_id, r.ts, w)
+    shutil.rmtree(d, ignore_errors=True)
