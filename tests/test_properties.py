@@ -449,7 +449,8 @@ def test_two_pass_rank_matches_naive_window(spark, groups, n_parts):
 
     from twitter_event_stream_spark.operators.scale_ops import two_pass_rank
 
-    rows = [(g, f"{k:06d}") for g, k in groups]
+    # full hex alphabet incl. a-f and the ffff/0000 bucket-boundary ends
+    rows = [(g, f"{k * 6553:08x}") for g, k in groups]
     df = spark.createDataFrame(rows, "g string, k string")
     got = {
         (r.g, r.k): r.pos
