@@ -547,7 +547,12 @@ def bucketize_approx(
     Error model: approx_percentile guarantees rank error <= n/accuracy, so
     bucket populations deviate from n/n_buckets by at most that bound —
     the standard trade for removing the only global sort from the feature
-    pipeline. Returns the input plus a `bin` column (1..n_buckets)."""
+    pipeline. Caveat: rows TIED on one value always share a bucket (value
+    membership is a pure function of the value, `width_bucket` semantics),
+    so probability mass concentrated on few distinct values concentrates
+    buckets too — unlike exact ntile, which splits ties by an arbitrary
+    tiebreak to force equal populations. NULL values get a NULL bin.
+    Returns the input plus a `bin` column (1..n_buckets)."""
     qs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = df.agg(
         F.percentile_approx(col, F.array(*[F.lit(q) for q in qs]), accuracy)
