@@ -24,7 +24,7 @@ verify-sf01:
 bench:
 	$(PY) bench.py
 
-all: test test-driver-scale verify bench
+all: test test-driver-scale verify verify-sf01 bench
 
 # One-shot per-round evidence recording: make record ROUND=06
 # Writes the four committed artifacts at the current sha. Run AFTER the
