@@ -31,7 +31,11 @@ all: test test-driver-scale verify verify-sf01 bench
 # last code commit of the round so the artifacts describe HEAD.
 record:
 	test -n "$(ROUND)" || (echo "usage: make record ROUND=NN" && false)
-	$(PY) -m pytest tests/ -q 2>&1 | tail -1
-	TES_TEST_SF_DIR=/root/testdata/sf0.01 $(PY) -m pytest tests/ -q > PYTEST_DRIVER_SCALE_r$(ROUND).txt 2>&1; tail -1 PYTEST_DRIVER_SCALE_r$(ROUND).txt
-	$(PY) .claude/skills/verify/driver_sim.py > CORRECTNESS_FULL_r$(ROUND).txt 2>&1; tail -2 CORRECTNESS_FULL_r$(ROUND).txt
-	TES_VERIFY_SF_DIR=/root/testdata/sf0.1 $(PY) .claude/skills/verify/driver_sim.py > CORRECTNESS_FULL_SF01_r$(ROUND).txt 2>&1; tail -2 CORRECTNESS_FULL_SF01_r$(ROUND).txt
+	$(PY) -m pytest tests/ -q > /tmp/tes_record_unit.txt 2>&1 || (tail -5 /tmp/tes_record_unit.txt && false)
+	tail -1 /tmp/tes_record_unit.txt
+	TES_TEST_SF_DIR=/root/testdata/sf0.01 $(PY) -m pytest tests/ -q > PYTEST_DRIVER_SCALE_r$(ROUND).txt 2>&1 || (tail -5 PYTEST_DRIVER_SCALE_r$(ROUND).txt && false)
+	tail -1 PYTEST_DRIVER_SCALE_r$(ROUND).txt
+	$(PY) .claude/skills/verify/driver_sim.py > CORRECTNESS_FULL_r$(ROUND).txt 2>&1 || (tail -5 CORRECTNESS_FULL_r$(ROUND).txt && false)
+	tail -2 CORRECTNESS_FULL_r$(ROUND).txt
+	TES_VERIFY_SF_DIR=/root/testdata/sf0.1 $(PY) .claude/skills/verify/driver_sim.py > CORRECTNESS_FULL_SF01_r$(ROUND).txt 2>&1 || (tail -5 CORRECTNESS_FULL_SF01_r$(ROUND).txt && false)
+	tail -2 CORRECTNESS_FULL_SF01_r$(ROUND).txt
