@@ -27,8 +27,10 @@ bench:
 all: test test-driver-scale verify verify-sf01 bench
 
 # One-shot per-round evidence recording: make record ROUND=06
-# Writes the four committed artifacts at the current sha. Run AFTER the
-# last code commit of the round so the artifacts describe HEAD.
+# Writes the five committed artifacts (unit-scale pytest log stays in /tmp;
+# driver-scale pytest + sweeps at all THREE fixture scales) at the current
+# sha. Run AFTER the last code commit of the round so the artifacts
+# describe HEAD.
 record:
 	test -n "$(ROUND)" || (echo "usage: make record ROUND=NN" && false)
 	$(PY) -m pytest tests/ -q > /tmp/tes_record_unit.txt 2>&1 || (tail -5 /tmp/tes_record_unit.txt && false)
@@ -39,3 +41,5 @@ record:
 	tail -2 CORRECTNESS_FULL_r$(ROUND).txt
 	TES_VERIFY_SF_DIR=/root/testdata/sf0.1 $(PY) .claude/skills/verify/driver_sim.py > CORRECTNESS_FULL_SF01_r$(ROUND).txt 2>&1 || (tail -5 CORRECTNESS_FULL_SF01_r$(ROUND).txt && false)
 	tail -2 CORRECTNESS_FULL_SF01_r$(ROUND).txt
+	TES_VERIFY_SF_DIR=/root/testdata/sf0.001 $(PY) .claude/skills/verify/driver_sim.py > CORRECTNESS_FULL_SF0001_r$(ROUND).txt 2>&1 || (tail -5 CORRECTNESS_FULL_SF0001_r$(ROUND).txt && false)
+	tail -2 CORRECTNESS_FULL_SF0001_r$(ROUND).txt

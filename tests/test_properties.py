@@ -467,6 +467,85 @@ def test_two_pass_rank_matches_naive_window(spark, groups, n_parts):
 
 @settings(**_SETTINGS)
 @given(
+    vals=st.lists(
+        # adversarial value distributions: heavy ties (tiny domain), NULLs,
+        # negatives, a wide-range outlier mix — everything that stresses
+        # sketch-derived bucket boundaries and the tie-sharing rule
+        st.one_of(
+            st.none(),
+            st.sampled_from([0.0, 1.0, -1.0]),  # mass on few values
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    k=st.sampled_from([1, 3, 10]),
+    n_buckets=st.sampled_from([1, 4, 32]),
+)
+def test_ntile_distributed_matches_naive_window(spark, vals, k, n_buckets):
+    """X102 r6 primitive: `ntile_distributed` (sketch-bucketed two-pass
+    global rank + closed-form tile arithmetic) must equal the naive
+    `ntile(k) OVER (ORDER BY value NULLS FIRST, id)` window for ANY value
+    distribution — total ties, NULLs, n < k, one bucket, boundary-exact
+    values — because the decomposition is a pure algebraic rewrite of the
+    exact rank, not an approximation (sketch error moves bucket
+    *populations* only)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from twitter_event_stream_spark.operators.scale_ops import (
+        ntile_distributed,
+        two_pass_rank_by_value,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    got = {
+        r.id: r.bin
+        for r in ntile_distributed(
+            df, "v", "id", n_tiles=k, n_buckets=n_buckets
+        ).collect()
+    }
+    w = W.orderBy(F.col("v").asc_nulls_first(), F.col("id").asc())
+    want = {r.id: r.t for r in df.withColumn("t", F.ntile(k).over(w)).collect()}
+    assert got == want
+    ranked, n = two_pass_rank_by_value(
+        df, "v", "id", rank_name="r", n_buckets=n_buckets
+    )
+    assert n == len(vals)
+    got_r = {r.id: r.r for r in ranked.collect()}
+    want_r = {
+        r.id: r.r
+        for r in df.withColumn("r", F.row_number().over(w)).collect()
+    }
+    assert got_r == want_r
+
+
+def test_two_pass_rank_raises_on_non_hex_key(spark):
+    """The r5 review item: a key violating the documented hex precondition
+    must fail LOUDLY (raise_error in the bucket expression), not silently
+    drop rows through a null-bucket offsets join."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from twitter_event_stream_spark.operators.scale_ops import two_pass_rank
+
+    df = spark.createDataFrame(
+        [("a", "deadbeef"), ("a", "zzzz-not-hex")], "g string, k string"
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as exc:
+        two_pass_rank(df, ["g"], "k").collect()
+    assert "two_pass_rank" in str(exc.value)
+
+
+@settings(**_SETTINGS)
+@given(
     docs=st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=9999),  # doc key

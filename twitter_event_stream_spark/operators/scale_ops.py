@@ -357,9 +357,18 @@ def two_pass_rank(
     uniformity; a non-uniform key degrades parallelism, never
     correctness."""
     n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    # A NULL / non-hex order_col would bucket to NULL or 0 and silently drop
+    # or mis-rank those rows in the offsets join (conv() parses "zzzz" as 0,
+    # empty as NULL) — precondition violations raise loudly instead. The
+    # 4-char regex is evaluated once per row against a bounded prefix:
+    # noise next to the window sort it guards.
     bucket = F.expr(
-        f"CAST(CAST(conv(substring({order_col}, 1, 4), 16, 10) AS BIGINT)"
-        f" * {n} DIV 65536 AS INT)"
+        f"CASE WHEN {order_col} IS NULL"
+        f"      OR NOT substring({order_col}, 1, 4) RLIKE '^[0-9a-f]{{4}}$'"
+        f" THEN CAST(raise_error('two_pass_rank: order_col \"{order_col}\" is"
+        f" not a non-null lowercase-hex key') AS INT)"
+        f" ELSE CAST(CAST(conv(substring({order_col}, 1, 4), 16, 10) AS BIGINT)"
+        f" * {n} DIV 65536 AS INT) END"
     )
     b = df.withColumn("_bk", bucket)
     local = b.withColumn(
@@ -391,3 +400,130 @@ def two_pass_rank(
         .withColumn(rank_name, F.col("_off") + F.col("_lrank"))
         .drop("_bk", "_bk_o", "_lrank", "_off", *[f"_g_{c}" for c in partition_cols])
     )
+
+
+def two_pass_rank_by_value(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    rank_name: str = "pos",
+    n_buckets: int = 32,
+    accuracy: int = 10000,
+) -> tuple[DataFrame, int]:
+    """Distributed EXACT global rank ordered by ``(value_col ASC NULLS
+    FIRST, tiebreak_col ASC)`` — :func:`two_pass_rank` generalized from
+    hash-ordered hex keys to arbitrary value order (X102's r6 extension,
+    the r5 verdict's #1 item). Returns ``(ranked_df, n_rows)``.
+
+    The hex form can bucket by a pure prefix expression because hash keys
+    are uniform; an arbitrary value column is not, so the bucket boundaries
+    come from ONE mergeable-sketch pass instead:
+
+    1. one bounded job: ``approx_percentile(value, [i/n_buckets])`` — a
+       GK-style mergeable sketch, partial per partition, never a global
+       sort — yields ~n_buckets-1 cutpoints, fixed as plan literals;
+    2. every row's bucket is then the PURE EXPRESSION ``count of cutpoints
+       <= value`` (monotone in value, so bucket ranges respect the global
+       order; ties on a cutpoint share a bucket and are split by the local
+       tiebreak). NULL values get bucket -1 — ranked first, matching
+       Spark's ASC NULLS FIRST;
+    3. one bounded job: per-bucket counts (≤ n_buckets+2 rows) collected
+       and turned into exclusive prefix-sum offsets, re-entering the plan
+       as a LITERAL MAP — no join, no window over the counts at all (the
+       hex form's offsets window is partitioned by the group key; a global
+       rank has no group key, and an unpartitioned window — even a
+       33-row one — is exactly the shape the registry plan audit bans);
+    4. one window per bucket ranks locally; global rank = offset[bucket]
+       + local rank.
+
+    Both driver-side jobs return bounded rows (a sketch row; ≤ n_buckets+2
+    count rows) — the engine's documented broadcast-scalar pattern, eager
+    at construction time by design so the returned DataFrame is a pure
+    lazy plan. Sketch error only skews bucket *populations* (rank error
+    <= n/accuracy per GK bound), never rank values: correctness needs only
+    that every row uses the same literal cutpoints, which plan literals
+    guarantee by construction (the r5 repartitionByRange lesson). Heavy
+    ties on one value concentrate that value's bucket — degrading balance,
+    never correctness."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx(
+            value_col, F.array(*[F.lit(q) for q in qs]), accuracy
+        ).alias("cuts"),
+    ).first()
+    n_rows = stats["n"]
+    cuts = sorted(set(float(c) for c in (stats["cuts"] or [])))
+    if cuts:
+        arr = F.array(*[F.lit(c) for c in cuts])
+        in_bucket = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, c: acc
+            + F.when(F.col(value_col) >= c, F.lit(1)).otherwise(F.lit(0)),
+        )
+    else:  # empty input or all-NULL values: one bucket
+        in_bucket = F.lit(0)
+    b = df.withColumn(
+        "_bk",
+        F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(in_bucket),
+    )
+    counts = {
+        r["_bk"]: r["c"]
+        for r in b.groupBy("_bk").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    acc = 0
+    offsets = {}
+    for bk in sorted(counts):
+        offsets[bk] = acc
+        acc += counts[bk]
+    if offsets:
+        off_map = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        off = F.element_at(off_map, F.col("_bk"))
+    else:
+        off = F.lit(0)
+    local = b.withColumn(
+        "_lrank",
+        F.row_number().over(
+            Window.partitionBy("_bk").orderBy(
+                F.col(value_col).asc_nulls_first(), F.col(tiebreak_col).asc()
+            )
+        ),
+    )
+    ranked = local.withColumn(rank_name, off + F.col("_lrank")).drop(
+        "_bk", "_lrank"
+    )
+    return ranked, n_rows
+
+
+def ntile_distributed(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    n_tiles: int = 10,
+    bin_name: str = "bin",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """EXACT ``ntile(n_tiles) OVER (ORDER BY value, tiebreak)`` with no
+    single-task sort: :func:`two_pass_rank_by_value` supplies the exact
+    global rank, then ntile is closed-form arithmetic on (rank, n) — the
+    first ``n mod k`` tiles take ``ceil(n/k)`` rows, the rest take
+    ``floor(n/k)``, exactly Spark's/DuckDB's left-heavy fill. ``n`` is
+    known from the counts pass, so the tile expression is pure literals."""
+    ranked, n = two_pass_rank_by_value(
+        df, value_col, tiebreak_col, rank_name="_r", n_buckets=n_buckets
+    )
+    q, rem = divmod(n, n_tiles) if n else (0, 0)
+    if q == 0:  # n < n_tiles: row i is tile i
+        tile = "_r"
+    else:
+        head = rem * (q + 1)
+        tile = (
+            f"CASE WHEN _r <= {head} THEN (_r - 1) DIV {q + 1} + 1"
+            f" ELSE {rem} + (_r - {head} - 1) DIV {q} + 1 END"
+        )
+    return ranked.withColumn(
+        bin_name, F.expr(tile).cast("int")
+    ).drop("_r")

@@ -270,9 +270,15 @@ def embed_neardup_blocked(
         ids = pdf["vec_id"].to_numpy()
         mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
         nrm = np.linalg.norm(mat, axis=1)
-        sims = (mat @ mat.T) / np.outer(nrm, nrm)
+        # a zero-norm embedding has no cosine direction: excluding its pairs
+        # is intentional, so mask explicitly instead of letting 0/0 NaNs
+        # (plus executor-log divide warnings) do it implicitly
+        zero = nrm == 0.0
+        sims = (mat @ mat.T) / np.outer(
+            np.where(zero, 1.0, nrm), np.where(zero, 1.0, nrm)
+        )
         iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sims[iu, ju] >= threshold
+        keep = (sims[iu, ju] >= threshold) & ~zero[iu] & ~zero[ju]
         ai, bi = ids[iu[keep]], ids[ju[keep]]
         return pd.DataFrame(
             {
