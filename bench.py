@@ -3,10 +3,13 @@
 $SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
 
-Protocol mirrors BASELINE.md: each query 3×, cold = run 1, warm = median of
-runs 2-3, results fully collected. The BENCH gate is warm ≤ 2× the PySpark
-warm column of BASELINE.md; engine tuning (broadcast dims, vectorized knn,
-capped shuffle partitions) targets <1×.
+Protocol (r6, de-noised per the r5 verdict: n=3 with warm=median-of-2 let
+~1.2× ambient machine drift dominate two round-over-round comparisons):
+each query 5×, cold = run 1, warm = median of runs 2-5, warm_std = sample
+stddev of runs 2-5 — so the next comparison can separate code regressions
+from machine weather. Results fully collected. The BENCH gate is warm ≤ 2×
+the PySpark warm column of BASELINE.md; engine tuning (broadcast dims,
+vectorized knn, capped shuffle partitions) targets <1×.
 """
 
 from __future__ import annotations
@@ -148,17 +151,19 @@ def main() -> None:
     load_tables(spark, sf_dir)
 
     warm: dict[str, float] = {}
+    warm_std: dict[str, float] = {}
     cold: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name, target in BENCH_QUERIES.items():
         fn = registry.get(target).fn if isinstance(target, str) else target
         times = []
-        for _ in range(3):
+        for _ in range(5):
             t = time.perf_counter()
             res = fn(spark, sf_dir).collect()
             times.append(time.perf_counter() - t)
         cold[name] = round(times[0], 3)
         warm[name] = round(statistics.median(times[1:]), 3)
+        warm_std[name] = round(statistics.stdev(times[1:]), 3)
         rows[name] = len(res)
 
     # Flagship data-pipeline operators, timed once each (not part of the
@@ -223,6 +228,7 @@ def main() -> None:
                 "value": round(sum(warm.values()), 3),
                 "unit": "sec",
                 "queries": warm,
+                "warm_std": warm_std,
                 "sf": sf,
                 "cold": cold,
                 "rows": rows,

@@ -1,6 +1,16 @@
 """Golden-output tests (SURVEY §5.2.2): flagship queries pinned to exact
 sf0.001 snapshots — catches silent engine-and-oracle co-drift that the
-differential harness cannot see (both sides changing together)."""
+differential harness cannot see (both sides changing together).
+
+Coverage (r6): all 144 HASH queries AND 12 of the 13 ROWS queries — the
+seeded/approx paths (samples, LSH, IVF, HLL/theta sketches, pagerank) are
+rerun-stable for a fixed session shape, so silent drift in them is caught
+here exactly like HASH drift (regenerate intentionally via
+tests/gen_golden.py). The one exclusion is q_kll_quantiles: DataSketches
+KLL compaction is RANDOMIZED (unseeded coin flips choosing surviving
+items), so its estimates genuinely vary across JVM sessions — pinned
+instead by the error-bound test (test_infra.py::
+test_kll_merged_quantiles_within_bound)."""
 
 from __future__ import annotations
 

@@ -196,11 +196,106 @@ def test_multimodal_payload_schema_and_dedup(spark, sf_dir):
     assert all(again[r.doc_id] == r.features for r in rows), "features not deterministic"
 
 
-def test_multimodal_real_decode_is_stubbed(spark, sf_dir):
-    """K11 — the real-decode seam fails loudly (libraries absent by design)."""
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    _has_pil(), reason="PIL importable: the absence path is unreachable"
+)
+def test_multimodal_real_decode_raises_without_pil(spark, sf_dir):
+    """K11 — capability detection, absence side: real_decode without PIL
+    fails loudly with NotImplementedError, never silently falls back to
+    the deterministic fake."""
     m = with_payload(table(spark, sf_dir, "documents"))
     with pytest.raises(Exception) as exc_info:
         decode_features(m.limit(5), real_decode=True).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+@pytest.mark.skipif(
+    not _has_pil(), reason="PIL absent in this container"
+)
+def test_multimodal_real_decode_with_pil(spark):
+    """K11 — capability detection, presence side: with PIL importable the
+    real branch decodes actual images and must honor the deterministic
+    fake's output contract (FEATURE_DIM doubles in [0,1)); the real resize
+    must emit PIL-decodable thumbnails whose refreshed metadata digest
+    matches the transformed bytes."""
+    import hashlib
+    import io
+
+    from PIL import Image
+    from pyspark.sql import functions as F
+
+    from twitter_event_stream_spark.operators.multimodal import (
+        FEATURE_DIM,
+        transform_media,
+    )
+
+    blobs = []
+    for i, color in enumerate([(255, 0, 0), (0, 128, 255)]):
+        buf = io.BytesIO()
+        Image.new("RGB", (16 + i, 12), color).save(buf, format="PNG")
+        blobs.append((i, buf.getvalue()))
+    m = spark.createDataFrame(blobs, "doc_id long, payload binary")
+    rows = decode_features(m, real_decode=True).collect()
+    assert len(rows) == 2
+    assert all(len(r.features) == FEATURE_DIM for r in rows)
+    assert all(0.0 <= v < 1.0 for r in rows for v in r.features)
+    out = transform_media(m, width=8, height=8, real_decode=True).collect()
+    for r in out:
+        img = Image.open(io.BytesIO(bytes(r.payload)))
+        assert img.size == (8, 8)
+        assert r.meta.digest == hashlib.md5(bytes(r.payload)).hexdigest()
+        assert r.meta.n_bytes == len(bytes(r.payload))
+
+
+def test_multimodal_audio_real_wav_decode(spark):
+    """K11 — the audio seam's REAL branch (stdlib wave, present in every
+    container): WAV payloads are decoded to PCM and windowed with the same
+    stride arithmetic — reassembling the non-overlapped slices must give
+    back exactly the decoded PCM bytes — while non-RIFF payloads under
+    real_decode raise NotImplementedError (compressed codecs need ffmpeg)."""
+    import io
+    import wave
+
+    from twitter_event_stream_spark.operators.multimodal import audio_chunk
+
+    pcm = bytes(range(256)) * 8  # 2048 bytes of fake 8-bit PCM
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(pcm)
+    m = spark.createDataFrame([(1, buf.getvalue())], "doc_id long, payload binary")
+    chunks = sorted(
+        (r.chunk_idx, r.byte_off, bytes(r.chunk))
+        for r in audio_chunk(
+            m, chunk_bytes=512, overlap_bytes=128, real_decode=True
+        ).collect()
+    )
+    stride = 512 - 128
+    assert [(i, o) for i, o, _ in chunks] == [
+        (k, k * stride) for k in range(len(chunks))
+    ]
+    rebuilt = bytearray()
+    for _, off, c in chunks:
+        rebuilt[off : off + len(c)] = c
+    assert bytes(rebuilt) == pcm, "windowed PCM must reassemble to the decoded audio"
+    bad = spark.createDataFrame(
+        [(2, b"\xffOGGnot-a-riff-payload")], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception) as exc_info:
+        audio_chunk(bad, chunk_bytes=64, overlap_bytes=16, real_decode=True).collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
@@ -583,8 +678,9 @@ def test_multimodal_resize_contract(spark, sf_dir):
 
     sample = rows[0]
     assert sample.meta.digest == _hashlib.md5(bytes(sample.payload)).hexdigest()
-    with _pytest.raises(Exception):  # NotImplementedError crosses the Py4J boundary
-        transform_media(with_payload(d), real_decode=True).collect()
+    if not _has_pil():  # presence side covered by the with-PIL test
+        with _pytest.raises(Exception):  # NotImplementedError crosses Py4J
+            transform_media(with_payload(d), real_decode=True).collect()
 
 
 def test_compact_write_sizes_files(spark, sf_dir):
@@ -789,6 +885,64 @@ def test_simhash_banded_pairs_exact_recall(spark, sf_dir):
     assert got == want
     plan = banded._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan[:1500]
+
+
+def test_minhash_banding_prunes_on_realistic_vocab(spark):
+    """K2's scale claim, measured (r5 verdict item 4): the fixture corpus's
+    ~40-token vocabulary degenerates MinHash banding (every doc shares a
+    bucket with every doc — why q_llm_neardup_lsh is id-clamped), so this
+    test pins the claim the clamp obscures: on a REALISTIC vocabulary
+    (5k tokens, 30-token docs) the same HashingTF→MinHashLSH pipeline's
+    candidate set is a small fraction of all pairs, while planted
+    near-duplicates (2 of 30 tokens swapped, Jaccard dist ≈ 0.125) are
+    still all recalled. Candidate volume = approxSimilarityJoin at
+    distance threshold 1.0 (bucket-join survivors, no distance pruning)."""
+    import random
+
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(5000)]
+    docs = []
+    for i in range(400):
+        docs.append((i, " ".join(rng.sample(vocab, 30))))
+    planted = []
+    for j in range(25):  # near-dup twin of doc j: swap 2 of 30 tokens
+        toks = docs[j][1].split(" ")
+        toks[0], toks[1] = rng.sample(vocab, 2)
+        docs.append((1000 + j, " ".join(toks)))
+        planted.append((j, 1000 + j))
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    toks = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+    )
+    feats = HashingTF(
+        inputCol="tokens", outputCol="features", numFeatures=1 << 14,
+        binary=True,
+    ).transform(toks)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=5, seed=42
+    ).fit(feats)
+    cands = (
+        model.approxSimilarityJoin(feats, feats, 1.0, distCol="dist")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("a"),
+            F.col("datasetB.doc_id").alias("b"),
+            "dist",
+        )
+        .collect()
+    )
+    n = len(docs)
+    all_pairs = n * (n - 1) // 2
+    ratio = len(cands) / all_pairs
+    assert ratio < 0.10, (
+        f"banding failed to prune: {len(cands)}/{all_pairs} = {ratio:.3f}"
+    )
+    near = {(r.a, r.b) for r in cands if r.dist <= 0.35}
+    recall = sum(1 for p in planted if p in near) / len(planted)
+    assert recall >= 0.9, f"planted near-dup recall {recall:.2f}"
 
 
 def test_embed_neardup_blocked_recall(spark, sf_dir):

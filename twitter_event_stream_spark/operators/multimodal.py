@@ -3,11 +3,16 @@
 Images/audio/video are carried as opaque ``BinaryType`` columns beside a
 metadata struct (mime, byte length, content digest). The Spark-side plumbing
 — schema, Arrow batch shape, partitioning, content-hash dedup — is real and
-tested; actual media decoding is STUBBED (the container has no image/audio
-libraries): ``decode_features`` with ``real_decode=True`` raises
-``NotImplementedError``, while the default path emits a deterministic fake
-feature vector derived from the payload bytes, so the distributed pipeline
-around the decoder is fully exercisable.
+tested; actual media decoding is CAPABILITY-DETECTED (r6, softening the
+r5 hard stubs): ``real_decode=True`` imports the codec library inside the
+executor function and runs a real decode when it exists (PIL for
+image features/resize; stdlib ``wave`` for PCM audio — always present),
+raising ``NotImplementedError`` only when the capability is genuinely
+absent (no PIL in this container; compressed audio without ffmpeg). The
+default path emits a deterministic fake derived from the payload bytes
+with the SAME output contract, so the distributed pipeline around the
+decoder is fully exercisable either way, and tests cover whichever branch
+the environment supports (skip-marked otherwise).
 
 Scale: payloads never shuffle for dedup — only their md5 digests do (same
 digest-groupBy discipline as K1). Feature extraction is ``mapInPandas``
@@ -50,18 +55,42 @@ def decode_features(
 ) -> DataFrame:
     """Arrow-batched 'decode + feature-extract' over binary payloads.
 
-    ``real_decode=True`` is the seam where PIL/torchaudio/ffmpeg would go —
-    deliberately ``NotImplementedError`` in this container. The default
-    produces FEATURE_DIM deterministic pseudo-features per payload from its
-    sha256, so partitioning/batching/schema are tested end-to-end.
+    ``real_decode=True`` runs a real image decode when PIL is importable
+    ON THE EXECUTOR (capability detection, not a hard stub): features are
+    [width, height, bands, mean-luminance] normalized to [0, 1) — the same
+    ``FEATURE_DIM array<double>`` contract as the fake path. Without PIL
+    it raises ``NotImplementedError``. The default produces FEATURE_DIM
+    deterministic pseudo-features per payload from its sha256, so
+    partitioning/batching/schema are tested end-to-end in any container.
     """
 
     def extract(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if real_decode:
-            raise NotImplementedError(
-                "media decoding requires image/audio libraries not present "
-                "in this container; wire PIL/ffmpeg here"
-            )
+            try:
+                from PIL import Image
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real image decoding requires PIL, absent in this "
+                    "container (deterministic-fake path covers the "
+                    "Spark-side contract)"
+                ) from e
+            import io
+
+            for pdf in batches:
+                feats = []
+                for blob in pdf["payload"]:
+                    img = Image.open(io.BytesIO(bytes(blob)))
+                    px = list(img.convert("L").getdata())
+                    feats.append(
+                        [
+                            min(img.width / 4096.0, 1.0 - 2**-32),
+                            min(img.height / 4096.0, 1.0 - 2**-32),
+                            len(img.getbands()) / 8.0,
+                            (sum(px) / len(px) / 256.0) if px else 0.0,
+                        ][:FEATURE_DIM]
+                    )
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+            return
         for pdf in batches:
             feats = []
             for blob in pdf["payload"]:
@@ -152,19 +181,35 @@ def transform_media(
     """Image resize/re-encode plumbing: payload in → transformed payload +
     refreshed metadata out.
 
-    ``real_decode=True`` is the PIL seam (``NotImplementedError`` here);
-    the deterministic stand-in emits a pseudo-thumbnail of exactly
-    ``width*height`` bytes cycled from the source payload, so the contract
-    a real resize must satisfy — new binary column, updated (mime, n_bytes,
-    digest) metadata recomputed ON the transformed bytes — is pinned by
-    tests. Runs as a narrow Arrow-batched map; at 100 TB this is the
+    ``real_decode=True`` decodes + resizes + PNG-re-encodes via PIL when it
+    is importable on the executor (capability detection), raising
+    ``NotImplementedError`` only when PIL is absent; the deterministic
+    stand-in emits a pseudo-thumbnail of exactly ``width*height`` bytes
+    cycled from the source payload. Either way the contract a real resize
+    must satisfy — new binary column, updated (mime, n_bytes, digest)
+    metadata recomputed ON the transformed bytes — is pinned by tests.
+    Runs as a narrow Arrow-batched map; at 100 TB this is the
     embarrassingly parallel stage between scan and feature extraction."""
 
     def resize(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if real_decode:
-            raise NotImplementedError(
-                "image resize requires PIL/turbojpeg, absent in this container"
-            )
+            try:
+                from PIL import Image
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real image resize requires PIL, absent in this container"
+                ) from e
+            import io
+
+            for pdf in batches:
+                thumbs = []
+                for blob in pdf["payload"]:
+                    img = Image.open(io.BytesIO(bytes(blob)))
+                    buf = io.BytesIO()
+                    img.resize((width, height)).save(buf, format="PNG")
+                    thumbs.append(buf.getvalue())
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": thumbs})
+            return
         target = width * height
         for pdf in batches:
             thumbs = []
@@ -198,14 +243,17 @@ def audio_chunk(
     rows with per-chunk offsets — the third modality's 1→N seam beside
     video ``frame_sample`` and image ``transform_media``.
 
-    A real segmenter decodes PCM and windows by duration (e.g. 30 s
-    Whisper windows with 1 s overlap); without codecs the deterministic
-    stand-in windows the raw bytes with the same stride arithmetic, which
-    pins everything Spark-side: the overlapping 1→N explode in
-    ``mapInPandas`` (chunk k starts at k·(chunk−overlap), so adjacent
-    chunks share ``overlap_bytes``), per-chunk (doc_id, chunk_idx,
-    byte_off) addressing for downstream ASR/featurizers, and chunk-level
-    metadata. Narrow transformation — no shuffle at any scale.
+    ``real_decode=True`` REALLY decodes WAV/PCM payloads via the stdlib
+    ``wave`` module (always present — capability detection finds it in any
+    container) and windows the decoded PCM bytes with the identical stride
+    arithmetic; compressed codecs (mp3/ogg) would need ffmpeg/torchaudio
+    and raise ``NotImplementedError`` when neither is importable. The
+    default stand-in windows the raw bytes directly, which pins everything
+    Spark-side: the overlapping 1→N explode in ``mapInPandas`` (chunk k
+    starts at k·(chunk−overlap), so adjacent chunks share
+    ``overlap_bytes``), per-chunk (doc_id, chunk_idx, byte_off) addressing
+    for downstream ASR/featurizers, and chunk-level metadata. Narrow
+    transformation — no shuffle at any scale.
 
     Contract: every payload row emits AT LEAST one chunk — an empty
     payload yields a single zero-length chunk at offset 0, so downstream
@@ -213,16 +261,28 @@ def audio_chunk(
     would be indistinguishable from a filtered one)."""
 
     def segment(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = None
         if real_decode:
-            raise NotImplementedError(
-                "audio decoding requires torchaudio/ffmpeg, absent in this "
-                "container"
-            )
+            import io
+            import wave
+
+            def decode(raw: bytes) -> bytes:
+                if raw[:4] != b"RIFF":
+                    raise NotImplementedError(
+                        "compressed audio decode requires "
+                        "torchaudio/ffmpeg, absent in this container "
+                        "(WAV/PCM decodes via stdlib wave)"
+                    )
+                with wave.open(io.BytesIO(raw)) as w:
+                    return w.readframes(w.getnframes())
+
         stride = max(1, chunk_bytes - overlap_bytes)
         for pdf in batches:
             doc, idx, off, chunk = [], [], [], []
             for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(blob)
+                if decode is not None and raw:
+                    raw = decode(raw)
                 k = 0
                 for lo in range(0, max(1, len(raw)), stride):
                     doc.append(doc_id)
