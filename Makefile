@@ -7,7 +7,7 @@
 
 PY ?= python
 
-.PHONY: test test-driver-scale verify verify-sf01 bench all record
+.PHONY: test test-driver-scale verify verify-sf01 bench verify-sf1-probe all record
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -23,6 +23,13 @@ verify-sf01:
 
 bench:
 	$(PY) bench.py
+
+# 10x scale-probe lane (r5 verdict #3): synthesizes a ~sf1 fixture in tmp
+# from sf0.1 and asserts ~linear scaling + clean plans on the most
+# expensive query shapes. ~5-10 min; not part of `all` (run per-round via
+# `make record`).
+verify-sf1-probe:
+	$(PY) tools/scale_probe.py
 
 all: test test-driver-scale verify verify-sf01 bench
 
@@ -43,3 +50,5 @@ record:
 	tail -2 CORRECTNESS_FULL_SF01_r$(ROUND).txt
 	TES_VERIFY_SF_DIR=/root/testdata/sf0.001 $(PY) .claude/skills/verify/driver_sim.py > CORRECTNESS_FULL_SF0001_r$(ROUND).txt 2>&1 || (tail -5 CORRECTNESS_FULL_SF0001_r$(ROUND).txt && false)
 	tail -2 CORRECTNESS_FULL_SF0001_r$(ROUND).txt
+	$(PY) tools/scale_probe.py > SCALE_PROBE_r$(ROUND).txt 2>&1 || (tail -8 SCALE_PROBE_r$(ROUND).txt && false)
+	tail -4 SCALE_PROBE_r$(ROUND).txt

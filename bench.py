@@ -191,6 +191,7 @@ def main() -> None:
         "q_mix_sample",
         "q_train_order",
         "q_bm25",
+        "q_quantile_bucketize",  # r6: distributed exact ntile (two-pass rank)
     ):
         t = time.perf_counter()
         registry.get(name).fn(spark, sf_dir).collect()

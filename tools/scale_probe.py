@@ -1,0 +1,277 @@
+#!/usr/bin/env python
+"""10× scale-probe lane (r5 verdict item 3): synthesize a ~sf1 fixture in
+tmp from sf0.1 and drive the engine's most expensive query shapes at both
+scales, asserting (a) ~linear scaling and (b) the no-cartesian /
+no-corpus-sized-unpartitioned-window plan audits still hold — AQE flips
+plan choices with input statistics, and every other plan assertion in the
+repo runs at sf0.01/sf0.1 only.
+
+Fixture synthesis (COPIES=10 by default):
+
+* ``new_id = old_id * COPIES + k`` — id DENSITY is preserved, so the
+  contract queries' id-window clamps scale linearly with a widened window
+  (``doc_id < W`` holds W rows at any scale), and unclamped queries see
+  COPIES× rows.
+* ``documents.text`` is letter-ROTATED per copy (``translate`` with a
+  shifted alphabet) so copies are lexically disjoint: the near-dup graph
+  stays ~COPIES× the original's edges instead of exploding quadratically
+  in cross-copy duplicate cliques (length, and hence n_chars, unchanged).
+* ``events.ts`` shifts k seconds per copy (no pathological full-tie sort
+  keys); ``embeddings`` perturb by k·1e-3 per component.
+* Non-scaled tables are byte-copied.
+
+Probed workloads: the unclamped contract queries (q_bm25, q_mix_sample,
+q_sessionize, q_llm_ann_ivf) run as-is; the id-clamped flagships run
+their clamp-free cores at a COPIES×-widened window (banded-MinHash
+near-dup pairs → connected components → curation rollup; two_pass_rank
+train order over the full corpus; broadcast-anti-join domain filter;
+ntile_distributed deciles over the full events table).
+
+Budget: warm per-probe time at the big scale must be ≤
+LINEAR_ALPHA × COPIES × small-scale time + SLACK seconds — loose enough
+for local[8] noise, tight enough that a quadratic blow-up (≥COPIES²×)
+fails decisively.
+
+Usage: ``python tools/scale_probe.py [--copies 10] [--keep DIR]``
+(``make verify-sf1-probe`` runs it with defaults).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC = os.environ.get("TES_PROBE_SRC", "/root/testdata/sf0.1")
+LINEAR_ALPHA = 2.0
+SLACK_SEC = 10.0
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def build_fixture(spark, src: str, dst: str, copies: int) -> None:
+    from twitter_event_stream_spark.tables import TABLE_NAMES
+
+    for name in TABLE_NAMES:
+        src_path = f"{src}/{name}.parquet"
+        out = f"{dst}/{name}.parquet"
+        if name not in ("events", "documents", "embeddings"):
+            shutil.copyfile(src_path, out)
+            continue
+        base = spark.read.parquet(src_path)
+        parts = []
+        for k in range(copies):
+            p = base
+            if name == "documents":
+                p = p.withColumn(
+                    "doc_id", F.col("doc_id") * copies + F.lit(k)
+                ).withColumn(
+                    "text", F.translate("text", ALPHA, ALPHA[k:] + ALPHA[:k])
+                )
+            elif name == "events":
+                p = p.withColumn(
+                    "event_id", F.col("event_id") * copies + F.lit(k)
+                ).withColumn("ts", F.expr(f"ts + INTERVAL {k} SECONDS"))
+            else:  # embeddings
+                p = p.withColumn(
+                    "vec_id", F.col("vec_id") * copies + F.lit(k)
+                ).withColumn(
+                    "embedding",
+                    F.transform("embedding", lambda x: x + F.lit(k * 1e-3)),
+                )
+            parts.append(p)
+        functools.reduce(DataFrame.unionByName, parts).coalesce(8).write.mode(
+            "overwrite"
+        ).parquet(out)
+        print(f"fixture: {name} x{copies} -> {out}", flush=True)
+
+
+# ---------------------------------------------------------------- probes
+
+def _curation_core(spark, sf_dir: str, scale: int) -> DataFrame:
+    """q_corpus_curation's pipeline with the id window widened ×scale:
+    banded-MinHash pairs → CC labels → canonical-only quality rollup."""
+    from twitter_event_stream_spark.operators.graph import connected_components
+    from twitter_event_stream_spark.operators.llm_extra import minhash_det_pairs
+    from twitter_event_stream_spark.tables import table
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200 * scale)
+    labels = connected_components(
+        minhash_det_pairs(d).select("a_id", "b_id"), "a_id", "b_id"
+    )
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_tokens.cast("double")
+    curated = (
+        d.join(
+            F.broadcast(labels.select(F.col("node").alias("doc_id"), "label")),
+            "doc_id",
+            "left",
+        )
+        .filter(F.coalesce(F.col("label"), F.col("doc_id")) == F.col("doc_id"))
+        .select("lang", n_tokens.alias("n_tokens"), uniq_ratio.alias("uniq_ratio"))
+        .filter(F.col("uniq_ratio") >= 0.3)
+    )
+    return curated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
+
+
+def _train_order_core(spark, sf_dir: str, scale: int) -> DataFrame:
+    """q_train_order's two_pass_rank over the FULL corpus × 2 epochs."""
+    from twitter_event_stream_spark.operators.scale_ops import two_pass_rank
+    from twitter_event_stream_spark.tables import table
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.explode(F.array(F.lit("e1"), F.lit("e2"))).alias("epoch")
+    ).withColumn(
+        "sk", F.md5(F.concat(F.col("epoch"), F.lit(":"), F.col("doc_id")))
+    )
+    return two_pass_rank(t, ["epoch"], "sk").select("epoch", "doc_id", "pos")
+
+
+def _domain_filter_core(spark, sf_dir: str, scale: int) -> DataFrame:
+    """q_domain_filter's broadcast anti-join over the FULL corpus."""
+    from twitter_event_stream_spark.tables import table
+
+    d = table(spark, sf_dir, "documents")
+    domains = F.array(
+        F.lit("docs.example.org"), F.lit("blog.example.net"),
+        F.lit("spam.example.biz"), F.lit("mirror.example.io"),
+        F.lit("ads.example.click"),
+    )
+    h = d.select(
+        "doc_id", "lang",
+        F.element_at(domains, (F.col("doc_id") % 5 + 1).cast("int")).alias("host"),
+    )
+    blocklist = spark.createDataFrame(
+        [("spam.example.biz",), ("ads.example.click",)], "host string"
+    )
+    return h.join(F.broadcast(blocklist), "host", "left_anti")
+
+
+def _ntile_core(spark, sf_dir: str, scale: int) -> DataFrame:
+    """q_quantile_bucketize's distributed exact deciles over full events."""
+    from twitter_event_stream_spark.operators.scale_ops import ntile_distributed
+    from twitter_event_stream_spark.tables import table
+
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+    return ntile_distributed(ev, "value", "event_id", n_tiles=10).groupBy(
+        "bin"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def _registry_probe(name: str):
+    def run(spark, sf_dir: str, scale: int) -> DataFrame:
+        from twitter_event_stream_spark import registry
+
+        return registry.get(name).fn(spark, sf_dir)
+
+    return run
+
+
+PROBES = {
+    "q_bm25": _registry_probe("q_bm25"),
+    "q_mix_sample": _registry_probe("q_mix_sample"),
+    "q_sessionize": _registry_probe("q_sessionize"),
+    "q_llm_ann_ivf": _registry_probe("q_llm_ann_ivf"),
+    "curation_core": _curation_core,
+    "train_order_core": _train_order_core,
+    "domain_filter_core": _domain_filter_core,
+    "ntile_core": _ntile_core,
+}
+
+#: probes whose plan legitimately contains a 1-row-broadcast stats
+#: cross-join (BNLJ) and/or a bounded-input unpartitioned window —
+#: mirrors tests/test_plans.py's allowlists.
+BNLJ_OK = {"q_bm25"}
+UNPARTITIONED_OK = {"q_bm25"}
+
+
+def audit_plan(name: str, df: DataFrame) -> list[str]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    problems = []
+    if "CartesianProduct" in plan:
+        problems.append(f"{name}: CartesianProduct at 10x")
+    if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+        problems.append(f"{name}: BroadcastNestedLoopJoin at 10x")
+    for line in plan.splitlines():
+        if "windowspecdefinition(" not in line:
+            continue
+        first = line.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+        if (" ASC" in first or " DESC" in first) and name not in UNPARTITIONED_OK:
+            problems.append(f"{name}: unpartitioned window at 10x: {line.strip()[:100]}")
+    return problems
+
+
+def time_probe(spark, fn, sf_dir: str, scale: int) -> float:
+    """Construction + full execution (count), best of 2 — the second run
+    amortizes one-off costs (scan footer reads, codegen) like bench warm."""
+    best = float("inf")
+    for _ in range(2):
+        t = time.perf_counter()
+        fn(spark, sf_dir, scale).count()
+        best = min(best, time.perf_counter() - t)
+    return best
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--keep", default=None, help="reuse/keep fixture dir")
+    args = ap.parse_args()
+
+    from twitter_event_stream_spark.session import get_spark
+
+    spark = get_spark(app_name="tes-scale-probe")
+    dst = args.keep or tempfile.mkdtemp(prefix="tes_sf1_")
+    made_tmp = args.keep is None
+    try:
+        if not os.path.exists(f"{dst}/events.parquet"):
+            t0 = time.perf_counter()
+            build_fixture(spark, SRC, dst, args.copies)
+            print(f"fixture built in {time.perf_counter()-t0:.1f}s", flush=True)
+
+        failures: list[str] = []
+        print(f"\n{'probe':20s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>6s}  budget")
+        for name, fn in PROBES.items():
+            t_small = time_probe(spark, fn, SRC, 1)
+            t_big = time_probe(spark, fn, dst, args.copies)
+            budget = LINEAR_ALPHA * args.copies * t_small + SLACK_SEC
+            ratio = t_big / max(t_small, 1e-9)
+            ok = t_big <= budget
+            if not ok:
+                failures.append(
+                    f"{name}: {t_big:.1f}s > budget {budget:.1f}s "
+                    f"(small={t_small:.1f}s, ratio={ratio:.1f}x)"
+                )
+            failures.extend(audit_plan(name, fn(spark, dst, args.copies)))
+            print(
+                f"{name:20s} {t_small:8.2f} {t_big:8.2f} {ratio:5.1f}x"
+                f"  <= {budget:.1f}s {'OK' if ok else 'FAIL'}",
+                flush=True,
+            )
+
+        print("\n=== SCALE PROBE SUMMARY ===")
+        print(f"copies={args.copies} src={SRC} fixture={dst}")
+        print(f"failures: {len(failures)}")
+        for p in failures:
+            print(f"  {p}")
+        return 1 if failures else 0
+    finally:
+        spark.stop()
+        if made_tmp:
+            shutil.rmtree(dst, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

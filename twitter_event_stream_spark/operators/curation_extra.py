@@ -203,6 +203,16 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pigeonhole, so the sound rank bound widens by their total count
     # (round-5 review catch; with the null-free fixtures n_free = 0 and the
     # bound is exactly budget/min_tokens + 1).
+    # CAVEAT (r5 verdict): this .first() is an EAGER driver-side job at
+    # query-CONSTRUCTION time (the documented broadcast-scalar pattern —
+    # bounded 1-row output, never a data collect), so building this query
+    # runs a Spark job before the returned DataFrame is acted on, and the
+    # bound reflects the table as of construction. If the table could
+    # change between construction and action, rebuild the query at action
+    # time: the prune is lossless only for bounds >= the CURRENT
+    # budget/min_tokens + n_free, and a bound computed from since-changed
+    # data can undershoot that (e.g. shorter docs arriving after
+    # construction).
     stats = t.agg(
         F.greatest(
             F.min(F.when(F.col("n_tokens") >= 1, F.col("n_tokens"))), F.lit(1)

@@ -406,6 +406,14 @@ def q_llm_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs; band buckets bound candidates exactly like production
     MinHash-LSH, and the whole pipeline is JVM-side codegen (no UDF)."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return minhash_det_pairs(d)
+
+
+def minhash_det_pairs(d: DataFrame) -> DataFrame:
+    """The clamp-free core of :func:`q_llm_minhash_det` over any
+    (doc_id, text) DataFrame — also the unclamped workload the 10× scale
+    probe (tools/scale_probe.py) drives, so the banded-join shape is
+    exercised beyond the contract query's bounded id window."""
     shingles = F.expr(
         "array_distinct(transform(sequence(1, length(text) - 2),"
         " i -> substring(text, i, 3)))"
