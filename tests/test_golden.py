@@ -29,6 +29,18 @@ NAMES = sorted(
 )
 
 
+def test_golden_covers_registry():
+    """Coverage guard (r6): every registered query except the documented
+    KLL exclusion must have a pinned golden — a new query shipped without
+    one fails here, not in the judge's diff."""
+    from twitter_event_stream_spark import registry
+
+    expected = set(registry.all_queries()) - {"q_kll_quantiles"}
+    assert set(NAMES) == expected, sorted(
+        expected.symmetric_difference(NAMES)
+    )
+
+
 @pytest.mark.parametrize("name", NAMES)
 def test_golden_snapshot(spark, name):
     df = registry.get(name).fn(spark, GOLDEN_SF)
