@@ -1295,3 +1295,53 @@ def test_events_ns_timestamp_fallback_normalizes(spark, sf_dir):
             w.year, w.month, w.day, w.hour, w.minute, w.second, w.microsecond
         ), (r.event_id, r.ts, w)
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_scale_probe_fixture_and_audit_machinery(spark, tmp_path_factory):
+    """The 10x scale-probe lane's machinery (tools/scale_probe.py), smoke-
+    covered in CI at copies=3 from sf0.001 so the lane itself can't rot:
+    (a) the synthesized fixture holds exactly copies x rows for the scaled
+    tables with ids still UNIQUE (the old*copies+k scheme) and id-window
+    density preserved (doc_id < W holds W rows at any scale); (b) per-copy
+    letter rotation makes copies lexically disjoint (the anti-quadratic
+    guarantee for the near-dup graph); (c) audit_plan passes the engine's
+    own clean shapes and detects a planted cartesian."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    from tools.scale_probe import audit_plan, build_fixture
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path_factory.mktemp("probe_fix"))
+    copies = 3
+    build_fixture(spark, src, d, copies)
+
+    base_docs = spark.read.parquet(f"{src}/documents.parquet")
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    n0 = base_docs.count()
+    assert docs.count() == copies * n0
+    assert docs.select("doc_id").distinct().count() == copies * n0
+    # id density: a window of W ids holds W rows at any scale
+    w = 60
+    assert docs.filter(F.col("doc_id") < w).count() == w
+    # copies of one base doc are lexically disjoint after rotation
+    texts = [
+        r.text
+        for r in docs.filter(F.col("doc_id") < copies).collect()
+    ]
+    assert len(set(texts)) == copies
+    tok_sets = [set(t.split(" ")) for t in texts]
+    inter = tok_sets[0] & tok_sets[1]
+    assert len(inter) < len(tok_sets[0]) / 2, "copies not lexically disjoint"
+
+    ev = spark.read.parquet(f"{d}/events.parquet")
+    assert ev.count() == copies * spark.read.parquet(f"{src}/events.parquet").count()
+    assert ev.select("event_id").distinct().count() == ev.count()
+
+    clean = base_docs.groupBy("lang").count()
+    assert audit_plan("probe", clean) == []
+    planted = base_docs.limit(5).crossJoin(
+        spark.read.parquet(f"{src}/events.parquet").limit(5)
+    )
+    assert any("Cartesian" in p or "NestedLoop" in p for p in audit_plan("probe", planted))
