@@ -170,6 +170,19 @@ def _ntile_core(spark, sf_dir: str, scale: int) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+def _embed_neardup_core(spark, sf_dir: str, scale: int) -> DataFrame:
+    """embed_neardup_blocked with AUTO cell count — constant cell occupancy
+    is what keeps the per-cell gram matrices (and total work) ~linear; a
+    fixed n_cells would fail this probe quadratically."""
+    from twitter_event_stream_spark.operators.vector_search import (
+        embed_neardup_blocked,
+    )
+    from twitter_event_stream_spark.tables import table
+
+    e = table(spark, sf_dir, "embeddings")
+    return embed_neardup_blocked(spark, e, threshold=0.3)
+
+
 def _registry_probe(name: str):
     def run(spark, sf_dir: str, scale: int) -> DataFrame:
         from twitter_event_stream_spark import registry
@@ -188,6 +201,7 @@ PROBES = {
     "train_order_core": _train_order_core,
     "domain_filter_core": _domain_filter_core,
     "ntile_core": _ntile_core,
+    "embed_neardup_core": _embed_neardup_core,
 }
 
 #: probes whose plan legitimately contains a 1-row-broadcast stats

@@ -478,12 +478,19 @@ def two_pass_rank_by_value(
         offsets[bk] = acc
         acc += counts[bk]
     if offsets:
+        # offsets are explicit LONGs: literal inference would type small
+        # values int32, and a >2^31-row corpus (routine at 100 TB) must
+        # not overflow the rank arithmetic
         off_map = F.create_map(
-            *[F.lit(x) for kv in offsets.items() for x in kv]
+            *[
+                c
+                for bk, off in offsets.items()
+                for c in (F.lit(bk), F.lit(off).cast("long"))
+            ]
         )
         off = F.element_at(off_map, F.col("_bk"))
     else:
-        off = F.lit(0)
+        off = F.lit(0).cast("long")
     local = b.withColumn(
         "_lrank",
         F.row_number().over(

@@ -106,24 +106,48 @@ def _lloyd(X: np.ndarray, n_cells: int, seed: int, iters: int = 10) -> np.ndarra
     return centers
 
 
-def _train_quantizer(spark, vectors, n_cells: int, seed: int):
+#: Auto-sized quantizers target this many vectors per cell: per-cell work
+#: (an O(cell²) gram matrix for the blocked near-dup; a per-probe candidate
+#: list for topk) stays CONSTANT as the corpus grows, which is what makes
+#: both operators ~linear at 10×/100× — a FIXED n_cells silently turns them
+#: quadratic (cell occupancy grows with n). 256²·8B ≈ 0.5 MB per cell
+#: matrix: far below executor memory, large enough to keep BLAS efficient.
+TARGET_CELL_ROWS = 256
+
+
+def _train_quantizer(spark, vectors, n_cells: int | None, seed: int):
     """Train the coarse quantizer on a bounded deterministic sample and
     broadcast the centroid matrix (shared by ivf_topk and
     embed_neardup_blocked). Returns ``None`` for an empty corpus — callers
-    short-circuit to an empty typed result instead of clustering nothing."""
+    short-circuit to an empty typed result instead of clustering nothing.
+    ``n_cells=None`` auto-sizes to ``max(8, n / TARGET_CELL_ROWS)`` using
+    the count this function already takes for the training sample —
+    identical to the old fixed 8 for corpora below ~2k vectors (every
+    fixture scale), scaling cell count linearly beyond."""
     valid = vectors.select("vec_id", "embedding").filter(
         F.col("embedding").isNotNull()
     )
     n = valid.count()
-    step = max(1, n // 2048)
+    if n_cells is None:
+        n_cells = max(8, -(-n // TARGET_CELL_ROWS))
+    # the training sample must dominate the cell count (>= 4 points/cell,
+    # faiss-style) but stay a bounded driver-side collect: 64k rows × 64
+    # dims ≈ 32 MB. Auto-sizing therefore holds cell occupancy constant up
+    # to ~4M vectors; past that the driver-side sample is the binding
+    # constraint and occupancy grows again — at that corpus size train the
+    # quantizer distributed (MLlib KMeans) and pass n_cells explicitly.
+    sample_target = min(65536, max(2048, 4 * n_cells))
+    n_cells = min(n_cells, sample_target)
+    step = max(1, n // sample_target)
     train_pdf = valid.filter(F.col("vec_id") % step == 0).toPandas()
     if len(train_pdf) == 0 and n > 0:
         # sparse/adversarial vec_ids can dodge the modulo sample entirely;
         # fall back to a deterministic bounded TakeOrdered sample
-        train_pdf = valid.orderBy("vec_id").limit(2048).toPandas()
+        train_pdf = valid.orderBy("vec_id").limit(sample_target).toPandas()
     if len(train_pdf) == 0:
         return None
     X = np.asarray(train_pdf["embedding"].tolist(), dtype=np.float64)
+    n_cells = min(n_cells, len(X))
     return spark.sparkContext.broadcast(_lloyd(X, n_cells, seed))
 
 
@@ -180,7 +204,7 @@ def ivf_topk(
     vectors: DataFrame,
     probes: DataFrame,
     k: int = 5,
-    n_cells: int = 8,
+    n_cells: int | None = None,
     n_probe_cells: int = 2,
     seed: int = 42,
 ) -> DataFrame:
@@ -192,12 +216,16 @@ def ivf_topk(
     every vector is assigned to its nearest centroid by an Arrow-batched
     argmin on the executors → one inverted-list cell per vector (a
     *bounded, broadcastable* block). Each probe searches only its
-    ``n_probe_cells`` nearest cells, so the candidate set per probe is
-    |corpus|·(n_probe_cells/n_cells) regardless of corpus size, and each
-    cell's block fits the ``knn_topk`` broadcast primitive. Recall is
-    tunable via n_probe_cells (engine test bounds it). Training on a
-    sample instead of a distributed ML fit cut the fixture-scale build
-    from ~3.5 s to ~0.5 s with identical recall bounds.
+    ``n_probe_cells`` nearest cells, and each cell's block fits the
+    ``knn_topk`` broadcast primitive. Recall is tunable via n_probe_cells
+    (engine test bounds it). Training on a sample instead of a
+    distributed ML fit cut the fixture-scale build from ~3.5 s to ~0.5 s
+    with identical recall bounds. ``n_cells`` defaults to AUTO (r6):
+    cell count scales with the corpus (``n / TARGET_CELL_ROWS``), holding
+    per-probe candidate volume at ~TARGET_CELL_ROWS·n_probe_cells rows
+    however large the corpus — a fixed cell count instead makes every
+    probe's candidate list grow linearly with n. Identical to the old
+    fixed 8 below ~2k vectors (every fixture scale).
     """
     bc = _train_quantizer(spark, vectors, n_cells, seed)
     if bc is None:  # empty corpus -> empty result, same schema
@@ -235,7 +263,7 @@ def embed_neardup_blocked(
     spark: SparkSession,
     vectors: DataFrame,
     threshold: float = 0.3,
-    n_cells: int = 8,
+    n_cells: int | None = None,
     n_probe_cells: int = 3,
     seed: int = 42,
 ) -> DataFrame:
@@ -256,7 +284,12 @@ def embed_neardup_blocked(
     count is the knob that bounds it, exactly the bound the candidate
     volume already relies on; the only shuffle is the hash partition on
     the cell key (engine test pins recall vs the exact pair set and a
-    cartesian-free plan)."""
+    cartesian-free plan). ``n_cells`` defaults to AUTO (r6):
+    ``n / TARGET_CELL_ROWS`` so cell occupancy — and with it per-task
+    memory AND total gram-matrix work — stays constant as the corpus
+    grows; a fixed cell count makes this operator silently quadratic at
+    10×/100× (cells fatten with n), the exact failure the 10× scale probe
+    measures. Identical to the old fixed 8 at every fixture scale."""
     bc = _train_quantizer(spark, vectors, n_cells, seed)
     if bc is None:  # empty corpus -> empty result, same schema
         return spark.createDataFrame([], "a_id long, b_id long, sim double")
