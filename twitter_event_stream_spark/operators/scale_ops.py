@@ -407,7 +407,7 @@ def two_pass_rank_by_value(
     value_col: str,
     tiebreak_col: str,
     rank_name: str = "pos",
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
     accuracy: int = 10000,
 ) -> tuple[DataFrame, int]:
     """Distributed EXACT global rank ordered by ``(value_col ASC NULLS
@@ -444,7 +444,15 @@ def two_pass_rank_by_value(
     that every row uses the same literal cutpoints, which plan literals
     guarantee by construction (the r5 repartitionByRange lesson). Heavy
     ties on one value concentrate that value's bucket — degrading balance,
-    never correctness."""
+    never correctness.
+
+    ``n_buckets=None`` (default) scales with the session's parallelism,
+    exactly like :func:`two_pass_rank`'s ``n_parts``: bucket occupancy is
+    n/n_buckets, so a FIXED bucket count just re-creates the single-task
+    sort divided by a constant — on a 1000-executor cluster the local
+    rank must spread over the cluster's task slots, not over 32."""
+    if n_buckets is None:
+        n_buckets = max(32, df.sparkSession.sparkContext.defaultParallelism)
     qs = [i / n_buckets for i in range(1, n_buckets)]
     stats = df.agg(
         F.count(F.lit(1)).alias("n"),
@@ -511,7 +519,7 @@ def ntile_distributed(
     tiebreak_col: str,
     n_tiles: int = 10,
     bin_name: str = "bin",
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """EXACT ``ntile(n_tiles) OVER (ORDER BY value, tiebreak)`` with no
     single-task sort: :func:`two_pass_rank_by_value` supplies the exact
