@@ -36,7 +36,12 @@ def main() -> None:
 
     names = sys.argv[1:]
     if names == ["--rows-only"]:
-        names = sorted(set(entry.queries()) - set(entry.oracle_sql()))
+        # q_kll_quantiles is deliberately NOT golden-pinned (DataSketches
+        # KLL compaction is randomized across JVM sessions — see
+        # test_golden.py); writing it would break the suite it feeds
+        names = sorted(
+            set(entry.queries()) - set(entry.oracle_sql()) - {"q_kll_quantiles"}
+        )
     if not names:
         print(__doc__)
         sys.exit(2)

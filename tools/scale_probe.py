@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import argparse
 import functools
+import json
 import os
 import shutil
 import sys
@@ -60,6 +61,7 @@ ALPHA = "abcdefghijklmnopqrstuvwxyz"
 def build_fixture(spark, src: str, dst: str, copies: int) -> None:
     from twitter_event_stream_spark.tables import TABLE_NAMES
 
+    os.makedirs(dst, exist_ok=True)
     for name in TABLE_NAMES:
         src_path = f"{src}/{name}.parquet"
         out = f"{dst}/{name}.parquet"
@@ -227,15 +229,19 @@ def audit_plan(name: str, df: DataFrame) -> list[str]:
     return problems
 
 
-def time_probe(spark, fn, sf_dir: str, scale: int) -> float:
+def time_probe(spark, fn, sf_dir: str, scale: int):
     """Construction + full execution (count), best of 2 — the second run
-    amortizes one-off costs (scan footer reads, codegen) like bench warm."""
+    amortizes one-off costs (scan footer reads, codegen) like bench warm.
+    Returns ``(best_seconds, last_df)`` so the caller audits the already-
+    built plan instead of paying a third eager construction at 10×."""
     best = float("inf")
+    df = None
     for _ in range(2):
         t = time.perf_counter()
-        fn(spark, sf_dir, scale).count()
+        df = fn(spark, sf_dir, scale)
+        df.count()
         best = min(best, time.perf_counter() - t)
-    return best
+    return best, df
 
 
 def main() -> int:
@@ -250,16 +256,33 @@ def main() -> int:
     dst = args.keep or tempfile.mkdtemp(prefix="tes_sf1_")
     made_tmp = args.keep is None
     try:
+        meta_path = os.path.join(dst, "fixture_meta.json")
         if not os.path.exists(f"{dst}/events.parquet"):
             t0 = time.perf_counter()
             build_fixture(spark, SRC, dst, args.copies)
+            with open(meta_path, "w") as f:
+                json.dump({"copies": args.copies, "src": SRC}, f)
             print(f"fixture built in {time.perf_counter()-t0:.1f}s", flush=True)
+        else:
+            # a kept fixture must match this invocation's id arithmetic —
+            # reusing a --copies 10 fixture under --copies 5 would silently
+            # compute wrong window widths and budgets
+            meta = {}
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
+            if meta.get("copies") != args.copies or meta.get("src") != SRC:
+                raise SystemExit(
+                    f"kept fixture {dst} was built with {meta or 'unknown'}; "
+                    f"this run wants copies={args.copies} src={SRC} — "
+                    "delete the directory or pass the matching flags"
+                )
 
         failures: list[str] = []
         print(f"\n{'probe':20s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>6s}  budget")
         for name, fn in PROBES.items():
-            t_small = time_probe(spark, fn, SRC, 1)
-            t_big = time_probe(spark, fn, dst, args.copies)
+            t_small, _ = time_probe(spark, fn, SRC, 1)
+            t_big, big_df = time_probe(spark, fn, dst, args.copies)
             budget = LINEAR_ALPHA * args.copies * t_small + SLACK_SEC
             ratio = t_big / max(t_small, 1e-9)
             ok = t_big <= budget
@@ -268,7 +291,7 @@ def main() -> int:
                     f"{name}: {t_big:.1f}s > budget {budget:.1f}s "
                     f"(small={t_small:.1f}s, ratio={ratio:.1f}x)"
                 )
-            failures.extend(audit_plan(name, fn(spark, dst, args.copies)))
+            failures.extend(audit_plan(name, big_df))
             print(
                 f"{name:20s} {t_small:8.2f} {t_big:8.2f} {ratio:5.1f}x"
                 f"  <= {budget:.1f}s {'OK' if ok else 'FAIL'}",

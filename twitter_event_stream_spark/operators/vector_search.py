@@ -90,6 +90,22 @@ def knn_bench_query(spark: SparkSession, sf_dir: str, n_probes: int = 100) -> Da
     )
 
 
+def _sq_dists(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Pairwise squared distances via the matmul identity
+    ``|x-c|² = |x|² + |c|² - 2x·c`` — O(rows × cells) memory. The naive
+    3-D broadcast ``(X[:,None,:] - C[None,:,:])**2`` materializes
+    rows × cells × dims float64s, which with AUTO cell counts is
+    rows×cells×64×8B — tens of GB at ~1M vectors (the exact regime
+    auto-sizing targets) vs ~tens of MB for this form."""
+    d2 = (
+        (X * X).sum(axis=1)[:, None]
+        + (C * C).sum(axis=1)[None, :]
+        - 2.0 * (X @ C.T)
+    )
+    np.maximum(d2, 0.0, out=d2)  # clamp matmul rounding below zero
+    return d2
+
+
 def _lloyd(X: np.ndarray, n_cells: int, seed: int, iters: int = 10) -> np.ndarray:
     """Seeded Lloyd k-means on an in-memory sample (the coarse-quantizer
     trainer). Deterministic: seeded init, pure numpy updates; empty cells
@@ -97,8 +113,7 @@ def _lloyd(X: np.ndarray, n_cells: int, seed: int, iters: int = 10) -> np.ndarra
     rng = np.random.default_rng(seed)
     centers = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)].copy()
     for _ in range(iters):
-        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
+        assign = _sq_dists(X, centers).argmin(axis=1)
         for c in range(len(centers)):
             members = X[assign == c]
             if len(members):
@@ -137,7 +152,10 @@ def _train_quantizer(spark, vectors, n_cells: int | None, seed: int):
     # constraint and occupancy grows again — at that corpus size train the
     # quantizer distributed (MLlib KMeans) and pass n_cells explicitly.
     sample_target = min(65536, max(2048, 4 * n_cells))
-    n_cells = min(n_cells, sample_target)
+    # enforce the >=4 points/cell invariant even when the 64k sample cap
+    # binds — clamping to sample_target itself would let every sampled
+    # point become its own centroid (degenerate quantizer) at huge n
+    n_cells = min(n_cells, sample_target // 4)
     step = max(1, n // sample_target)
     train_pdf = valid.filter(F.col("vec_id") % step == 0).toPandas()
     if len(train_pdf) == 0 and n > 0:
@@ -165,7 +183,7 @@ def _cell_assign(df, bc, n_probe: int):
             if len(pdf) == 0:
                 continue
             mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
-            d2 = ((mat[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+            d2 = _sq_dists(mat, cm)  # O(batch × cells), not × dims
             if k == 1:
                 out = pdf[["vec_id", "embedding"]].copy()
                 out["cell"] = d2.argmin(axis=1).astype("int32")
