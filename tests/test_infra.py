@@ -1345,3 +1345,43 @@ def test_scale_probe_fixture_and_audit_machinery(spark, tmp_path_factory):
         spark.read.parquet(f"{src}/events.parquet").limit(5)
     )
     assert any("Cartesian" in p or "NestedLoop" in p for p in audit_plan("probe", planted))
+def test_knn_topk_disjoint_probes_and_zero_norms(spark):
+    """knn_topk edge contract (r6 review catches): (a) probes DISJOINT
+    from the candidate block get exactly k neighbors — the old
+    kk=min(k, n-1) assumed a self-match always occupies one slot and
+    silently returned k-1 (zero for a single-candidate block); (b) a
+    zero-norm candidate must not crowd real neighbors out of the top-k
+    via 0/0 = NaN winning argpartition; (c) member probes still exclude
+    themselves and get k."""
+    from twitter_event_stream_spark.operators.vector_search import knn_topk
+
+    cands = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0]) for i in range(6)]
+        + [(99, [0.0, 0.0])],  # zero-norm candidate
+        "vec_id long, embedding array<float>",
+    )
+    # disjoint probes
+    probes = spark.createDataFrame(
+        [(100, [1.0, 0.5]), (101, [0.1, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = knn_topk(spark, cands, probes, k=3).collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    assert set(by_probe) == {100, 101}
+    for pid, rs in by_probe.items():
+        assert len(rs) == 3, (pid, rs)
+        assert all(r.cand_id != 99 for r in rs), "zero-norm candidate leaked"
+        assert sorted(r.rn for r in rs) == [1, 2, 3]
+        assert all(abs(r.sim) <= 1.0 + 1e-9 for r in rs)
+    # member probes: self excluded, still k results
+    member = cands.filter("vec_id in (0, 1)")
+    rows2 = knn_topk(spark, cands, member, k=3).collect()
+    for r in rows2:
+        assert r.probe_id != r.cand_id
+    assert sum(1 for r in rows2 if r.probe_id == 0) == 3
+    # single-candidate block, disjoint probe: 1 neighbor, not zero
+    one = spark.createDataFrame([(7, [1.0, 1.0])], "vec_id long, embedding array<float>")
+    rows3 = knn_topk(spark, one, probes, k=5).collect()
+    assert {(r.probe_id, r.cand_id) for r in rows3} == {(100, 7), (101, 7)}

@@ -749,3 +749,33 @@ def test_curation_stream_keeps_null_props(spark, sf_dir, chunk_dir):
     )
     n_null = table(spark, sf_dir, "events").filter("event_id % 10 = 0").count()
     assert len(gated) == n_all - n_null, "gate should drop exactly the empty payloads"
+
+def test_fanout_rerun_is_idempotent(spark, tmp_path_factory):
+    """R9 fan-out retry contract (r6 review catch): foreachBatch may
+    re-execute a micro-batch after recovery, and Spark retries tasks —
+    re-running the same (batch_id, data) must leave each per-client file
+    with exactly one copy of its payloads (mode 'w' truncate), not an
+    appended duplicate."""
+    import os
+
+    from twitter_event_stream_spark.streaming.pipelines import (
+        fanout_foreach_partition,
+    )
+
+    base = str(tmp_path_factory.mktemp("fanout_idem"))
+    batch = spark.createDataFrame(
+        [(str(i % 3), f'{{"event_id": {i}}}', i) for i in range(30)],
+        "client_id string, payload string, ts long",
+    )
+    handle = fanout_foreach_partition(base)
+    handle(batch, 7)
+    first = {}
+    for root, _dirs, files in os.walk(base):
+        for fn in files:
+            p = os.path.join(root, fn)
+            first[p] = open(p).read()
+    handle(batch, 7)  # simulated replay of the same micro-batch
+    for p, content in first.items():
+        assert open(p).read() == content, f"duplicated payloads in {p}"
+    total = sum(c.count("event_id") for c in first.values())
+    assert total == 30

@@ -133,9 +133,13 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-extra — character-3-gram shingle Jaccard (near-dup on raw text,
     robust to token boundaries), lang-blocked and id-bounded."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    # length >= 3 guard: Spark's sequence(1, n) DESCENDS for n < 1 (unlike
+    # DuckDB's empty range) — a sub-shingle text would fabricate '' shingles
     shingles = F.expr(
-        "array_distinct(transform(sequence(1, length(text) - 2),"
+        "CASE WHEN length(text) >= 3 THEN"
+        " array_distinct(transform(sequence(1, length(text) - 2),"
         " i -> substring(text, i, 3)))"
+        " ELSE array() END"
     )
     sh = d.select("doc_id", "lang", F.explode(shingles).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -301,9 +305,14 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         " t -> CAST(ascii(t) + length(t) AS BIGINT)),"
         " 0L, (acc, v) -> (acc * 131 + v) % 1000000007)"
     )
+    # length >= 3 guard: for a sub-shingle text Spark's descending
+    # sequence(1, n<1) would hash fabricated '' shingles (md5('') instead
+    # of the oracle's NULL min over an empty list)
     min_shingle = F.expr(
-        "array_min(transform(transform(sequence(1, length(text) - 2),"
+        "CASE WHEN length(text) >= 3 THEN"
+        " array_min(transform(transform(sequence(1, length(text) - 2),"
         " i -> substring(text, i, 3)), s -> md5(s)))"
+        " END"
     )
     return d.select(
         "doc_id",
@@ -413,10 +422,19 @@ def minhash_det_pairs(d: DataFrame) -> DataFrame:
     """The clamp-free core of :func:`q_llm_minhash_det` over any
     (doc_id, text) DataFrame — also the unclamped workload the 10× scale
     probe (tools/scale_probe.py) drives, so the banded-join shape is
-    exercised beyond the contract query's bounded id window."""
+    exercised beyond the contract query's bounded id window.
+
+    The length >= 3 guard matters beyond oracle parity here: Spark's
+    sequence(1, n) DESCENDS for n < 1, so every degenerate (<3-char) doc
+    would otherwise share a fabricated ''-shingle signature — phantom
+    near-dup pairs linking ALL short docs into one cluster, which the
+    graph queries built on these pairs then amplify (caught by the r6
+    degenerate-text differential audit)."""
     shingles = F.expr(
-        "array_distinct(transform(sequence(1, length(text) - 2),"
+        "CASE WHEN length(text) >= 3 THEN"
+        " array_distinct(transform(sequence(1, length(text) - 2),"
         " i -> substring(text, i, 3)))"
+        " ELSE array() END"
     )
     sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
     sig = (

@@ -198,10 +198,17 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the counts (bounded by alphabet size per doc, not text length).
     The rnd() wrap collapses partial-sum ulp drift (SURVEY §2.0 C2)."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # n >= 1 guard: Spark's sequence(1, 0) DESCENDS to [1, 0] (it does not
+    # return empty like DuckDB's range), so an empty text would fabricate
+    # two '' pseudo-chars and a spurious output row the oracle lacks
     chars = d.select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+            F.expr(
+                "CASE WHEN length(text) >= 1 THEN"
+                " transform(sequence(1, length(text)), i -> substring(text, i, 1))"
+                " ELSE array() END"
+            )
         ).alias("ch"),
     )
     cnt = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
@@ -248,10 +255,16 @@ def q_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes join back as two broadcast-size lookups. At 100 TB the same
     pipeline runs with the gram join bucketed and the size table broadcast."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    # n >= 2 guard: a single-token doc gives sequence(1, 0) = [1, 0]
+    # (Spark sequences DESCEND, unlike DuckDB's empty range) whose
+    # element_at(..., 0) THROWS under ANSI — the oracle just emits no
+    # grams, so match it with an explicit empty array
     grams = F.expr(
-        "array_distinct(transform(sequence(1, size(split(text, ' ')) - 1),"
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN"
+        " array_distinct(transform(sequence(1, size(split(text, ' ')) - 1),"
         " i -> concat(element_at(split(text, ' '), i), ' ',"
         "             element_at(split(text, ' '), i + 1))))"
+        " ELSE array() END"
     )
     g = d.select("doc_id", F.explode(grams).alias("gram"))
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))

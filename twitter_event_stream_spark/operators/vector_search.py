@@ -57,16 +57,36 @@ def knn_topk(
             p_ids = pdf[id_col].to_numpy()
             p_mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             p_norms = np.linalg.norm(p_mat, axis=1)
-            sims = (p_mat @ c_mat.T) / (p_norms[:, None] * c_norms[None, :])
-            # exclude self-matches by id
+            # zero-norm vectors have no cosine direction: guard the divide
+            # (0/0 NaN would otherwise win argpartition, NaN > all) and
+            # exclude those pairs explicitly, same discipline as
+            # embed_neardup_blocked's verify
+            p_zero = p_norms == 0.0
+            c_zero = c_norms == 0.0
+            sims = (p_mat @ c_mat.T) / (
+                np.where(p_zero, 1.0, p_norms)[:, None]
+                * np.where(c_zero, 1.0, c_norms)[None, :]
+            )
+            sims[p_zero, :] = -np.inf
+            sims[:, c_zero] = -np.inf
+            # exclude self-matches by id; -inf marks every excluded pair,
+            # and excluded pairs are FILTERED from the output rather than
+            # assumed to occupy exactly one top slot — probes disjoint
+            # from the candidate block have no self-match, so the old
+            # kk = min(k, n-1) silently returned k-1 neighbors for them
+            # (and zero for a single-candidate block)
             self_mask = p_ids[:, None] == c_ids[None, :]
             sims[self_mask] = -np.inf
-            kk = min(k, sims.shape[1] - 1)
+            kk = min(k + 1, sims.shape[1])
             top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
             rows = []
             for i in range(len(p_ids)):
                 order = top[i][np.lexsort((c_ids[top[i]], -sims[i, top[i]]))]
-                for rank, j in enumerate(order, start=1):
+                rank = 0
+                for j in order:
+                    if sims[i, j] == -np.inf or rank >= k:
+                        continue
+                    rank += 1
                     rows.append((int(p_ids[i]), int(c_ids[j]), float(sims[i, j]), rank))
             yield pd.DataFrame(rows, columns=["probe_id", "cand_id", "sim", "rn"])
 
@@ -157,7 +177,15 @@ def _train_quantizer(spark, vectors, n_cells: int | None, seed: int):
     # point become its own centroid (degenerate quantizer) at huge n
     n_cells = min(n_cells, sample_target // 4)
     step = max(1, n // sample_target)
-    train_pdf = valid.filter(F.col("vec_id") % step == 0).toPandas()
+    # the modulo sample is size-bounded only for ids uniform mod step; ids
+    # allocated with a stride sharing a factor with step would select far
+    # more (worst case the whole corpus) into the driver — the limit is a
+    # hard cap that is a no-op in the uniform case
+    train_pdf = (
+        valid.filter(F.col("vec_id") % step == 0)
+        .limit(2 * sample_target)
+        .toPandas()
+    )
     if len(train_pdf) == 0 and n > 0:
         # sparse/adversarial vec_ids can dodge the modulo sample entirely;
         # fall back to a deterministic bounded TakeOrdered sample
@@ -203,7 +231,10 @@ def _cell_assign(df, bc, n_probe: int):
 def _cosine(a_col: str, b_col: str):
     """JVM-side cosine between two array<float> columns (double-widened
     HOF fold — the oracle-parity arithmetic, shared by the per-cell
-    verifies)."""
+    verifies). A zero-norm side yields NULL (no cosine direction) via
+    ``nullif`` — under Spark 4's default ANSI mode a bare divide would
+    instead abort the whole job on the first zero-norm vector; NULL sims
+    sink below every real neighbor in the descending top-k window."""
 
     def dot(x, y):
         return F.expr(
@@ -212,8 +243,8 @@ def _cosine(a_col: str, b_col: str):
             " 0D, (acc, v) -> acc + v)"
         )
 
-    return dot(a_col, b_col) / (
-        F.sqrt(dot(a_col, a_col)) * F.sqrt(dot(b_col, b_col))
+    return dot(a_col, b_col) / F.nullif(
+        F.sqrt(dot(a_col, a_col)) * F.sqrt(dot(b_col, b_col)), F.lit(0.0)
     )
 
 
@@ -266,6 +297,7 @@ def ivf_topk(
         p.join(c, "cell")
         .filter(F.col("probe_id") != F.col("cand_id"))
         .select("probe_id", "cand_id", _cosine("pv", "cv").alias("sim"))
+        .filter(F.col("sim").isNotNull())  # zero-norm pairs: no direction
     )
     from pyspark.sql import Window
 

@@ -140,9 +140,15 @@ def _write_fanout_chunks(base_dir: str, batch_id: int):
                     if w is None:
                         d = os.path.join(base_dir, f"client_id={client}")
                         os.makedirs(d, exist_ok=True)
+                        # mode "w", not "a": the writers map already opens
+                        # each (client, batch) file exactly once per task
+                        # ATTEMPT (later Arrow chunks reuse the handle), so
+                        # truncating makes task retries / micro-batch
+                        # replays after recovery idempotent — append would
+                        # duplicate the first attempt's lines
                         w = open(
                             os.path.join(d, f"batch-{batch_id:09d}.ndjson"),
-                            "a",
+                            "w",
                             encoding="utf-8",
                         )
                         writers[client] = w

@@ -18,12 +18,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from twitter_event_stream_spark.streaming.pipelines import WIRE_SCHEMA
 from twitter_event_stream_spark.tables import table
 
-EVENTS_SCHEMA = (
-    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
-    "value double, props string"
-)
+#: The replay fixture decodes to the SAME shape the bridge's wire decoder
+#: produces — one definition, so a wire-schema change cannot silently
+#: leave the replay fixture emitting the old shape.
+EVENTS_SCHEMA = WIRE_SCHEMA
 
 
 def write_replay_chunks(
