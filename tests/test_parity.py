@@ -129,12 +129,14 @@ def test_differential_under_degenerate_text(spark, tmp_path_factory):
     sequence(1,0)-descends review catch): every documents-reading HASH
     query must still match its DuckDB oracle when the corpus contains
     DEGENERATE texts — empty strings, a single token, bare whitespace,
-    single chars. Spark and DuckDB disagree on several primitives exactly
+    single chars — and ZERO-NORM embeddings (the classic failed-encode
+    artifact). Spark and DuckDB disagree on several primitives exactly
     there (Spark's sequence(1,0) DESCENDS where DuckDB's range is empty;
-    element_at throws under ANSI; split('  ') shapes differ), so fixtures
-    of healthy 48-553-char texts structurally cannot exercise the
-    guards. Keys stay untouched; only `text` is rewritten on a ~8% slice.
-    """
+    element_at throws under ANSI; Spark's default-ANSI double divide
+    ABORTS on /0 where DuckDB yields NULL), so fixtures of healthy
+    48-553-char texts and nonzero vectors structurally cannot exercise
+    the guards. Keys stay untouched; `text` is rewritten on a ~8% slice
+    and ~3% of embeddings are zeroed."""
     import os as _os
 
     import duckdb
@@ -161,6 +163,14 @@ def test_differential_under_degenerate_text(spark, tmp_path_factory):
                     F.col("doc_id") % 37 < len(degens),
                     F.element_at(arr, (F.col("doc_id") % 37 + 1).cast("int")),
                 ).otherwise(F.col("text")),
+            )
+        if name == "embeddings":
+            df = df.withColumn(
+                "embedding",
+                F.when(
+                    F.col("vec_id") % 31 == 0,
+                    F.transform("embedding", lambda x: x * F.lit(0.0)),
+                ).otherwise(F.col("embedding")),
             )
         df.write.mode("overwrite").parquet(f"{d}/{name}.parquet")
     con = duckdb.connect()

@@ -41,3 +41,22 @@ def R(expr: str, n: int = 2) -> str:
     """The identical rounding formula as DuckDB SQL text, for oracles."""
     scale = 10**n
     return f"floor(({expr}) * {scale} + 0.505) / {scale}"
+
+
+def char_shingles_sql(n: int = 3, col: str = "text") -> str:
+    """SQL text for the distinct character n-gram shingles of ``col`` —
+    THE shared shingle builder (near-dup MinHash, n-gram Jaccard,
+    winnowing fingerprints, estimator audits all consume it).
+
+    Carries the length guard as part of the definition: Spark's
+    ``sequence(1, m)`` DESCENDS for m < 1 (DuckDB's ``range`` is empty),
+    so an unguarded builder fabricates ``''`` shingles on degenerate
+    (<n-char) texts — which once linked every short doc into a single
+    phantom near-dup cluster (r6 degenerate-text audit catch). One
+    definition, so the guard cannot desync across call sites again."""
+    return (
+        f"CASE WHEN length({col}) >= {n} THEN"
+        f" array_distinct(transform(sequence(1, length({col}) - {n - 1}),"
+        f" i -> substring({col}, i, {n})))"
+        f" ELSE array() END"
+    )

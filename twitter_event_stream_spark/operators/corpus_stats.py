@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from twitter_event_stream_spark.exprs import R, rnd
+from twitter_event_stream_spark.exprs import char_shingles_sql, R, rnd
 from twitter_event_stream_spark.registry import query
 from twitter_event_stream_spark.tables import table
 
@@ -153,10 +153,7 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         # both sides (they produce no shingles either way).
         (F.col("doc_id") < 120) & (F.length("text") >= 3)
     )
-    shingles = F.expr(
-        "array_distinct(transform(sequence(1, length(text) - 2),"
-        " i -> substring(text, i, 3)))"
-    )
+    shingles = F.expr(char_shingles_sql(3))
     sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a_id"), "shingle")

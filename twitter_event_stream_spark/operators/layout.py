@@ -99,7 +99,12 @@ def compact_write(
     json_to_parquet_ratio: float = 4.0,
 ) -> int:
     """Write ``df`` as parquet in ~``target_mb``-sized files; returns the
-    planned file count.
+    size-derived GLOBAL file-count estimate. For an unpartitioned write
+    that estimate is also the plan (``repartition(n_files)``); with
+    ``partition_by`` the actual layout is per-partition-value —
+    ``repartition(cols)`` × the ``maxRecordsPerFile`` bound — so the
+    return value is only the overall size estimate, not a per-directory
+    file count.
 
     The small-files problem is the quiet killer of 100 TB tables: a
     pipeline stage that ends on 2000 reducers writes 2000 files per run,

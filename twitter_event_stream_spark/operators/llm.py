@@ -161,7 +161,11 @@ def q_llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "probe_id",
             "cand_id",
-            rnd(dot / (F.col("pn") * F.col("cn")), 4).alias("sim"),
+            # nullif: a zero-norm embedding has no cosine direction —
+            # DuckDB's double /0 yields NULL while Spark's default ANSI
+            # mode would ABORT the job; NULL sims sink below real
+            # neighbors in the desc window (parity either way)
+            rnd(dot / F.nullif(F.col("pn") * F.col("cn"), F.lit(0.0)), 4).alias("sim"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("cand_id"))

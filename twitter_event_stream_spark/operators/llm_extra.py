@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from twitter_event_stream_spark.exprs import R, rnd
+from twitter_event_stream_spark.exprs import R, char_shingles_sql, rnd
 from twitter_event_stream_spark.registry import query
 from twitter_event_stream_spark.tables import table
 
@@ -133,14 +133,7 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-extra — character-3-gram shingle Jaccard (near-dup on raw text,
     robust to token boundaries), lang-blocked and id-bounded."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
-    # length >= 3 guard: Spark's sequence(1, n) DESCENDS for n < 1 (unlike
-    # DuckDB's empty range) — a sub-shingle text would fabricate '' shingles
-    shingles = F.expr(
-        "CASE WHEN length(text) >= 3 THEN"
-        " array_distinct(transform(sequence(1, length(text) - 2),"
-        " i -> substring(text, i, 3)))"
-        " ELSE array() END"
-    )
+    shingles = F.expr(char_shingles_sql(3))
     sh = d.select("doc_id", "lang", F.explode(shingles).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(
@@ -305,14 +298,11 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         " t -> CAST(ascii(t) + length(t) AS BIGINT)),"
         " 0L, (acc, v) -> (acc * 131 + v) % 1000000007)"
     )
-    # length >= 3 guard: for a sub-shingle text Spark's descending
-    # sequence(1, n<1) would hash fabricated '' shingles (md5('') instead
-    # of the oracle's NULL min over an empty list)
+    # min over distinct shingles == min over the multiset, and the shared
+    # builder's guard makes the degenerate-text min NULL (array_min of an
+    # empty array) exactly like the oracle's empty-list aggregate
     min_shingle = F.expr(
-        "CASE WHEN length(text) >= 3 THEN"
-        " array_min(transform(transform(sequence(1, length(text) - 2),"
-        " i -> substring(text, i, 3)), s -> md5(s)))"
-        " END"
+        f"array_min(transform({char_shingles_sql(3)}, s -> md5(s)))"
     )
     return d.select(
         "doc_id",
@@ -360,7 +350,11 @@ def q_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("bv"),
         F.col("nrm").alias("bn"),
     )
-    sim = F.expr(_DOT.format(a="av", b="bv")) / (F.col("an") * F.col("bn"))
+    # nullif: DuckDB's double /0 yields NULL (pair filtered) while Spark's
+    # default ANSI mode would ABORT on a zero-norm embedding
+    sim = F.expr(_DOT.format(a="av", b="bv")) / F.nullif(
+        F.col("an") * F.col("bn"), F.lit(0.0)
+    )
     return (
         a.join(b, (F.col("label") == F.col("b_label")) & (F.col("a_id") < F.col("b_id")))
         .filter(sim >= 0.25)
@@ -430,12 +424,7 @@ def minhash_det_pairs(d: DataFrame) -> DataFrame:
     near-dup pairs linking ALL short docs into one cluster, which the
     graph queries built on these pairs then amplify (caught by the r6
     degenerate-text differential audit)."""
-    shingles = F.expr(
-        "CASE WHEN length(text) >= 3 THEN"
-        " array_distinct(transform(sequence(1, length(text) - 2),"
-        " i -> substring(text, i, 3)))"
-        " ELSE array() END"
-    )
+    shingles = F.expr(char_shingles_sql(3))
     sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
     sig = (
         sh.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(7))))

@@ -82,6 +82,10 @@ def q_policy_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is the standard safety-filter pass, embarrassingly
     parallel, no shuffle beyond per-language partials."""
     table(spark, sf_dir, "documents")
+    # Spark SQL string literals process backslash escapes (DuckDB's don't),
+    # so the SHARED pattern constant is re-escaped here rather than
+    # hardcoding a second copy that could silently drift from the oracle's
+    den = _DENYLIST_RE.replace("\\", "\\\\")
     return spark.sql(
         f"""
         SELECT lang,
@@ -89,7 +93,7 @@ def q_policy_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                count_if(regexp_count(text, '{_EMAIL_RE}') > 0) AS docs_with_email,
                CAST(sum(regexp_count(text, '{_DIGIT_RUN_RE}')) AS BIGINT)
                  AS n_long_digit_runs,
-               CAST(sum(regexp_count(text, '\\\\b(key|hash)\\\\b')) AS BIGINT)
+               CAST(sum(regexp_count(text, '{den}')) AS BIGINT)
                  AS n_denylist_hits
         FROM documents
         GROUP BY lang
@@ -284,9 +288,12 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: NULLS FIRST pins the engines' diverging defaults (Spark ASC sorts NULLs
+#: first, DuckDB last): the distributed ntile ranks NULL values into the
+#: first tile, and the oracle must state the same total order explicitly.
 _BUCKETIZE_SQL = """
 WITH b AS (
-  SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bin
+  SELECT value, ntile(10) OVER (ORDER BY value NULLS FIRST, event_id) AS bin
   FROM events
 )
 SELECT bin, count(*) AS n,
@@ -326,6 +333,10 @@ def q_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: nullif(sd, 0): an all-equal group has sd = 0.0 (not NULL) — DuckDB's
+#: double /0 would yield NULL anyway, but Spark's default ANSI mode ABORTS
+#: on it; nullif states the NULL-z semantics identically in both dialects,
+#: keeping the SQL byte-identical.
 _ZNORM_SQL = """
 WITH s AS (
   SELECT event_id, event_type, value,
@@ -334,7 +345,7 @@ WITH s AS (
   FROM events
 )
 SELECT event_id, event_type,
-       floor(((value - mu) / sd) * 1000000 + 0.505) / 1000000 AS z
+       floor(((value - mu) / nullif(sd, 0)) * 1000000 + 0.505) / 1000000 AS z
 FROM s WHERE event_id < 2000
 """
 

@@ -132,8 +132,13 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
       SELECT user_id, event_id, value,
-             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS vs
+             -- FILTER mirrors Spark collect_list's NULL-skipping: the
+             -- median is defined over the frame's NON-NULL values on both
+             -- engines (DuckDB's bare list() would keep NULLs and sort
+             -- them first, silently shifting the median under NULL data)
+             list(value) FILTER (WHERE value IS NOT NULL)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS vs
       FROM events WHERE user_id < 50
     ), s AS (
       SELECT user_id, event_id, list_sort(vs) AS sv, len(vs) AS n FROM w
@@ -233,8 +238,12 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
+    # nullif: a doc whose every token appears in all docs has idf=0 for
+    # every term -> nrm exactly 0; DuckDB's /0 yields NULL (pair filtered
+    # by the threshold) while Spark's default ANSI mode would ABORT
     wn = w.join(F.broadcast(nrm), "doc_id").select(
-        "doc_id", "tok", (F.col("w") / F.col("nrm")).alias("wn")
+        "doc_id", "tok",
+        (F.col("w") / F.nullif(F.col("nrm"), F.lit(0.0))).alias("wn"),
     )
     a = wn.select(F.col("doc_id").alias("a_id"), "tok", F.col("wn").alias("wa"))
     b = wn.select(F.col("doc_id").alias("b_id"), "tok", F.col("wn").alias("wb"))
