@@ -402,7 +402,7 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_totalprice") - F.col("mn"))
             / (F.col("mx") - F.col("mn") + F.lit(1e-9))
             * 20
-        ).cast("long"),
+        ),
         F.lit(19).cast("long"),
     )
     return (

@@ -244,7 +244,7 @@ def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         j(F.sort_array(F.array_intersect(name_toks, F.array(F.lit("a"), F.lit("of"))))).alias("i"),
         j(
             F.sort_array(
-                F.array_distinct(F.array_except(name_toks, F.array(F.lit("of"), F.lit("the"))))
+                F.array_except(name_toks, F.array(F.lit("of"), F.lit("the")))
             )
         ).alias("e"),
         j(F.sort_array(F.flatten(F.array(brand_toks, F.array(F.lit("x")))))).alias("fl"),

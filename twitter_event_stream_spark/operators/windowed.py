@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from twitter_event_stream_spark.exprs import R
+from twitter_event_stream_spark.exprs import R, rnd
 from twitter_event_stream_spark.registry import query
 from twitter_event_stream_spark.tables import table
 
@@ -34,7 +34,6 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I1 — 1-hour tumbling event-time window (≡ date_trunc on bounded data;
     the same expression incrementalizes in streaming)."""
     ev = table(spark, sf_dir, "events")
-    from twitter_event_stream_spark.exprs import rnd
 
     return (
         ev.groupBy(F.window("ts", "1 hour"))
@@ -66,7 +65,6 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I2 — sliding window (1 h, slide 15 min): each event lands in 4
     windows; the oracle reconstructs the 4 epoch-aligned bucket starts."""
     ev = table(spark, sf_dir, "events")
-    from twitter_event_stream_spark.exprs import rnd
 
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
@@ -107,7 +105,6 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands rewrite. Spark's session range is [start, last+gap), so
     a gap of exactly 30 min starts a new session (>= in the oracle)."""
     ev = table(spark, sf_dir, "events")
-    from twitter_event_stream_spark.exprs import rnd
 
     return (
         ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
