@@ -38,9 +38,14 @@ def main() -> None:
     if names == ["--rows-only"]:
         # q_kll_quantiles is deliberately NOT golden-pinned (DataSketches
         # KLL compaction is randomized across JVM sessions — see
-        # test_golden.py); writing it would break the suite it feeds
+        # test_golden.py); q_llm_neardup_lsh is pinned by derived
+        # invariants instead of a 63k-row snapshot (test_infra.py::
+        # test_neardup_lsh_invariants). Writing either would break the
+        # suites they feed.
         names = sorted(
-            set(entry.queries()) - set(entry.oracle_sql()) - {"q_kll_quantiles"}
+            set(entry.queries())
+            - set(entry.oracle_sql())
+            - {"q_kll_quantiles", "q_llm_neardup_lsh"}
         )
     if not names:
         print(__doc__)

@@ -35,7 +35,16 @@ def test_golden_covers_registry():
     one fails here, not in the judge's diff."""
     from twitter_event_stream_spark import registry
 
-    expected = set(registry.all_queries()) - {"q_kll_quantiles"}
+    # q_kll_quantiles: DataSketches KLL compaction is randomized across JVM
+    # sessions (error-bound test instead). q_llm_neardup_lsh: 63k-row
+    # candidate dump whose exact rows are stable only for one session shape
+    # and fixture layout — pinned by derived invariants (pair count, doc
+    # coverage, distance histogram) in test_infra.py::
+    # test_neardup_lsh_invariants instead of a churn-prone full snapshot.
+    expected = set(registry.all_queries()) - {
+        "q_kll_quantiles",
+        "q_llm_neardup_lsh",
+    }
     assert set(NAMES) == expected, sorted(
         expected.symmetric_difference(NAMES)
     )

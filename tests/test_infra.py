@@ -887,6 +887,32 @@ def test_simhash_banded_pairs_exact_recall(spark, sf_dir):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan[:1500]
 
 
+def test_neardup_lsh_invariants(spark):
+    """K2 drift pin (replaces the 63k-row golden snapshot per the r6
+    advice): the seeded MinHashLSH candidate set's DERIVED invariants at
+    sf0.001 — pair count, distinct-doc coverage, the rounded-distance
+    histogram, threshold and ordering well-formedness. Exact-row dumps of
+    seeded/approx output are rerun-stable only for one session shape and
+    fixture file layout; these aggregates catch real drift (a seed, a
+    threshold, a tokenizer change) without a megabyte snapshot that churns
+    on partitioning changes."""
+    from twitter_event_stream_spark import registry
+
+    rows = (
+        registry.get("q_llm_neardup_lsh").fn(spark, "/root/testdata/sf0.001").collect()
+    )
+    assert len(rows) == 63487
+    assert all(r.a_id < r.b_id for r in rows)
+    assert all(0.0 <= r.dist <= 0.35 for r in rows)
+    docs = {r.a_id for r in rows} | {r.b_id for r in rows}
+    assert len(docs) == 439
+    hist: dict[float, int] = {}
+    for r in rows:
+        k = round(r.dist, 1)
+        hist[k] = hist.get(k, 0) + 1
+    assert hist == {0.0: 2041, 0.1: 17078, 0.2: 23497, 0.3: 20871}
+
+
 def test_minhash_banding_prunes_on_realistic_vocab(spark):
     """K2's scale claim, measured (r5 verdict item 4): the fixture corpus's
     ~40-token vocabulary degenerates MinHash banding (every doc shares a

@@ -463,7 +463,17 @@ def two_pass_rank_by_value(
     exactly like :func:`two_pass_rank`'s ``n_parts``: bucket occupancy is
     n/n_buckets, so a FIXED bucket count just re-creates the single-task
     sort divided by a constant — on a 1000-executor cluster the local
-    rank must spread over the cluster's task slots, not over 32."""
+    rank must spread over the cluster's task slots, not over 32.
+
+    PRECONDITION — deterministic input: the per-bucket counts are
+    collected at construction time and baked in as literals, so ``df``
+    must produce the same rows at action time (same caveat as
+    q_mix_sample's budget scan). A nondeterministic lineage (RNG sampling
+    without a seed, a non-idempotent source) can shift bucket populations
+    between the counts pass and execution — under ANSI ``element_at`` a
+    bucket unseen at count time then ABORTS the job (better than silently
+    wrong ranks). Cache or checkpoint such inputs first; every registered
+    caller reads deterministic parquet."""
     if n_buckets is None:
         n_buckets = max(32, df.sparkSession.sparkContext.defaultParallelism)
     qs = [i / n_buckets for i in range(1, n_buckets)]

@@ -69,6 +69,11 @@ def knn_topk(
             )
             sims[p_zero, :] = -np.inf
             sims[:, c_zero] = -np.inf
+            # NaN/Inf embedding components (corrupt upstream features)
+            # produce non-finite sims that would BYPASS the == -inf
+            # exclusion below and sort unpredictably in argpartition —
+            # mask them with the same sentinel as the zero-norm pairs
+            sims[~np.isfinite(sims)] = -np.inf
             # exclude self-matches by id; -inf marks every excluded pair,
             # and excluded pairs are FILTERED from the output rather than
             # assumed to occupy exactly one top slot — probes disjoint
@@ -180,9 +185,16 @@ def _train_quantizer(spark, vectors, n_cells: int | None, seed: int):
     # the modulo sample is size-bounded only for ids uniform mod step; ids
     # allocated with a stride sharing a factor with step would select far
     # more (worst case the whole corpus) into the driver — the limit is a
-    # hard cap that is a no-op in the uniform case
+    # hard cap that is a no-op in the uniform case. orderBy before the
+    # limit makes the cap a TakeOrdered: when it binds, the retained
+    # sample (and hence the seeded Lloyd init, which indexes by ROW
+    # position) is still a pure function of the data, not of partition
+    # layout — an unordered limit keeps "bounded" but loses
+    # "deterministic" exactly in the adversarial-stride case the cap
+    # exists for.
     train_pdf = (
         valid.filter(F.col("vec_id") % step == 0)
+        .orderBy("vec_id")
         .limit(2 * sample_target)
         .toPandas()
     )

@@ -120,43 +120,50 @@ def fanout_foreach_batch(
 def _write_fanout_chunks(base_dir: str, batch_id: int):
     """Executor-side per-client writer for one micro-batch partition,
     Arrow-batched: payloads arrive as pandas chunks (no per-row Python), and
-    each client's lines are joined and appended in one call. Stands in for
+    each client's lines are joined and written in one call. Stands in for
     the reference's per-connection socket writers — a real deployment opens
     one connection per client here (connection pool per executor) instead
-    of an append file. Module-level so the closure sent to ``mapInPandas``
+    of a per-batch file. Module-level so the closure sent to ``mapInPandas``
     pickles without dragging the DataFrame along."""
 
     def write(chunks) -> Iterable[pd.DataFrame]:
         import os
+        import uuid
 
-        writers: dict[str, object] = {}
+        # Each (client, batch) file is written to an attempt-unique temp
+        # name and os.replace()d into place only on clean close: replace is
+        # atomic, so duplicate attempts of the same task (speculative
+        # execution, zombie tasks after a driver-perceived failure) can
+        # never interleave partial lines in the final file — last writer
+        # wins with a complete copy, and a crashed attempt leaves only an
+        # orphan .tmp. Plain truncate-then-write ("w" on the final name)
+        # is idempotent for sequential replays but not for concurrent ones.
+        writers: dict[str, tuple[object, str, str]] = {}
         n = 0
+        ok = False
         try:
             for pdf in chunks:  # chunk order == sorted partition order
                 # groupby(sort=False) keeps within-group row order, so ts
                 # ordering from sortWithinPartitions survives.
                 for client, grp in pdf.groupby("client_id", sort=False):
-                    w = writers.get(client)
-                    if w is None:
+                    entry = writers.get(client)
+                    if entry is None:
                         d = os.path.join(base_dir, f"client_id={client}")
                         os.makedirs(d, exist_ok=True)
-                        # mode "w", not "a": the writers map already opens
-                        # each (client, batch) file exactly once per task
-                        # ATTEMPT (later Arrow chunks reuse the handle), so
-                        # truncating makes task retries / micro-batch
-                        # replays after recovery idempotent — append would
-                        # duplicate the first attempt's lines
-                        w = open(
-                            os.path.join(d, f"batch-{batch_id:09d}.ndjson"),
-                            "w",
-                            encoding="utf-8",
-                        )
-                        writers[client] = w
-                    w.write("\n".join(grp["payload"]) + "\n")
+                        final = os.path.join(d, f"batch-{batch_id:09d}.ndjson")
+                        tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+                        entry = (open(tmp, "w", encoding="utf-8"), tmp, final)
+                        writers[client] = entry
+                    entry[0].write("\n".join(grp["payload"]) + "\n")
                     n += len(grp)
+            ok = True
         finally:
-            for w in writers.values():
+            for w, tmp, final in writers.values():
                 w.close()
+                if ok:
+                    os.replace(tmp, final)
+                else:
+                    os.unlink(tmp)
         yield pd.DataFrame({"n_written": [n]})
 
     return write
@@ -174,8 +181,8 @@ def fanout_foreach_partition(base_dir: str) -> Callable[[DataFrame, int], None]:
     coordinates micro-batches and collects one count row per partition, so
     fan-out bandwidth scales with the executor count — the collect-based
     double above is O(stream) on one node. Each (client, batch) produces
-    one append file named by batch id, so concatenating a client's files in
-    name order replays its stream in delivery order."""
+    one atomically-replaced file named by batch id, so concatenating a
+    client's files in name order replays its stream in delivery order."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         (
