@@ -360,19 +360,55 @@ def test_ivf_ann_recall(spark, sf_dir):
 
 def test_connected_components_synthetic(spark):
     """Graph: min-label propagation finds components of a known graph —
-    a 4-node path, a 2-node edge, and a self-contained triangle."""
+    a 4-node path, a 2-node edge, and a self-contained triangle — through
+    BOTH phases of the two-phase algorithm (r7): the bounded driver-side
+    numpy finish (the default for contracted graphs) and the distributed
+    hash-min loop (`local_threshold=0`) must return identical labels; the
+    threshold is a latency knob, never a semantics switch."""
     from twitter_event_stream_spark.operators.graph import connected_components
 
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20)],
         "a long, b long",
     )
-    labels = {r.node: r.label for r in connected_components(edges).collect()}
-    assert labels == {
+    want = {
         1: 1, 2: 1, 3: 1, 4: 1,
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20,
     }
+    local = {r.node: r.label for r in connected_components(edges).collect()}
+    assert local == want
+    dist = {
+        r.node: r.label
+        for r in connected_components(edges, local_threshold=0).collect()
+    }
+    assert dist == want
+
+
+def test_connected_components_phases_agree_on_neardup_graph(spark, sf_dir):
+    """The two CC phases must agree on a REAL contracted graph (the
+    fixture's MinHash candidate pairs), not just a toy: same label map
+    from the numpy finish and the distributed hash-min loop."""
+    from twitter_event_stream_spark import registry
+    from twitter_event_stream_spark.operators.graph import connected_components
+
+    edges = (
+        registry.get("q_llm_minhash_det")
+        .fn(spark, sf_dir)
+        .select("a_id", "b_id")
+        .localCheckpoint()
+    )
+    local = {
+        r.node: r.label
+        for r in connected_components(edges, "a_id", "b_id").collect()
+    }
+    dist = {
+        r.node: r.label
+        for r in connected_components(
+            edges, "a_id", "b_id", local_threshold=0
+        ).collect()
+    }
+    assert local == dist and len(local) > 0
 
 
 def test_zorder_write_clusters_both_columns(spark, sf_dir):

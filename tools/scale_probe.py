@@ -106,8 +106,12 @@ def _curation_core(spark, sf_dir: str, scale: int) -> DataFrame:
     from twitter_event_stream_spark.tables import table
 
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200 * scale)
+    # local_threshold=0: this probe exists to pin the DISTRIBUTED loop's
+    # scaling; the default two-phase pick would finish both scales on the
+    # driver and measure nothing.
     labels = connected_components(
-        minhash_det_pairs(d).select("a_id", "b_id"), "a_id", "b_id"
+        minhash_det_pairs(d).select("a_id", "b_id"), "a_id", "b_id",
+        local_threshold=0,
     )
     toks = F.split("text", " ")
     n_tokens = F.size(toks)

@@ -15,6 +15,7 @@ are dense and shallow, so plain hash-min converges in a handful of rounds).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -23,38 +24,94 @@ from twitter_event_stream_spark.registry import query
 from twitter_event_stream_spark.tables import table
 
 
+def _cc_local(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Driver-side finish for a contracted (bounded) CC graph: the SAME
+    hash-min + pointer-doubling fixpoint as the distributed loop, run
+    vectorized in numpy — O(E) per sweep, ~log(diameter) sweeps, so a
+    2M-edge list resolves in milliseconds after ONE bounded collect.
+    Nodes are mapped to their sorted-order index, so "min label" is
+    min-by-value for any orderable id type, identical to the distributed
+    semantics."""
+    import numpy as np
+
+    pdf = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .toPandas()
+    )
+    spark = edges.sparkSession
+    node_type = edges.schema[src].dataType.simpleString()
+    schema = f"node {node_type}, label {node_type}"
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema)
+    nodes = np.unique(np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()]))
+    order = {v: i for i, v in enumerate(nodes)}  # sorted → index order = id order
+    ea = pdf["a"].map(order).to_numpy()
+    eb = pdf["b"].map(order).to_numpy()
+    lab = np.arange(len(nodes))
+    while True:
+        old = lab.copy()
+        np.minimum.at(lab, ea, lab[eb])
+        np.minimum.at(lab, eb, lab[ea])
+        while True:  # pointer doubling to the per-sweep fixpoint
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        if np.array_equal(lab, old):
+            break
+    out = pd.DataFrame({"node": nodes, "label": nodes[lab]})
+    return spark.createDataFrame(out, schema=schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "a",
     dst: str = "b",
     max_iter: int = 25,
-    rounds_per_check: int = 2,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list.
 
     Returns (node, label) where label = min node id reachable from node.
-    Each round: every node takes min(own label, neighbors' labels) — one
-    shuffle join + one shuffle agg — then **path-shortens** with a pointer
-    jump ``label ← label(label)`` (one more equi-join; every label value is
-    itself a node id, so the join is total). Hash-min alone converges in
-    graph-diameter rounds; with the jump, label chains halve each round, so
-    convergence is O(log diameter) — at 100 TB the round count, not the
-    per-round shuffle, is the dominant cost, and near-dup chains of length
-    d resolve in ~log2(d) sweeps over the label set. Deterministic (pure
-    min semilattice; the jump only accelerates the same fixpoint). Nodes
-    with no edges are not returned (caller treats them as singletons).
+    Two-phase (r7, the Kiveris et al. SoCC'14 posture): the candidate-pair
+    graphs this engine clusters are already CONTRACTED by upstream banding
+    (MinHash/SimHash buckets, IVF cells) — edges ≈ dup-rate × corpus, tiny
+    relative to the documents. When the edge count is under
+    ``local_threshold`` (default 2M edges ≈ 32 MB, the same order as a
+    broadcast dim table), one bounded collect + a vectorized numpy
+    hash-min (:func:`_cc_local`, the identical fixpoint) replaces 4-6
+    scheduler rounds — milliseconds instead of seconds, exactly the
+    "finish small graphs locally" phase of the two-phase algorithm. The
+    count that picks the phase is one job over the caller's (cached) pair
+    list; pass ``local_threshold=0`` to force the distributed loop.
 
-    ``rounds_per_check`` rounds chain LAZILY between materializations
-    (r7, same discipline as :func:`pagerank`): the BLOCK-start label rides
-    through every round's aggregate as ``max(old)`` (each node contributes
-    it exactly once per round), so one eager ``localCheckpoint`` + one
-    narrow ``isEmpty`` per block replaces the per-round pair — the Spark
-    ACTION count, pure scheduler latency on the dense-small graphs
-    near-dup clustering produces, halves while the fixpoint is unchanged.
-    A block that converges mid-way costs at most ``rounds_per_check - 1``
-    no-op rounds before the check observes stability.
+    Distributed phase — each round: every node takes min(own label,
+    neighbors' labels) — one shuffle join + one shuffle agg — then
+    **path-shortens** with a pointer jump ``label ← label(label)`` (one
+    more equi-join; every label value is itself a node id, so the join is
+    total). Hash-min alone converges in graph-diameter rounds; with the
+    jump, label chains halve each round, so convergence is O(log diameter)
+    — at 100 TB the round count, not the per-round shuffle, is the
+    dominant cost, and near-dup chains of length d resolve in ~log2(d)
+    sweeps over the label set. Deterministic (pure min semilattice; the
+    jump only accelerates the same fixpoint). Nodes with no edges are not
+    returned (caller treats them as singletons). Both phases return the
+    same labels (pinned by test), so the threshold is a latency knob,
+    never a semantics switch.
+
+    Exactly ONE Spark action per distributed round: the previous label
+    rides through the aggregate as ``max(old)`` (each node contributes it
+    exactly once), so convergence is read with a narrow ``isEmpty`` over
+    the checkpointed round result instead of a second join+count job.
     """
-    # localCheckpoint (eager) truncates lineage every block — without it the
+    if local_threshold > 0:
+        # limit(threshold+1).count() bounds the phase-pick job itself: it
+        # short-circuits at threshold+1 rows instead of counting an
+        # arbitrarily large pair list end-to-end.
+        if edges.limit(local_threshold + 1).count() <= local_threshold:
+            return _cc_local(edges, src, dst)
+    # localCheckpoint (eager) truncates lineage every round — without it the
     # logical plan doubles per iteration and the driver OOMs building plan
     # strings long before the data is large.
     e = (
@@ -70,41 +127,38 @@ def connected_components(
         .localCheckpoint()
     )
     label_type = labels.schema["label"].dataType.simpleString()
-    rounds = 0
-    while rounds < max_iter:
-        steps = min(rounds_per_check, max_iter - rounds)
-        # block start: `old` = the label entering the block; rounds after
-        # the first propagate it unchanged so the block-end check compares
-        # against the PRE-block state, not the previous round's.
-        cur = labels.withColumn("old", F.col("label"))
-        for _ in range(steps):
-            nbr = (
-                e.join(cur.select(F.col("node").alias("b"), "label"), "b")
-                .select(
-                    F.col("a").alias("node"),
-                    F.col("label").alias("cand"),
-                    F.lit(None).cast(label_type).alias("old"),
-                )
+    for _ in range(max_iter):
+        nbr = (
+            e.join(labels.select(F.col("node").alias("b"), "label"), "b")
+            .select(
+                F.col("a").alias("node"),
+                F.col("label").alias("cand"),
+                F.lit(None).cast(label_type).alias("old"),
             )
-            hashmin = (
-                cur.select("node", F.col("label").alias("cand"), "old")
-                .unionByName(nbr)
-                .groupBy("node")
-                .agg(F.min("cand").alias("label"), F.max("old").alias("old"))
+        )
+        hashmin = (
+            labels.select(
+                "node",
+                F.col("label").alias("cand"),
+                F.col("label").alias("old"),
             )
-            # Pointer jump: label(label) ≤ label always (labels only shrink
-            # and every label is a node id present in `hashmin`), so the
-            # jumped label is just the parent's label.
-            parent = hashmin.select(
-                F.col("node").alias("label"), F.col("label").alias("jumped")
-            )
-            cur = hashmin.join(parent, "label").select(
-                "node", F.col("jumped").alias("label"), "old"
-            )
-        merged = cur.localCheckpoint()
+            .unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("cand").alias("label"), F.max("old").alias("old"))
+        )
+        # Pointer jump: label(label) ≤ label always (labels only shrink and
+        # every label is a node id present in `hashmin`), so the jumped
+        # label is just the parent's label.
+        parent = hashmin.select(
+            F.col("node").alias("label"), F.col("label").alias("jumped")
+        )
+        merged = (
+            hashmin.join(parent, "label")
+            .select("node", F.col("jumped").alias("label"), "old")
+            .localCheckpoint()
+        )
         labels = merged.select("node", "label")
-        rounds += steps
-        # label = min(old, reachable labels) ≤ old, so "<" means it moved.
+        # label = min(old, neighbor labels) ≤ old, so "<" means it moved.
         if merged.filter(F.col("label") < F.col("old")).isEmpty():
             break
     return labels

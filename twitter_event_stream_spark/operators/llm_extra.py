@@ -426,22 +426,24 @@ def minhash_det_pairs(d: DataFrame) -> DataFrame:
     degenerate-text differential audit)."""
     shingles = F.expr(char_shingles_sql(3))
     sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
-    sig = (
-        sh.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(7))))
-        .groupBy("doc_id", "band")
-        .agg(
+    # All 8 band minima in ONE aggregation (8 md5 expressions per shingle
+    # row — the same hash CPU as a ×8 band explode, but the agg input stays
+    # at shingle cardinality instead of 8× it, and the partial map-side
+    # combine reduces on doc_id alone). stack() then unpivots the 8 minima
+    # back to the (doc_id, band, sig) join shape.
+    per_doc = sh.groupBy("doc_id").agg(
+        *[
             F.min(
                 F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("shingle"), F.lit("#"), F.col("band").cast("string")
-                        )
-                    ),
-                    1,
-                    16,
+                    F.md5(F.concat(F.col("shingle"), F.lit(f"#{b}"))), 1, 16
                 )
-            ).alias("sig")
-        )
+            ).alias(f"_s{b}")
+            for b in range(8)
+        ]
+    )
+    sig = per_doc.selectExpr(
+        "doc_id",
+        "stack(8, " + ", ".join(f"{b}, _s{b}" for b in range(8)) + ") AS (band, sig)",
     )
     a = sig.select(
         F.col("doc_id").alias("a_id"), "band", "sig"
