@@ -24,24 +24,39 @@ from twitter_event_stream_spark.registry import query
 from twitter_event_stream_spark.tables import table
 
 
-def _cc_local(edges: DataFrame, src: str, dst: str) -> DataFrame:
+#: integer widths for the CC output schema: when src/dst disagree (e.g. an
+#: int id column joined against a bigint one), labels from the wider column
+#: must not be written into the narrower type (overflow / createDataFrame
+#: error) — take the wider of the two.
+_INT_WIDTH = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+
+
+def _node_type(edges: DataFrame, src: str, dst: str) -> str:
+    st = edges.schema[src].dataType.simpleString()
+    dt = edges.schema[dst].dataType.simpleString()
+    if st == dt:
+        return st
+    if st in _INT_WIDTH and dt in _INT_WIDTH:
+        return st if _INT_WIDTH[st] >= _INT_WIDTH[dt] else dt
+    raise ValueError(
+        f"connected_components endpoint types must match or both be "
+        f"integers: {src}:{st} vs {dst}:{dt}"
+    )
+
+
+def _cc_local(spark: SparkSession, pdf: pd.DataFrame, schema: str) -> DataFrame:
     """Driver-side finish for a contracted (bounded) CC graph: the SAME
     hash-min + pointer-doubling fixpoint as the distributed loop, run
     vectorized in numpy — O(E) per sweep, ~log(diameter) sweeps, so a
     2M-edge list resolves in milliseconds after ONE bounded collect.
     Nodes are mapped to their sorted-order index, so "min label" is
     min-by-value for any orderable id type, identical to the distributed
-    semantics."""
+    semantics. ``pdf`` is the already-collected (a, b) edge list — the
+    caller collects exactly once, so phase pick and local finish see the
+    same rows even for a nondeterministic input."""
     import numpy as np
 
-    pdf = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
-        .toPandas()
-    )
-    spark = edges.sparkSession
-    node_type = edges.schema[src].dataType.simpleString()
-    schema = f"node {node_type}, label {node_type}"
+    pdf = pdf.dropna()
     if len(pdf) == 0:
         return spark.createDataFrame([], schema)
     nodes = np.unique(np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()]))
@@ -104,19 +119,31 @@ def connected_components(
     rides through the aggregate as ``max(old)`` (each node contributes it
     exactly once), so convergence is read with a narrow ``isEmpty`` over
     the checkpointed round result instead of a second join+count job.
+
+    Null edge endpoints are dropped in BOTH phases (a null is not a node),
+    so the threshold stays a pure latency knob for edge lists with nulls
+    too, not just for the inner-join outputs the registered callers pass.
     """
+    node_type = _node_type(edges, src, dst)
+    schema = f"node {node_type}, label {node_type}"
+    nn = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    )
     if local_threshold > 0:
-        # limit(threshold+1).count() bounds the phase-pick job itself: it
-        # short-circuits at threshold+1 rows instead of counting an
-        # arbitrarily large pair list end-to-end.
-        if edges.limit(local_threshold + 1).count() <= local_threshold:
-            return _cc_local(edges, src, dst)
+        # ONE bounded collect decides the phase AND, when the local phase
+        # wins, IS its input: limit(threshold+1) short-circuits instead of
+        # counting an arbitrarily large pair list end-to-end, and because
+        # phase pick and local finish read the same collected rows, a
+        # nondeterministic/uncached edge lineage cannot disagree between a
+        # count job and a later collect (r7 advice).
+        pdf = nn.limit(local_threshold + 1).toPandas()
+        if len(pdf) <= local_threshold:
+            return _cc_local(edges.sparkSession, pdf, schema)
     # localCheckpoint (eager) truncates lineage every round — without it the
     # logical plan doubles per iteration and the driver OOMs building plan
     # strings long before the data is large.
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        nn.union(nn.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint()
     )
@@ -171,15 +198,22 @@ def connected_components(
 # correctness sweep. Keyed by (Spark application, sf_dir) so a new session
 # or a different scale factor rebuilds; values are localCheckpoint'ed, so
 # the cached plan is a scan of materialized blocks, not a live lineage.
+# Bounded: LRU-evicted past _GRAPH_CACHE_MAX entries (a session normally
+# holds 2 kinds × 1-3 sf_dirs; the cap only matters for long-lived sessions
+# sweeping many fixture dirs, where unbounded growth would pin dead
+# checkpoint blocks).
 _GRAPH_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_GRAPH_CACHE_MAX = 8
 
 
 def _cached(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, kind)
-    df = _GRAPH_CACHE.get(key)
+    df = _GRAPH_CACHE.pop(key, None)  # pop+reinsert = move to MRU position
     if df is None:
         df = build().localCheckpoint()
-        _GRAPH_CACHE[key] = df
+    _GRAPH_CACHE[key] = df
+    while len(_GRAPH_CACHE) > _GRAPH_CACHE_MAX:
+        _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
     return df
 
 

@@ -158,12 +158,23 @@ def _write_fanout_chunks(base_dir: str, batch_id: int):
                     n += len(grp)
             ok = True
         finally:
+            # Per-entry isolation: one writer's close/replace/unlink failing
+            # must not skip cleanup (leaked handles, orphaned .tmp, partial
+            # publish) for the remaining entries — finish them all, then
+            # re-raise the first error so the task attempt still fails.
+            first_err: BaseException | None = None
             for w, tmp, final in writers.values():
-                w.close()
-                if ok:
-                    os.replace(tmp, final)
-                else:
-                    os.unlink(tmp)
+                try:
+                    w.close()
+                    if ok:
+                        os.replace(tmp, final)
+                    else:
+                        os.unlink(tmp)
+                except BaseException as exc:
+                    if first_err is None:
+                        first_err = exc
+            if first_err is not None:
+                raise first_err
         yield pd.DataFrame({"n_written": [n]})
 
     return write
