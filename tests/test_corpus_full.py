@@ -1,0 +1,112 @@
+"""Full-corpus flagship queries (X105-X107): the unbounded forms must agree
+with the bounded HASH-verified flagships on the shared id window, their
+summaries must be internally consistent, and repeated runs must be
+bit-identical (the ROWS contract has no oracle, so determinism and
+overlap-equality ARE the correctness pins)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from twitter_event_stream_spark import registry
+from twitter_event_stream_spark.operators.corpus_full import simhash64
+from twitter_event_stream_spark.operators.llm_extra import (
+    minhash_det_pairs,
+    simhash_banded_pairs,
+)
+from twitter_event_stream_spark.tables import table
+
+
+def test_minhash_pairs_full_overlap(spark, sf_dir):
+    """Pair membership is per-pair local (each doc's signature depends only
+    on its own shingles), so the FULL-corpus banded join restricted to the
+    bounded flagship's id window must reproduce the HASH-verified
+    `q_llm_minhash_det` pair set exactly — the bridge that transfers the
+    oracle's verdict to the unbounded pipeline."""
+    d = table(spark, sf_dir, "documents")
+    full = {
+        (r.a_id, r.b_id)
+        for r in minhash_det_pairs(d)
+        .filter((F.col("a_id") < 200) & (F.col("b_id") < 200))
+        .collect()
+    }
+    bounded = {
+        (r.a_id, r.b_id)
+        for r in registry.get("q_llm_minhash_det").fn(spark, sf_dir).collect()
+    }
+    assert full == bounded and len(bounded) > 0
+
+
+def test_simhash64_banded_exact_recall(spark, sf_dir):
+    """The Manku-configuration banded join (4 bands × 16 bits, k=3) must
+    return EXACTLY the all-pairs Hamming ≤ 3 result on a bounded window —
+    pigeonhole recall is a guarantee at 64 bits too, and the plan must
+    stay a hash join (no cartesian)."""
+    sh = simhash64(
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    ).localCheckpoint()
+    banded = simhash_banded_pairs(
+        spark, sh, max_hamming=3, n_bands=4, bits=64, sig_col="simhash64"
+    )
+    got = {(r.a_id, r.b_id, r.hamming) for r in banded.collect()}
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("simhash64").alias("a_sh"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("simhash64").alias("b_sh"))
+    ham = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    want = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 3)
+        .select("a_id", "b_id", "hamming")
+        .collect()
+    }
+    assert got == want
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_corpus_curation_full_funnel(spark, sf_dir):
+    """Per-language funnel invariants + determinism + consistency with the
+    bounded flagship's language set."""
+    q = registry.get("q_corpus_curation_full").fn
+    rows1 = q(spark, sf_dir).collect()
+    rows2 = q(spark, sf_dir).collect()
+    assert rows1 == rows2 and len(rows1) > 0
+    total_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows1) == total_docs
+    for r in rows1:
+        assert 0 < r.n_curated <= r.n_canonical <= r.n_docs
+        assert r.total_tokens > 0
+
+
+def test_simhash_dedup_full_summary(spark, sf_dir):
+    """Single-row summary: present even when empty, internally consistent,
+    and every accepted pair within the configured Hamming budget."""
+    row = registry.get("q_simhash_dedup_full").fn(spark, sf_dir).collect()
+    assert len(row) == 1
+    s = row[0]
+    if s.n_pairs == 0:
+        assert s.n_dup_docs == 0 and s.max_hamming is None
+    else:
+        assert s.max_hamming <= 3
+        assert 2 <= s.n_dup_docs <= 2 * s.n_pairs
+        assert 0 <= s.n_exact_sig_pairs <= s.n_pairs
+
+
+def test_embed_neardup_full_summary(spark, sf_dir):
+    """Summary row must agree with the blocked operator it wraps: same pair
+    count, similarity bands partition the pairs, extremes within
+    [threshold, 1]."""
+    from twitter_event_stream_spark.operators.vector_search import (
+        embed_neardup_blocked,
+    )
+
+    row = registry.get("q_embed_neardup_full").fn(spark, sf_dir).collect()
+    assert len(row) == 1
+    s = row[0]
+    e = table(spark, sf_dir, "embeddings")
+    n_direct = embed_neardup_blocked(spark, e, threshold=0.3).count()
+    assert s.n_pairs == n_direct
+    if s.n_pairs:
+        assert s.n_sim_ge_090 + s.n_sim_060_090 + s.n_sim_lt_060 == s.n_pairs
+        assert 0.3 <= s.min_sim <= s.max_sim <= 1.0001

@@ -1,0 +1,208 @@
+"""Full-corpus flagship queries (SURVEY §2.3 X105-X107, r8).
+
+The flagship LLM-pipeline queries (`q_corpus_curation`,
+`q_llm_dedup_cluster`, `q_llm_simhash_pairs`) carry a bounded id window so
+their DuckDB oracles (recursive closures, all-pairs joins) stay tractable —
+but the engine's own scale machinery (banded MinHash, 64-bit banded
+SimHash, IVF-cell-blocked embedding near-dup) has no such bound. This
+module registers the UNBOUNDED forms as ROWS-contract queries: the whole
+`documents` / `embeddings` table in, a bounded summary out, every stage one
+of the already-verified scale primitives. Equality with the bounded HASH
+forms on the shared id window is pinned in tests/test_corpus_full.py, and
+the 10× scale probe (tools/scale_probe.py) runs all three to hold the
+linear-scaling claim.
+
+Output rows are aggregates (per-language rollup, single-row pair summary),
+so the result stays collectable at any corpus size — the heavy
+intermediates (shingles, signatures, candidate pairs, CC labels) never
+leave the executors.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from twitter_event_stream_spark.registry import query
+from twitter_event_stream_spark.tables import table
+
+
+def simhash64(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit token SimHash per document — the full-corpus signature for
+    `q_simhash_dedup_full` (the 32-bit md5-arithmetic form `q_llm_simhash`
+    stays as the oracle-parity contract shape).
+
+    Whitespace tokens are hashed once with xxhash64 (JVM, seeded 42); each
+    occurrence votes ±1 per bit (classic tf-weighted SimHash), and the
+    per-doc votes reduce in ONE aggregation — 64 conditional-sum
+    expressions over the exploded token column, all whole-stage codegen,
+    map-side combined on doc_id. The signature assembles bit 63 through
+    the arithmetic shift into the sign bit (two's complement), so the
+    value is a plain BIGINT whose XOR popcount is the Hamming distance.
+    """
+    toks = d.select(
+        F.col("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok", F.lit(42)))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(64)
+        ]
+    )
+    sig = functools.reduce(
+        lambda acc, b: acc.bitwiseOR(
+            F.when(F.col(f"_v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long"))
+        ),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    return votes.select("doc_id", sig.alias("simhash64"))
+
+
+def _full_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC labels over the deterministic-MinHash pair graph of the WHOLE
+    documents table, cached per (session, sf_dir) like the bounded graph
+    (graph._cached) — `q_corpus_curation_full` and future full-corpus
+    graph queries share one signature pass + one CC fixpoint."""
+    from twitter_event_stream_spark.operators.graph import (
+        _cached,
+        connected_components,
+    )
+    from twitter_event_stream_spark.operators.llm_extra import (
+        minhash_det_pairs,
+    )
+
+    def build() -> DataFrame:
+        pairs = _cached(
+            spark,
+            sf_dir,
+            "pairs_full",
+            lambda: minhash_det_pairs(
+                table(spark, sf_dir, "documents")
+            ).select("a_id", "b_id"),
+        )
+        return connected_components(pairs, "a_id", "b_id")
+
+    return _cached(spark, sf_dir, "labels_full", build)
+
+
+@query("q_corpus_curation_full", oracle=None)
+def q_corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X105 (ROWS) — `q_corpus_curation` with the id window REMOVED: the
+    whole documents table through banded deterministic MinHash → connected
+    components → canonical-per-cluster selection → lexical-diversity
+    quality gate → per-language rollup. The bounded HASH flagship pins the
+    semantics against the recursive-SQL oracle; this form pins that the
+    SAME pipeline runs unbounded (pair membership is per-pair local, so
+    the full run restricted to the oracle window reproduces the bounded
+    pair set exactly — asserted in tests). Output: one row per language
+    with the funnel counts, orderable and tiny at any corpus size."""
+    labels = _full_labels(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_tokens.cast("double")
+    canonical = F.coalesce(F.col("label"), F.col("doc_id")) == F.col("doc_id")
+    joined = d.join(
+        labels.select(F.col("node").alias("doc_id"), "label"), "doc_id", "left"
+    ).select(
+        "lang",
+        canonical.alias("is_canonical"),
+        n_tokens.alias("n_tokens"),
+        (uniq_ratio >= 0.3).alias("quality_ok"),
+    )
+    kept = F.col("is_canonical") & F.col("quality_ok")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_canonical").cast("long")).alias("n_canonical"),
+            F.sum(kept.cast("long")).alias("n_curated"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias(
+                "total_tokens"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@query("q_simhash_dedup_full", oracle=None)
+def q_simhash_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X106 (ROWS) — whole-corpus SimHash near-duplicate scan in the
+    Manku et al. WWW'07 configuration: 64-bit signatures, 4 bands of 16
+    bits, Hamming ≤ 3 (n_bands > k ⇒ pigeonhole-exact recall). The
+    16-bit band keys keep random band collisions ≈ n²/2^16 per band —
+    negligible against the linear signature pass to ~10M docs — where the
+    contract-shape 4-bit bands of `simhash_banded_pairs`' default would go
+    quadratic. Single summary row (never empty, even with zero dups):
+    pair count, distinct docs in any pair, exact-signature pair count,
+    and the worst accepted distance."""
+    from twitter_event_stream_spark.operators.llm_extra import (
+        simhash_banded_pairs,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    pairs = simhash_banded_pairs(
+        spark,
+        simhash64(d),
+        max_hamming=3,
+        n_bands=4,
+        bits=64,
+        sig_col="simhash64",
+    )
+    # each pair contributes its two endpoints; min/max/count-style aggs are
+    # endpoint-duplication-safe, n_pairs halves the row count back
+    ends = pairs.select(
+        F.explode(F.array("a_id", "b_id")).alias("doc_id"), "hamming"
+    )
+    return ends.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+        F.count_distinct("doc_id").alias("n_dup_docs"),
+        (F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0)) / 2)
+        .cast("long")
+        .alias("n_exact_sig_pairs"),
+        F.max("hamming").alias("max_hamming"),
+    )
+
+
+@query("q_embed_neardup_full", oracle=None)
+def q_embed_neardup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X107 (ROWS) — whole-corpus embedding near-duplicate scan through
+    the IVF-cell-blocked verifier (`embed_neardup_blocked`): seeded
+    coarse quantizer, multi-probe cell replication, one BLAS gram matrix
+    per cell — never all-pairs. Single summary row (never empty): pair
+    count, distinct vectors in any pair, similarity-band counts and the
+    rounded similarity extremes (min/max are float-order-safe where a
+    mean would depend on reduction order)."""
+    from twitter_event_stream_spark.operators.vector_search import (
+        embed_neardup_blocked,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    pairs = embed_neardup_blocked(spark, e, threshold=0.3)
+    ends = pairs.select(
+        F.explode(F.array("a_id", "b_id")).alias("vec_id"), "sim"
+    )
+    return ends.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+        F.count_distinct("vec_id").alias("n_dup_vecs"),
+        (F.sum(F.when(F.col("sim") >= 0.9, 1).otherwise(0)) / 2)
+        .cast("long")
+        .alias("n_sim_ge_090"),
+        (F.sum(F.when((F.col("sim") >= 0.6) & (F.col("sim") < 0.9), 1).otherwise(0)) / 2)
+        .cast("long")
+        .alias("n_sim_060_090"),
+        (F.sum(F.when(F.col("sim") < 0.6, 1).otherwise(0)) / 2)
+        .cast("long")
+        .alias("n_sim_lt_060"),
+        F.min("sim").alias("min_sim"),
+        F.max("sim").alias("max_sim"),
+    )

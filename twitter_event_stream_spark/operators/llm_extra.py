@@ -609,6 +609,7 @@ def simhash_banded_pairs(
     max_hamming: int = 6,
     n_bands: int = 8,
     bits: int = 32,
+    sig_col: str = "simhash32",
 ) -> DataFrame:
     """Banded SimHash candidate join — the 100 TB form of
     ``q_llm_simhash_pairs``'s all-pairs comparison.
@@ -622,8 +623,16 @@ def simhash_banded_pairs(
     shuffles by (band, value). Recall is exact (the pigeonhole bound is a
     guarantee, not an approximation) as the equality test asserts.
 
-    ``sh`` must carry (doc_id, simhash32). With n_bands=8 over 32 bits,
+    ``sh`` must carry (doc_id, ``sig_col``). With n_bands=8 over 32 bits,
     each band is 4 bits; Hamming ≤ 6 < 8 bands ⇒ no candidate is missed.
+
+    Band WIDTH is the scale knob: candidate volume per band is
+    Σ_bucket c² ≈ n²/2^band_bits + true-dup pairs, so 4-bit bands (the
+    oracle-parity 32-bit contract shape) are only linear at bounded n,
+    while the 64-bit/16-bit-band form (`q_simhash_dedup_full`, the
+    Manku WWW'07 configuration: 4 tables × 16 bits for k ≤ 3) keeps the
+    random-collision term negligible to ~10M docs — past that, widen the
+    signature (128-bit) or shard band values, same plan shape.
     """
     if n_bands <= max_hamming:
         raise ValueError("need n_bands > max_hamming for exact recall")
@@ -631,26 +640,26 @@ def simhash_banded_pairs(
     mask = (1 << band_bits) - 1
     bands = sh.select(
         "doc_id",
-        "simhash32",
+        F.col(sig_col).alias("_sig"),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.shiftright("simhash32", b * band_bits)
+                    F.shiftright(sig_col, b * band_bits)
                     .bitwiseAND(F.lit(mask))
                     .alias("val"),
                 )
                 for b in range(n_bands)
             ])
         ).alias("bk"),
-    ).select("doc_id", "simhash32", F.col("bk.band").alias("band"),
+    ).select("doc_id", "_sig", F.col("bk.band").alias("band"),
              F.col("bk.val").alias("val"))
     a = bands.select(
-        F.col("doc_id").alias("a_id"), F.col("simhash32").alias("a_sh"),
+        F.col("doc_id").alias("a_id"), F.col("_sig").alias("a_sh"),
         "band", "val",
     )
     b = bands.select(
-        F.col("doc_id").alias("b_id"), F.col("simhash32").alias("b_sh"),
+        F.col("doc_id").alias("b_id"), F.col("_sig").alias("b_sh"),
         "band", "val",
     )
     cand = (

@@ -74,6 +74,7 @@ def _load_operator_modules() -> None:
     # Import inside the function to avoid circular imports at package init.
     from twitter_event_stream_spark.operators import (  # noqa: F401
         aggregates,
+        corpus_full,
         corpus_stats,
         curation_extra,
         eventflow,
