@@ -358,6 +358,76 @@ def test_ivf_ann_recall(spark, sf_dir):
     assert recall >= 0.4, f"IVF recall@5 too low: {recall:.2f}"
 
 
+def test_ivf_ann_recall_distributed_branch(spark, sf_dir):
+    """r8 — the distributed quantizer branch (MLlib k-means|| over the
+    full corpus, the >4M-vector path) must clear the SAME recall bound as
+    the sampled branch and be run-to-run deterministic, so the
+    DISTRIBUTED_TRAIN_ROWS auto-switch is a latency/size knob, never an
+    accuracy cliff. Exercised here by forcing ``distributed=True`` at
+    fixture scale (same centroids-in → same assignment path as the
+    sampled branch; only the trainer differs)."""
+    from pyspark.sql import functions as F
+
+    from twitter_event_stream_spark import registry
+    from twitter_event_stream_spark.operators.vector_search import ivf_topk
+    from twitter_event_stream_spark.tables import table
+
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.probe_id, r.cand_id)
+        for r in registry.get("q_llm_knn_cosine").fn(spark, sf_dir).collect()
+    }
+    d1 = {
+        (r.probe_id, r.cand_id)
+        for r in ivf_topk(spark, e, probes, k=5, distributed=True).collect()
+    }
+    d2 = {
+        (r.probe_id, r.cand_id)
+        for r in ivf_topk(spark, e, probes, k=5, distributed=True).collect()
+    }
+    assert d1 == d2, "seeded distributed quantizer must be deterministic"
+    recall = len(exact & d1) / len(exact)
+    assert recall >= 0.4, f"distributed-branch IVF recall@5 too low: {recall:.2f}"
+
+
+def test_embed_neardup_blocked_distributed_branch(spark, sf_dir):
+    """r8 — the blocked near-dup verifier through the distributed
+    quantizer: pair set must stay a subset of the exact ≥threshold pair
+    set (precision is exact by construction — every candidate is
+    BLAS-verified) with recall comparable to the sampled branch."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from twitter_event_stream_spark.operators.vector_search import (
+        embed_neardup_blocked,
+    )
+    from twitter_event_stream_spark.tables import table
+
+    e = table(spark, sf_dir, "embeddings")
+    got = {
+        (r.a_id, r.b_id)
+        for r in embed_neardup_blocked(
+            spark, e, threshold=0.3, distributed=True
+        ).collect()
+    }
+    t = pq.read_table(sf_dir + "/embeddings.parquet")
+    ids = np.array(t["vec_id"])
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    nrm = np.linalg.norm(X, axis=1)
+    sims = (X @ X.T) / np.outer(nrm, nrm)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    keep = sims[iu, ju] >= 0.3
+    exact = {
+        (min(a, b), max(a, b))
+        for a, b in zip(ids[iu[keep]].tolist(), ids[ju[keep]].tolist())
+    }
+    assert got <= exact, "blocked verifier emitted a below-threshold pair"
+    if exact:
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.5, f"distributed-branch near-dup recall {recall:.2f}"
+
+
 def test_connected_components_synthetic(spark):
     """Graph: min-label propagation finds components of a known graph —
     a 4-node path, a 2-node edge, and a self-contained triangle — through

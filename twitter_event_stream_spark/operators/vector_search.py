@@ -154,8 +154,39 @@ def _lloyd(X: np.ndarray, n_cells: int, seed: int, iters: int = 10) -> np.ndarra
 #: matrix: far below executor memory, large enough to keep BLAS efficient.
 TARGET_CELL_ROWS = 256
 
+#: Corpus size past which the driver-side training sample stops dominating
+#: the cell count (64k sample / 4-points-per-cell = 16k cells = ~4M vectors
+#: at TARGET_CELL_ROWS occupancy) — beyond it the quantizer trains
+#: DISTRIBUTED (MLlib k-means||) so cell occupancy stays constant at any
+#: corpus size. Callers can force either branch with ``distributed=``.
+DISTRIBUTED_TRAIN_ROWS = 4_000_000
 
-def _train_quantizer(spark, vectors, n_cells: int | None, seed: int):
+
+def _lloyd_distributed(valid, n_cells: int, seed: int) -> np.ndarray:
+    """Distributed coarse-quantizer training: seeded MLlib k-means|| over
+    the FULL corpus (no driver-side sample). Same contract as
+    :func:`_lloyd` — a (n_cells, dim) float64 centroid matrix — so both
+    branches feed the identical Arrow-batched assignment path. The fit is
+    one MLlib job (k-means|| init + ≤10 Lloyd iterations, all
+    executor-side partial aggregations); the only driver-side data is the
+    centroid matrix itself, which is exactly what gets broadcast anyway."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = valid.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        )
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=10, initMode="k-means||"
+    ).fit(feats)
+    return np.asarray(model.clusterCenters(), dtype=np.float64)
+
+
+def _train_quantizer(
+    spark, vectors, n_cells: int | None, seed: int, distributed: bool | None = None
+):
     """Train the coarse quantizer on a bounded deterministic sample and
     broadcast the centroid matrix (shared by ivf_topk and
     embed_neardup_blocked). Returns ``None`` for an empty corpus — callers
@@ -168,14 +199,23 @@ def _train_quantizer(spark, vectors, n_cells: int | None, seed: int):
         F.col("embedding").isNotNull()
     )
     n = valid.count()
+    if n == 0:
+        return None
     if n_cells is None:
         n_cells = max(8, -(-n // TARGET_CELL_ROWS))
-    # the training sample must dominate the cell count (>= 4 points/cell,
-    # faiss-style) but stay a bounded driver-side collect: 64k rows × 64
-    # dims ≈ 32 MB. Auto-sizing therefore holds cell occupancy constant up
-    # to ~4M vectors; past that the driver-side sample is the binding
-    # constraint and occupancy grows again — at that corpus size train the
-    # quantizer distributed (MLlib KMeans) and pass n_cells explicitly.
+    if distributed is None:
+        distributed = n > DISTRIBUTED_TRAIN_ROWS
+    if distributed:
+        return spark.sparkContext.broadcast(
+            _lloyd_distributed(valid, min(n_cells, n), seed)
+        )
+    # Sampled branch: the training sample must dominate the cell count
+    # (>= 4 points/cell, faiss-style) but stay a bounded driver-side
+    # collect: 64k rows × 64 dims ≈ 32 MB. Auto-sizing therefore holds
+    # cell occupancy constant up to ~4M vectors; past that this branch's
+    # sample would become the binding constraint and occupancy would grow
+    # again — which is exactly when ``distributed`` auto-flips to the
+    # MLlib k-means|| branch above (r8, closing the r6/r7 documented gap).
     sample_target = min(65536, max(2048, 4 * n_cells))
     # enforce the >=4 points/cell invariant even when the 64k sample cap
     # binds — clamping to sample_target itself would let every sampled
@@ -268,6 +308,7 @@ def ivf_topk(
     n_cells: int | None = None,
     n_probe_cells: int = 2,
     seed: int = 42,
+    distributed: bool | None = None,
 ) -> DataFrame:
     """IVF approximate nearest neighbors — the 100 TB path for cosine top-k.
 
@@ -286,9 +327,12 @@ def ivf_topk(
     per-probe candidate volume at ~TARGET_CELL_ROWS·n_probe_cells rows
     however large the corpus — a fixed cell count instead makes every
     probe's candidate list grow linearly with n. Identical to the old
-    fixed 8 below ~2k vectors (every fixture scale).
+    fixed 8 below ~2k vectors (every fixture scale). ``distributed``
+    picks the quantizer-training branch (None = auto at
+    DISTRIBUTED_TRAIN_ROWS); recall bounds are pinned through BOTH
+    branches in tests/test_infra.py.
     """
-    bc = _train_quantizer(spark, vectors, n_cells, seed)
+    bc = _train_quantizer(spark, vectors, n_cells, seed, distributed)
     if bc is None:  # empty corpus -> empty result, same schema
         return spark.createDataFrame(
             [], "probe_id long, cand_id long, sim double, rn int"
@@ -328,6 +372,7 @@ def embed_neardup_blocked(
     n_cells: int | None = None,
     n_probe_cells: int = 3,
     seed: int = 42,
+    distributed: bool | None = None,
 ) -> DataFrame:
     """IVF-cell-blocked embedding near-duplicate pairs — the deployable
     scale form of the label-blocked ``q_llm_embed_neardup`` stand-in.
@@ -351,8 +396,11 @@ def embed_neardup_blocked(
     memory AND total gram-matrix work — stays constant as the corpus
     grows; a fixed cell count makes this operator silently quadratic at
     10×/100× (cells fatten with n), the exact failure the 10× scale probe
-    measures. Identical to the old fixed 8 at every fixture scale."""
-    bc = _train_quantizer(spark, vectors, n_cells, seed)
+    measures. Identical to the old fixed 8 at every fixture scale.
+    ``distributed`` picks the quantizer branch (None = auto past
+    DISTRIBUTED_TRAIN_ROWS, where the sampled trainer's occupancy bound
+    breaks)."""
+    bc = _train_quantizer(spark, vectors, n_cells, seed, distributed)
     if bc is None:  # empty corpus -> empty result, same schema
         return spark.createDataFrame([], "a_id long, b_id long, sim double")
     assigned = _cell_assign(vectors, bc, n_probe_cells)
