@@ -44,7 +44,7 @@ record:
 	tail -1 /tmp/tes_record_unit.txt
 	TES_TEST_SF_DIR=/root/testdata/sf0.01 $(PY) -m pytest tests/ -q > PYTEST_DRIVER_SCALE_r$(ROUND).txt 2>&1 || (tail -5 PYTEST_DRIVER_SCALE_r$(ROUND).txt && false)
 	tail -1 PYTEST_DRIVER_SCALE_r$(ROUND).txt
-	$(PY) .claude/skills/verify/driver_sim.py > CORRECTNESS_FULL_r$(ROUND).txt 2>&1 || (tail -5 CORRECTNESS_FULL_r$(ROUND).txt && false)
+	TES_VERIFY_JSON=CORRECTNESS_FULL_r$(ROUND).json $(PY) .claude/skills/verify/driver_sim.py > CORRECTNESS_FULL_r$(ROUND).txt 2>&1 || (tail -5 CORRECTNESS_FULL_r$(ROUND).txt && false)
 	tail -2 CORRECTNESS_FULL_r$(ROUND).txt
 	TES_VERIFY_SF_DIR=/root/testdata/sf0.1 $(PY) .claude/skills/verify/driver_sim.py > CORRECTNESS_FULL_SF01_r$(ROUND).txt 2>&1 || (tail -5 CORRECTNESS_FULL_SF01_r$(ROUND).txt && false)
 	tail -2 CORRECTNESS_FULL_SF01_r$(ROUND).txt

@@ -65,6 +65,36 @@ def test_simhash64_banded_exact_recall(spark, sf_dir):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
 
 
+def test_cluster_edges_components_equal_pair_graph(spark, sf_dir):
+    """The O(n·bands) star-edge graph must have EXACTLY the connected
+    components (nodes and min-id labels) of the k²-per-clique ≥7-of-8-band
+    pair graph — the equivalence that lets `q_corpus_curation_full` skip
+    clique enumeration entirely (987k pairs vs ≤40k star edges at sf0.1).
+    Proof shape: ≥7 shared bands ⟺ equality on ≥1 leave-one-out 7-band
+    key; each key bucket is a clique, and a star spans a clique."""
+    from twitter_event_stream_spark.operators.graph import (
+        connected_components,
+    )
+    from twitter_event_stream_spark.operators.llm_extra import (
+        minhash_cluster_edges,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    lab_pairs = {
+        (r.node, r.label)
+        for r in connected_components(
+            minhash_det_pairs(d).select("a_id", "b_id"), "a_id", "b_id"
+        ).collect()
+    }
+    lab_star = {
+        (r.node, r.label)
+        for r in connected_components(
+            minhash_cluster_edges(d), "a_id", "b_id"
+        ).collect()
+    }
+    assert lab_star == lab_pairs and len(lab_star) > 0
+
+
 def test_corpus_curation_full_funnel(spark, sf_dir):
     """Per-language funnel invariants + determinism + consistency with the
     bounded flagship's language set."""

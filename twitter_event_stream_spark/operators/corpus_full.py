@@ -68,28 +68,30 @@ def simhash64(d: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _full_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CC labels over the deterministic-MinHash pair graph of the WHOLE
+    """CC labels of the ≥7-of-8-band MinHash near-dup graph over the WHOLE
     documents table, cached per (session, sf_dir) like the bounded graph
-    (graph._cached) — `q_corpus_curation_full` and future full-corpus
-    graph queries share one signature pass + one CC fixpoint."""
+    (graph._cached). Computed over :func:`~twitter_event_stream_spark.
+    operators.llm_extra.minhash_cluster_edges` — the O(n·bands) star-edge
+    formulation with provably identical components to the k²-per-clique
+    pair list (the fixture's degenerate vocab makes dup cliques huge:
+    987k pairs vs ≤40k star edges at sf0.1, and the gap grows with
+    cluster size at 100 TB)."""
     from twitter_event_stream_spark.operators.graph import (
         _cached,
         connected_components,
     )
     from twitter_event_stream_spark.operators.llm_extra import (
-        minhash_det_pairs,
+        minhash_cluster_edges,
     )
 
     def build() -> DataFrame:
-        pairs = _cached(
+        edges = _cached(
             spark,
             sf_dir,
-            "pairs_full",
-            lambda: minhash_det_pairs(
-                table(spark, sf_dir, "documents")
-            ).select("a_id", "b_id"),
+            "star_edges_full",
+            lambda: minhash_cluster_edges(table(spark, sf_dir, "documents")),
         )
-        return connected_components(pairs, "a_id", "b_id")
+        return connected_components(edges, "a_id", "b_id")
 
     return _cached(spark, sf_dir, "labels_full", build)
 

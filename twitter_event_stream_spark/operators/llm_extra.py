@@ -412,6 +412,75 @@ def q_llm_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_det_pairs(d)
 
 
+def minhash_band_sigs(d: DataFrame) -> DataFrame:
+    """Per-doc deterministic MinHash band minima — (doc_id, _s0.._s7),
+    the shared signature pass of :func:`minhash_det_pairs` (pair
+    enumeration) and :func:`minhash_cluster_edges` (linear clustering
+    edges). All 8 band minima in ONE aggregation (8 md5 expressions per
+    shingle row — the same hash CPU as a ×8 band explode, but the agg
+    input stays at shingle cardinality instead of 8× it, and the partial
+    map-side combine reduces on doc_id alone)."""
+    shingles = F.expr(char_shingles_sql(3))
+    sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(
+                    F.md5(F.concat(F.col("shingle"), F.lit(f"#{b}"))), 1, 16
+                )
+            ).alias(f"_s{b}")
+            for b in range(8)
+        ]
+    )
+
+
+def minhash_cluster_edges(d: DataFrame) -> DataFrame:
+    """Connectivity-preserving near-dup edges in O(n·bands) — the
+    100 TB replacement for clustering over :func:`minhash_det_pairs`.
+
+    The pair contract ("share ≥7 of 8 band minima") makes every dup
+    CLIQUE enumerate k²/2 pairs — a 1M-pair edge list from 5k docs on the
+    degenerate-vocab fixture, and quadratic in cluster size at any scale.
+    Connected components never need the clique: two docs share ≥7 of 8
+    bands iff they agree EXACTLY on at least one of the 8 leave-one-out
+    7-band signatures (all 8 shared ⇒ every key matches; exactly 7 ⇒ the
+    key omitting the differing band matches). Each (subset, 7-band-key)
+    bucket is therefore a CLIQUE of the ≥7-band graph, so a STAR to the
+    bucket-min doc preserves each clique's connectivity, and the union of
+    stars has exactly the pair graph's connected components — pinned
+    equal in tests/test_corpus_full.py. Edge count: ≤ 8 per doc, however
+    large the dup clusters.
+
+    Plan: one signature aggregation, an 8-way key explode, a window MIN
+    per bucket (partition-local aggregate window, no sort), one distinct —
+    two shuffles total, nothing quadratic anywhere.
+    """
+    from pyspark.sql import Window
+
+    per_doc = minhash_band_sigs(d)
+    keys = per_doc.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("subset"),
+                    F.concat_ws(
+                        "|", *[f"_s{b}" for b in range(8) if b != i]
+                    ).alias("key7"),
+                )
+                for i in range(8)
+            ])
+        ).alias("k"),
+    ).select("doc_id", F.col("k.subset").alias("subset"), F.col("k.key7").alias("key7"))
+    hub = F.min("doc_id").over(Window.partitionBy("subset", "key7"))
+    return (
+        keys.withColumn("hub", hub)
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("doc_id").alias("a_id"), F.col("hub").alias("b_id"))
+        .distinct()
+    )
+
+
 def minhash_det_pairs(d: DataFrame) -> DataFrame:
     """The clamp-free core of :func:`q_llm_minhash_det` over any
     (doc_id, text) DataFrame — also the unclamped workload the 10× scale
@@ -424,23 +493,7 @@ def minhash_det_pairs(d: DataFrame) -> DataFrame:
     near-dup pairs linking ALL short docs into one cluster, which the
     graph queries built on these pairs then amplify (caught by the r6
     degenerate-text differential audit)."""
-    shingles = F.expr(char_shingles_sql(3))
-    sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
-    # All 8 band minima in ONE aggregation (8 md5 expressions per shingle
-    # row — the same hash CPU as a ×8 band explode, but the agg input stays
-    # at shingle cardinality instead of 8× it, and the partial map-side
-    # combine reduces on doc_id alone). stack() then unpivots the 8 minima
-    # back to the (doc_id, band, sig) join shape.
-    per_doc = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.substring(
-                    F.md5(F.concat(F.col("shingle"), F.lit(f"#{b}"))), 1, 16
-                )
-            ).alias(f"_s{b}")
-            for b in range(8)
-        ]
-    )
+    per_doc = minhash_band_sigs(d)
     sig = per_doc.selectExpr(
         "doc_id",
         "stack(8, " + ", ".join(f"{b}, _s{b}" for b in range(8)) + ") AS (band, sig)",
