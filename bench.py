@@ -202,6 +202,9 @@ def main() -> None:
         "q_train_order",
         "q_bm25",
         "q_quantile_bucketize",  # r6: distributed exact ntile (two-pass rank)
+        "q_corpus_curation_full",  # r8: whole-corpus flagships (X105-X107)
+        "q_simhash_dedup_full",
+        "q_embed_neardup_full",
     ):
         t = time.perf_counter()
         registry.get(name).fn(spark, sf_dir).collect()
