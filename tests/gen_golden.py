@@ -5,7 +5,7 @@ canon_value-stringified row per line, row-sorted).
 Usage::
 
     python tests/gen_golden.py q_sample q_llm_ann_ivf ...   # named queries
-    python tests/gen_golden.py --rows-only                  # the 16 ROWS queries
+    python tests/gen_golden.py --rows-only                  # the 17 ROWS queries
 
 Run it ONLY when a query's output is intentionally changed; a diff in the
 regenerated CSV that was not intended is exactly the silent drift the

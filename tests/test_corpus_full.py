@@ -109,6 +109,23 @@ def test_corpus_curation_full_funnel(spark, sf_dir):
         assert r.total_tokens > 0
 
 
+def test_dedup_cluster_stats_full(spark, sf_dir):
+    """Whole-corpus dedup report: every doc is in exactly one cluster
+    (singletons included), removable = docs - clusters per size row, and
+    the distribution is consistent with the curation funnel's canonical
+    count (clusters == canonical docs)."""
+    rows = registry.get("q_dedup_cluster_stats_full").fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    n_docs_total = table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        assert r.n_removable == r.n_docs - r.n_clusters
+    n_clusters = sum(r.n_clusters for r in rows)
+    funnel = registry.get("q_corpus_curation_full").fn(spark, sf_dir).collect()
+    assert n_clusters == sum(f.n_canonical for f in funnel)
+
+
 def test_simhash_dedup_full_summary(spark, sf_dir):
     """Single-row summary: present even when empty, internally consistent,
     and every accepted pair within the configured Hamming budget."""

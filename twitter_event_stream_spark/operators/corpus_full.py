@@ -175,6 +175,32 @@ def q_simhash_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_dedup_cluster_stats_full", oracle=None)
+def q_dedup_cluster_stats_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X108 (ROWS) — `q_dedup_cluster_stats` (X101) unbounded: the
+    cluster-size distribution of the WHOLE corpus's near-dup graph — the
+    report a pipeline reads before committing a full dedup pass. Rides the
+    session-cached star-edge CC labels (`_full_labels`), so its marginal
+    cost over `q_corpus_curation_full` is two aggregations of a
+    doc-count-sized table; unclustered docs count as singleton clusters,
+    so `sum(n_docs)` always equals the corpus size (pinned in tests)."""
+    labels = _full_labels(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    clustered = d.join(
+        labels.select(F.col("node").alias("doc_id"), "label"), "doc_id", "left"
+    ).select(F.coalesce("label", "doc_id").alias("cluster_id"))
+    sizes = clustered.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+        (F.col("cluster_size") * F.count(F.lit(1)) - F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_removable"),
+    )
+
+
 @query("q_embed_neardup_full", oracle=None)
 def q_embed_neardup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X107 (ROWS) — whole-corpus embedding near-duplicate scan through
