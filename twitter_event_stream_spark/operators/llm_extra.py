@@ -727,3 +727,113 @@ def simhash_banded_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+# --- duplicated-span mining & chunking (r8) --------------------------------
+
+_DUP_SPANS_SPARK = """
+WITH t AS (
+  SELECT doc_id, split(text, ' ') AS toks FROM documents WHERE doc_id < 200
+), g AS (
+  SELECT doc_id, explode(CASE WHEN size(toks) >= 5 THEN
+           array_distinct(transform(sequence(1, size(toks) - 4),
+                                    i -> array_join(slice(toks, i, 5), ' ')))
+         ELSE array() END) AS gram
+  FROM t
+), shared AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT g.doc_id,
+       count(s.gram) AS n_dup_grams,
+       count(*) AS n_grams,
+       floor((count(s.gram) / CAST(count(*) AS DOUBLE)) * 1000000 + 0.505)
+         / 1000000 AS dup_ratio
+FROM g LEFT JOIN shared s ON g.gram = s.gram
+GROUP BY g.doc_id
+"""
+
+
+@query(
+    "q_dup_spans",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 200
+    ), g AS (
+      SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN
+               list_distinct(list_transform(range(1, len(toks) - 3),
+                 i -> array_to_string(list_slice(toks, i, i + 4), ' ')))
+             ELSE [] END) AS gram
+      FROM t
+    ), shared AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT g.doc_id,
+           count(s.gram) AS n_dup_grams,
+           count(*) AS n_grams,
+           {R('count(s.gram) / CAST(count(*) AS DOUBLE)', 6)} AS dup_ratio
+    FROM g LEFT JOIN shared s ON g.gram = s.gram
+    GROUP BY g.doc_id
+    """,
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-extra — cross-document duplicated-SPAN mining (the token-n-gram
+    granular dedup signal of Lee et al., *Deduplicating Training Data
+    Makes Language Models Better*, ACL'22): per doc, how many of its
+    distinct token 5-grams also appear in ANY other document, and the
+    duplicated-span ratio a span-level filter would act on. Doc-level
+    near-dup (MinHash/SimHash) misses partially-copied boilerplate; this
+    is the complementary signal. Docs with <5 tokens have no 5-gram and
+    are absent (stated by both dialects identically).
+
+    Scale: the gram table is O(total tokens) rows; the only shuffles are
+    the gram-key aggregation (map-side combined) and the gram equi-join —
+    never any doc×doc pairing. At 100 TB the gram strings would be
+    xxhash64-compressed before the shuffle (same plan shape, 8-byte
+    keys); the contract form keeps raw grams so the oracle is exact."""
+    table(spark, sf_dir, "documents")
+    return spark.sql(_DUP_SPANS_SPARK)
+
+
+_TEXT_CHUNK_SPARK = """
+WITH t AS (
+  SELECT doc_id, split(text, ' ') AS toks FROM documents WHERE doc_id < 100
+), s AS (
+  SELECT doc_id, toks, explode(sequence(1, size(toks), 8)) AS start FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) DIV 8 + 1 AS BIGINT) AS chunk_id,
+       array_join(slice(toks, start, 16), ' ') AS chunk_text,
+       CAST(size(slice(toks, start, 16)) AS BIGINT) AS n_tokens
+FROM s
+"""
+
+
+@query(
+    "q_text_chunk",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 100
+    ), s AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 8)) AS start FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 8 + 1 AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(toks, start, start + 15), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(toks, start, start + 15)) AS BIGINT)
+             AS n_tokens
+    FROM s
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-extra — overlapping token-window chunking (window 16, stride 8):
+    the retrieval/embedding-index preprocessing step (each chunk overlaps
+    half the previous so no phrase straddles a hard boundary). Pure
+    per-row array arithmetic — zero shuffles, whole-stage codegen; at
+    100 TB this is a map-only pass whose output feeds the embedding UDF
+    and the IVF index build. The trailing chunk keeps its natural short
+    length (both dialects state the same slice semantics)."""
+    table(spark, sf_dir, "documents")
+    return spark.sql(_TEXT_CHUNK_SPARK)
