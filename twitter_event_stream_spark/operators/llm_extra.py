@@ -451,12 +451,15 @@ def minhash_cluster_edges(d: DataFrame) -> DataFrame:
     equal in tests/test_corpus_full.py. Edge count: ≤ 8 per doc, however
     large the dup clusters.
 
-    Plan: one signature aggregation, an 8-way key explode, a window MIN
-    per bucket (partition-local aggregate window, no sort), one distinct —
-    two shuffles total, nothing quadratic anywhere.
+    Plan: one signature aggregation, an 8-way key explode, a groupBy-MIN
+    per bucket joined back on the bucket key, one distinct. The hub pick
+    is a partial-aggregating groupBy + streaming sort-merge join rather
+    than a window MIN: WindowExec BUFFERS each partition group, so a
+    boilerplate mega-clique (one 7-band key shared by millions of docs —
+    routine at 100 TB) would buffer whole in one task, while the
+    groupBy combines map-side and the join streams the hot key (and AQE
+    skew-join can split it).
     """
-    from pyspark.sql import Window
-
     per_doc = minhash_band_sigs(d)
     keys = per_doc.select(
         "doc_id",
@@ -472,9 +475,9 @@ def minhash_cluster_edges(d: DataFrame) -> DataFrame:
             ])
         ).alias("k"),
     ).select("doc_id", F.col("k.subset").alias("subset"), F.col("k.key7").alias("key7"))
-    hub = F.min("doc_id").over(Window.partitionBy("subset", "key7"))
+    hubs = keys.groupBy("subset", "key7").agg(F.min("doc_id").alias("hub"))
     return (
-        keys.withColumn("hub", hub)
+        keys.join(hubs, ["subset", "key7"])
         .filter(F.col("doc_id") != F.col("hub"))
         .select(F.col("doc_id").alias("a_id"), F.col("hub").alias("b_id"))
         .distinct()
