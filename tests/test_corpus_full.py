@@ -126,6 +126,23 @@ def test_dedup_cluster_stats_full(spark, sf_dir):
     assert n_clusters == sum(f.n_canonical for f in funnel)
 
 
+def test_dup_spans_full_invariants(spark, sf_dir):
+    """Whole-corpus span-duplication report: doc universe = docs with ≥5
+    tokens, dup grams bounded by total grams, deterministic."""
+    from pyspark.sql import functions as F
+
+    q = registry.get("q_dup_spans_full").fn
+    rows1 = q(spark, sf_dir).collect()
+    rows2 = q(spark, sf_dir).collect()
+    assert rows1 == rows2 and len(rows1) > 0
+    d = table(spark, sf_dir, "documents")
+    n_eligible = d.filter(F.size(F.split("text", " ")) >= 5).count()
+    assert sum(r.n_docs for r in rows1) == n_eligible
+    for r in rows1:
+        assert 0 <= r.total_dup_grams <= r.total_grams
+        assert 0 <= r.n_dup_heavy_docs <= r.n_docs
+
+
 def test_simhash_dedup_full_summary(spark, sf_dir):
     """Single-row summary: present even when empty, internally consistent,
     and every accepted pair within the configured Hamming budget."""

@@ -254,6 +254,8 @@ PROBES = {
     "curation_full_core": _curation_full_core,
     "q_simhash_dedup_full": _registry_probe("q_simhash_dedup_full"),
     "q_embed_neardup_full": _registry_probe("q_embed_neardup_full"),
+    "q_dup_spans_full": _registry_probe("q_dup_spans_full"),
+    "q_contamination_ngram": _registry_probe("q_contamination_ngram"),
     "train_order_core": _train_order_core,
     "domain_filter_core": _domain_filter_core,
     "ntile_core": _ntile_core,

@@ -234,3 +234,52 @@ def q_embed_neardup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sim").alias("min_sim"),
         F.max("sim").alias("max_sim"),
     )
+
+
+@query("q_dup_spans_full", oracle=None)
+def q_dup_spans_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X111 (ROWS) — `q_dup_spans` (X109) unbounded: duplicated
+    token-5-gram coverage of the WHOLE corpus, rolled up per language —
+    the span-duplication report (total grams, grams appearing in ≥2 docs,
+    docs that are majority-duplicated span-wise) a curation pass reads
+    next to the doc-level dedup report. Same gram-key aggregation +
+    equi-join shape as the bounded HASH form; only the per-lang rollup is
+    new, so output stays tiny at any corpus size. Docs with <5 tokens have
+    no 5-gram and are excluded (same statement as the bounded form)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.when(
+        F.size(toks) >= 5,
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 4),"
+                " i -> array_join(slice(split(text, ' '), i, 5), ' '))"
+            )
+        ),
+    ).otherwise(F.array())
+    g = d.select("doc_id", "lang", F.explode(grams).alias("gram"))
+    shared = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    per_doc = (
+        g.join(shared.withColumn("dup", F.lit(1)), "gram", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("dup").alias("n_dup_grams"),
+        )
+    )
+    heavy = (F.col("n_dup_grams") * 2) > F.col("n_grams")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("n_dup_grams").alias("total_dup_grams"),
+            F.sum(heavy.cast("long")).alias("n_dup_heavy_docs"),
+        )
+        .orderBy("lang")
+    )

@@ -840,3 +840,77 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     length (both dialects state the same slice semantics)."""
     table(spark, sf_dir, "documents")
     return spark.sql(_TEXT_CHUNK_SPARK)
+
+
+_CONTAM_NGRAM_SPARK = """
+WITH t AS (
+  SELECT doc_id, lang, split(text, ' ') AS toks,
+         CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)
+              % 100 AS INT) AS pct
+  FROM documents
+), g AS (
+  SELECT doc_id, pct, explode(CASE WHEN size(toks) >= 8 THEN
+           array_distinct(transform(sequence(1, size(toks) - 7),
+                                    i -> array_join(slice(toks, i, 8), ' ')))
+         ELSE array() END) AS gram
+  FROM t
+), test_g AS (
+  SELECT DISTINCT gram FROM g WHERE pct >= 90
+), hits AS (
+  SELECT DISTINCT g.doc_id FROM g JOIN test_g ON g.gram = test_g.gram
+  WHERE g.pct < 90
+)
+SELECT t.lang,
+       count(*) AS n_train_docs,
+       count(h.doc_id) AS n_flagged
+FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
+WHERE t.pct < 90
+GROUP BY t.lang
+"""
+
+
+@query(
+    "q_contamination_ngram",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks,
+             CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 4)) AS BIGINT)
+                  % 100 AS INT) AS pct
+      FROM documents
+    ), g AS (
+      SELECT doc_id, pct, unnest(CASE WHEN len(toks) >= 8 THEN
+               list_distinct(list_transform(range(1, len(toks) - 6),
+                 i -> array_to_string(list_slice(toks, i, i + 7), ' ')))
+             ELSE [] END) AS gram
+      FROM t
+    ), test_g AS (
+      SELECT DISTINCT gram FROM g WHERE pct >= 90
+    ), hits AS (
+      SELECT DISTINCT g.doc_id FROM g JOIN test_g ON g.gram = test_g.gram
+      WHERE g.pct < 90
+    )
+    SELECT t.lang,
+           count(*) AS n_train_docs,
+           count(h.doc_id) AS n_flagged
+    FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    WHERE t.pct < 90
+    GROUP BY t.lang
+    """,
+)
+def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-extra — SPAN-level train→test decontamination (the GPT-3/PaLM
+    appendix method, at token-8-gram granularity for the short-doc
+    fixture): flag every train-split document sharing at least one token
+    8-gram with any test-split document — the complement of
+    `q_contamination_exact`'s whole-doc digest match, which misses a test
+    answer pasted inside a longer train doc. Split buckets follow the
+    engine's deterministic md5 convention (sampling.split_pct; train <90,
+    test ≥90).
+
+    Scale: the gram table is O(total tokens); the test-gram side is a
+    distinct over the ~10% test slice; the only shuffles are the two
+    distincts and the gram equi-join (semi-join shape — at 100 TB the
+    grams would shuffle as xxhash64 digests, same plan). Never doc×doc."""
+    table(spark, sf_dir, "documents")
+    return spark.sql(_CONTAM_NGRAM_SPARK)
