@@ -46,9 +46,9 @@ record:
 	tail -1 PYTEST_DRIVER_SCALE_r$(ROUND).txt
 	TES_VERIFY_JSON=CORRECTNESS_FULL_r$(ROUND).json $(PY) .claude/skills/verify/driver_sim.py > CORRECTNESS_FULL_r$(ROUND).txt 2>&1 || (tail -5 CORRECTNESS_FULL_r$(ROUND).txt && false)
 	tail -2 CORRECTNESS_FULL_r$(ROUND).txt
-	TES_VERIFY_SF_DIR=/root/testdata/sf0.1 $(PY) .claude/skills/verify/driver_sim.py > CORRECTNESS_FULL_SF01_r$(ROUND).txt 2>&1 || (tail -5 CORRECTNESS_FULL_SF01_r$(ROUND).txt && false)
+	TES_VERIFY_SF_DIR=/root/testdata/sf0.1 TES_VERIFY_JSON=CORRECTNESS_FULL_SF01_r$(ROUND).json $(PY) .claude/skills/verify/driver_sim.py > CORRECTNESS_FULL_SF01_r$(ROUND).txt 2>&1 || (tail -5 CORRECTNESS_FULL_SF01_r$(ROUND).txt && false)
 	tail -2 CORRECTNESS_FULL_SF01_r$(ROUND).txt
-	TES_VERIFY_SF_DIR=/root/testdata/sf0.001 $(PY) .claude/skills/verify/driver_sim.py > CORRECTNESS_FULL_SF0001_r$(ROUND).txt 2>&1 || (tail -5 CORRECTNESS_FULL_SF0001_r$(ROUND).txt && false)
+	TES_VERIFY_SF_DIR=/root/testdata/sf0.001 TES_VERIFY_JSON=CORRECTNESS_FULL_SF0001_r$(ROUND).json $(PY) .claude/skills/verify/driver_sim.py > CORRECTNESS_FULL_SF0001_r$(ROUND).txt 2>&1 || (tail -5 CORRECTNESS_FULL_SF0001_r$(ROUND).txt && false)
 	tail -2 CORRECTNESS_FULL_SF0001_r$(ROUND).txt
 	$(PY) tools/scale_probe.py > SCALE_PROBE_r$(ROUND).txt 2>&1 || (tail -8 SCALE_PROBE_r$(ROUND).txt && false)
 	tail -4 SCALE_PROBE_r$(ROUND).txt

@@ -2,7 +2,7 @@
 sf0.001 snapshots — catches silent engine-and-oracle co-drift that the
 differential harness cannot see (both sides changing together).
 
-Coverage (r6, r8): all 147 HASH queries AND 17 of the 18 ROWS queries — the
+Coverage (r6, r8): all 148 HASH queries AND 17 of the 18 ROWS queries — the
 seeded/approx paths (samples, LSH, IVF, HLL/theta sketches, pagerank) are
 rerun-stable for a fixed session shape, so silent drift in them is caught
 here exactly like HASH drift (regenerate intentionally via

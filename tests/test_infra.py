@@ -391,6 +391,40 @@ def test_ivf_ann_recall_distributed_branch(spark, sf_dir):
     assert recall >= 0.4, f"distributed-branch IVF recall@5 too low: {recall:.2f}"
 
 
+def test_ivf_index_roundtrip(spark, sf_dir, tmp_path_factory):
+    """r8 — persisted IVF index (build-once/probe-many): probing the
+    written index must return EXACTLY the fresh ivf_topk result (same
+    seeded quantizer, same ranking arithmetic), the probe plan must
+    dynamic-partition-prune the cell-partitioned corpus scan (only probed
+    cells read), and a rebuild must reproduce identical centroids."""
+    from pyspark.sql import functions as F
+
+    from twitter_event_stream_spark.operators.vector_search import (
+        ivf_topk,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+    from twitter_event_stream_spark.tables import table
+
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 20)
+    base = str(tmp_path_factory.mktemp("ivfidx"))
+    write_ivf_index(spark, e, f"{base}/a")
+    idx = ivf_topk_indexed(spark, f"{base}/a", probes, k=5)
+    got = {(r.probe_id, r.cand_id, r.sim, r.rn) for r in idx.collect()}
+    fresh = {
+        (r.probe_id, r.cand_id, r.sim, r.rn)
+        for r in ivf_topk(spark, e, probes, k=5).collect()
+    }
+    assert got == fresh and len(got) > 0
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
+    write_ivf_index(spark, e, f"{base}/b")
+    ca = spark.read.parquet(f"{base}/a/centroids").orderBy("cell").collect()
+    cb = spark.read.parquet(f"{base}/b/centroids").orderBy("cell").collect()
+    assert ca == cb
+
+
 def test_embed_neardup_blocked_distributed_branch(spark, sf_dir):
     """r8 — the blocked near-dup verifier through the distributed
     quantizer: pair set must stay a subset of the exact ≥threshold pair

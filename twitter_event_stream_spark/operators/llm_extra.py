@@ -914,3 +914,49 @@ def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams would shuffle as xxhash64 digests, same plan). Never doc×doc."""
     table(spark, sf_dir, "documents")
     return spark.sql(_CONTAM_NGRAM_SPARK)
+
+
+_TOP_DUP_SPANS_SPARK = """
+WITH t AS (
+  SELECT doc_id, split(text, ' ') AS toks FROM documents WHERE doc_id < 200
+), g AS (
+  SELECT doc_id, explode(CASE WHEN size(toks) >= 5 THEN
+           array_distinct(transform(sequence(1, size(toks) - 4),
+                                    i -> array_join(slice(toks, i, 5), ' ')))
+         ELSE array() END) AS gram
+  FROM t
+)
+SELECT gram, count(*) AS n_docs
+FROM g GROUP BY gram HAVING count(*) >= 2
+ORDER BY n_docs DESC, gram LIMIT 20
+"""
+
+
+@query(
+    "q_top_dup_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 200
+    ), g AS (
+      SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN
+               list_distinct(list_transform(range(1, len(toks) - 3),
+                 i -> array_to_string(list_slice(toks, i, i + 4), ' ')))
+             ELSE [] END) AS gram
+      FROM t
+    )
+    SELECT gram, count(*) AS n_docs
+    FROM g GROUP BY gram HAVING count(*) >= 2
+    ORDER BY n_docs DESC, gram LIMIT 20
+    """,
+)
+def q_top_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-extra — the 20 most widely-shared token 5-grams with their doc
+    counts: `q_dup_spans` tells a curator HOW MUCH is duplicated, this
+    shows WHAT (the concrete boilerplate strings to blocklist). The total
+    ORDER BY (count desc, gram) makes the LIMIT deterministic under the
+    multiset hash compare; Spark executes it as TakeOrderedAndProject (a
+    per-partition top-k merged on the driver — no global sort), so the
+    same query is the scale form too."""
+    table(spark, sf_dir, "documents")
+    return spark.sql(_TOP_DUP_SPANS_SPARK)

@@ -437,3 +437,78 @@ def embed_neardup_blocked(
     return pairs.dropDuplicates(["a_id", "b_id"]).select(
         "a_id", "b_id", F.round("sim", 4).alias("sim")
     )
+
+
+def write_ivf_index(
+    spark: SparkSession,
+    vectors: DataFrame,
+    path: str,
+    n_cells: int | None = None,
+    seed: int = 42,
+    distributed: bool | None = None,
+) -> None:
+    """Persist an IVF index: train the coarse quantizer once, then write
+    ``<path>/centroids`` (cell id + centroid vector) and ``<path>/cells``
+    (the corpus, PARTITIONED BY cell) as parquet. Build-once/probe-many is
+    how ANN actually deploys — :func:`ivf_topk` retrains and reassigns on
+    every call, which is right for one-shot queries and wasteful for a
+    served index. Partitioning the corpus by cell turns every later probe
+    into a pruned scan: only the probed cells' files are read (dynamic
+    partition pruning through the cell join; pinned by test). Same seeded
+    trainer as ivf_topk, so a rebuilt index reproduces bit-identically."""
+    bc = _train_quantizer(spark, vectors, n_cells, seed, distributed)
+    if bc is None:
+        raise ValueError("cannot index an empty corpus")
+    cm = bc.value
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(cm)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    _cell_assign(vectors, bc, 1).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/cells")
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    probes: DataFrame,
+    k: int = 5,
+    n_probe_cells: int = 2,
+) -> DataFrame:
+    """Cosine top-k against a PERSISTED IVF index (:func:`write_ivf_index`)
+    — no quantizer training, no corpus reassignment: read the centroid
+    matrix (one tiny file), assign probes to their ``n_probe_cells``
+    nearest cells Arrow-batched, and join against the cell-partitioned
+    corpus; the join key is the partition column, so only the probed
+    cells' parquet files are scanned. Identical ranking arithmetic to
+    :func:`ivf_topk` (same JVM-side cosine, same tiebreak), so a fresh
+    build probed with the same parameters returns the identical result —
+    pinned by test."""
+    cent_pdf = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cell").toPandas()
+    )
+    cm = np.asarray(cent_pdf["centroid"].tolist(), dtype=np.float64)
+    bc = spark.sparkContext.broadcast(cm)
+    probe_cells = _cell_assign(probes, bc, n_probe_cells)
+    corpus = spark.read.parquet(f"{path}/cells")
+    p = probe_cells.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv"), "cell"
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"), "cell"
+    )
+    sims = (
+        p.join(c, "cell")
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .select("probe_id", "cand_id", _cosine("pv", "cv").alias("sim"))
+        .filter(F.col("sim").isNotNull())
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "cand_id", F.round("sim", 4).alias("sim"), "rn")
+    )
