@@ -1551,3 +1551,57 @@ def test_knn_topk_disjoint_probes_and_zero_norms(spark):
     one = spark.createDataFrame([(7, [1.0, 1.0])], "vec_id long, embedding array<float>")
     rows3 = knn_topk(spark, one, probes, k=5).collect()
     assert {(r.probe_id, r.cand_id) for r in rows3} == {(100, 7), (101, 7)}
+
+
+def test_simhash_incremental_index(spark, sf_dir, tmp_path_factory):
+    """r8 — persisted incremental dedup index (X115): dedup of an incoming
+    batch against the indexed corpus must equal the cross-(corpus, batch)
+    pairs of the verified full-corpus banded scan with minimal
+    (hamming, corpus_id) tie-break; the batch side must broadcast (the
+    index scan never shuffles); appending the batch makes its docs
+    self-findable at hamming 0."""
+    from pyspark.sql import functions as F
+
+    from twitter_event_stream_spark.operators.corpus_full import (
+        dedup_against_index,
+        simhash64,
+        write_simhash_index,
+    )
+    from twitter_event_stream_spark.operators.llm_extra import (
+        simhash_banded_pairs,
+    )
+    from twitter_event_stream_spark.tables import table
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path_factory.mktemp("shidx")) + "/idx"
+    write_simhash_index(spark, corpus, path)
+
+    res = dedup_against_index(spark, batch, path, max_hamming=3)
+    rows = res.collect()
+    assert len(rows) == batch.count()  # one verdict per batch doc
+    got = {(r.doc_id, r.dup_of, r.hamming) for r in rows if r.dup_of is not None}
+
+    pairs = simhash_banded_pairs(
+        spark, simhash64(d), max_hamming=3, n_bands=4, bits=64,
+        sig_col="simhash64",
+    ).collect()
+    best = {}
+    for r in pairs:
+        for n, c in ((r.a_id, r.b_id), (r.b_id, r.a_id)):
+            if n % 2 == 1 and c % 2 == 0:
+                key = (r.hamming, c)
+                if n not in best or key < best[n]:
+                    best[n] = key
+    expected = {(n, c, h) for n, (h, c) in best.items()}
+    assert got == expected
+
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+    # grow the index with the batch; its docs now self-match at hamming 0
+    write_simhash_index(spark, batch, path, mode="append")
+    again = dedup_against_index(spark, batch.limit(1), path).collect()
+    assert len(again) == 1 and again[0].hamming == 0

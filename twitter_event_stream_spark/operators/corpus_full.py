@@ -283,3 +283,101 @@ def q_dup_spans_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- incremental dedup index (r8, X115) ------------------------------------
+
+
+def _simhash_band_rows(
+    sh: DataFrame, n_bands: int = 4, bits: int = 64, sig_col: str = "simhash64"
+) -> DataFrame:
+    """Explode (doc_id, signature) into its banded lookup keys — the same
+    (band, val) layout `simhash_banded_pairs` joins on, factored out so the
+    persisted index and the probe side derive keys identically."""
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    return sh.select(
+        "doc_id",
+        F.col(sig_col).alias("sig"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(sig_col, b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("val"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select(
+        "doc_id", "sig", F.col("bk.band").alias("band"),
+        F.col("bk.val").alias("val"),
+    )
+
+
+def write_simhash_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's SimHash dedup index (X115): 64-bit signatures
+    pre-exploded into the Manku WWW'07 4x16-bit band keys, parquet
+    partitioned by band. Build once over the corpus; each new ingest batch
+    then dedups against it via :func:`dedup_against_index` without
+    re-reading corpus TEXT or recomputing a single signature — the
+    expensive tokenize + 64-vote aggregation runs exactly once per
+    document over the corpus's lifetime (``mode="append"`` grows the
+    index with a batch's survivors). The text-dedup twin of the persisted
+    IVF index (X114, vector_search.write_ivf_index)."""
+    rows = _simhash_band_rows(simhash64(docs, text_col))
+    rows.write.mode(mode).partitionBy("band").parquet(path)
+
+
+def dedup_against_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    max_hamming: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag which docs of an incoming batch near-duplicate the INDEXED
+    corpus (X115): returns one row per batch doc — (doc_id, dup_of,
+    hamming), dup_of NULL when no indexed doc is within ``max_hamming``
+    (ties broken deterministically: minimal (hamming, corpus doc_id)).
+
+    Scale shape: the batch (a micro-batch or daily drop, orders of
+    magnitude smaller than the corpus) computes its signatures and band
+    keys, and is BROADCAST against the index scan — the corpus side never
+    shuffles and its signatures are read, not recomputed. Candidates per
+    batch doc are bounded by band-bucket occupancy (pigeonhole-exact for
+    Hamming <= 3 under 4 bands), and the only wide operation is the
+    per-batch-doc min aggregation over those candidates. Duplicate
+    candidates from multi-band matches are absorbed by the min, so no
+    distinct pass is needed. Intra-batch duplicates are out of scope by
+    contract — run the batch through exact/banded dedup first, or append
+    and let the next batch see them."""
+    idx = spark.read.parquet(path)
+    nb = _simhash_band_rows(simhash64(new_docs, text_col)).select(
+        F.col("doc_id").alias("n_id"), F.col("sig").alias("n_sig"),
+        "band", "val",
+    )
+    cand = idx.join(F.broadcast(nb), ["band", "val"]).select(
+        "n_id", "n_sig", F.col("doc_id").alias("dup_of"),
+        F.col("sig").alias("c_sig"),
+    )
+    hamming = F.bit_count(F.col("n_sig").bitwiseXOR(F.col("c_sig")))
+    best = (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("n_id")
+        .agg(F.min(F.struct("hamming", "dup_of")).alias("m"))
+        .select(
+            F.col("n_id").alias("doc_id"),
+            F.col("m.dup_of").alias("dup_of"),
+            F.col("m.hamming").alias("hamming"),
+        )
+    )
+    return new_docs.select("doc_id").join(best, "doc_id", "left")
