@@ -779,3 +779,97 @@ def test_fanout_rerun_is_idempotent(spark, tmp_path_factory):
         assert open(p).read() == content, f"duplicated payloads in {p}"
     total = sum(c.count("event_id") for c in first.values())
     assert total == 30
+
+
+def test_dedup_ingest_stream(spark, sf_dir, tmp_path_factory):
+    """r8 — streaming ingestion gated by the persisted dedup index (X115
+    on Structured Streaming): published docs are a subset of the incoming
+    batch, none near-duplicates the indexed corpus, every dup-free doc
+    survives, multiple micro-batches run, and a SECOND streaming run sees
+    the first run's ingested docs through the grown index."""
+    from pyspark.sql import functions as F
+
+    from twitter_event_stream_spark.operators.corpus_full import (
+        simhash64,
+        write_simhash_index,
+    )
+    from twitter_event_stream_spark.operators.llm_extra import (
+        simhash_banded_pairs,
+    )
+    from twitter_event_stream_spark.streaming.pipelines import (
+        dedup_ingest_stream,
+    )
+    from twitter_event_stream_spark.tables import table
+
+    base = str(tmp_path_factory.mktemp("ingest"))
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    incoming = d.filter(F.col("doc_id") % 2 == 1)
+    write_simhash_index(spark, corpus, f"{base}/idx")
+
+    # two single-file chunks so availableNow runs >=2 micro-batches
+    med = incoming.approxQuantile("doc_id", [0.5], 0.0)[0]
+    incoming.filter(F.col("doc_id") <= med).coalesce(1).write.parquet(
+        f"{base}/chunks/chunk=000"
+    )
+    incoming.filter(F.col("doc_id") > med).coalesce(1).write.parquet(
+        f"{base}/chunks/chunk=001"
+    )
+    st = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{base}/chunks")
+    )
+    q = dedup_ingest_stream(st, f"{base}/idx", f"{base}/out", f"{base}/ckpt")
+    q.awaitTermination(120)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2
+
+    out_ids = {
+        r.doc_id
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{base}/out")
+        .collect()
+    }
+    odd_ids = {r.doc_id for r in incoming.select("doc_id").collect()}
+    assert out_ids and out_ids <= odd_ids
+
+    pairs = simhash_banded_pairs(
+        spark, simhash64(d), max_hamming=3, n_bands=4, bits=64,
+        sig_col="simhash64",
+    ).collect()
+    corpus_dupped = {
+        n
+        for r in pairs
+        for n, c in ((r.a_id, r.b_id), (r.b_id, r.a_id))
+        if n % 2 == 1 and c % 2 == 0
+    }
+    in_any_pair = {r.a_id for r in pairs} | {r.b_id for r in pairs}
+    assert not (out_ids & corpus_dupped)  # corpus dups never published
+    assert (odd_ids - in_any_pair) <= out_ids  # dup-free docs all survive
+
+    # run 2: an exact copy of an ingested doc (fresh id) must be gated by
+    # the index rows the FIRST run appended
+    some_id = min(out_ids)
+    copy = (
+        d.filter(F.col("doc_id") == some_id)
+        .withColumn("doc_id", F.lit(10_000_001).cast("long"))
+    )
+    copy.coalesce(1).write.parquet(f"{base}/chunks2/chunk=000")
+    st2 = (
+        spark.readStream.schema(d.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{base}/chunks2")
+    )
+    q2 = dedup_ingest_stream(
+        st2, f"{base}/idx", f"{base}/out2", f"{base}/ckpt2"
+    )
+    q2.awaitTermination(120)
+    out2 = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema(d.schema)
+        .parquet(f"{base}/out2")
+        .count()
+    )
+    assert out2 == 0  # hamming-0 match against run 1's appended rows

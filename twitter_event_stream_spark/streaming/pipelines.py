@@ -389,3 +389,67 @@ def curation_stream(
         .filter(F.length("props") >= min_payload_chars)
         .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     )
+
+
+def dedup_ingest_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint: str,
+    max_hamming: int = 3,
+):
+    """Streaming corpus ingestion gated by the persisted incremental dedup
+    index (X115 composed onto Structured Streaming): every micro-batch of
+    incoming documents is deduped against the index, only the surviving
+    unique docs are published to the corpus sink, and their band keys are
+    appended to the index — so later micro-batches AND later streaming
+    runs see everything ingested before them. This is the ingest-time
+    near-dup gate a training-corpus pipeline runs continuously; corpus
+    signatures are never recomputed (the index carries them) and the
+    per-batch work is the broadcast band join of
+    :func:`~twitter_event_stream_spark.operators.corpus_full.dedup_against_index`.
+
+    Delivery semantics on foreachBatch retry: the corpus sink writes each
+    micro-batch under ``out_dir/batch=<id>`` with overwrite, so a replayed
+    batch republishes the same files (idempotent). The index append is NOT
+    idempotent, but duplicate band rows only duplicate join candidates,
+    which the min-(hamming, doc_id) verdict absorbs — verdicts stay
+    correct after any number of replays. Intra-batch duplicates are out of
+    scope by the X115 contract (both survive; the next batch sees them).
+
+    Returns the started query (caller awaits termination); drain with
+    ``trigger(availableNow=True)`` semantics — the trigger is set here.
+    """
+    from twitter_event_stream_spark.operators.corpus_full import (
+        dedup_against_index,
+        write_simhash_index,
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.persist()
+        try:
+            verdicts = dedup_against_index(
+                spark, batch_df, index_path, max_hamming
+            )
+            uniq = batch_df.join(
+                verdicts.filter(F.col("dup_of").isNull()).select("doc_id"),
+                "doc_id",
+            )
+            uniq.persist()
+            try:
+                uniq.write.mode("overwrite").parquet(
+                    f"{out_dir}/batch={batch_id}"
+                )
+                write_simhash_index(spark, uniq, index_path, mode="append")
+            finally:
+                uniq.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
