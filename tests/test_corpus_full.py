@@ -150,7 +150,9 @@ def test_simhash_dedup_full_summary(spark, sf_dir):
     assert len(row) == 1
     s = row[0]
     if s.n_pairs == 0:
-        assert s.n_dup_docs == 0 and s.max_hamming is None
+        # sum-derived fields pin 0 on the empty branch, not NULL (r8 ADVICE)
+        assert s.n_dup_docs == 0 and s.n_exact_sig_pairs == 0
+        assert s.max_hamming is None
     else:
         assert s.max_hamming <= 3
         assert 2 <= s.n_dup_docs <= 2 * s.n_pairs
@@ -174,3 +176,50 @@ def test_embed_neardup_full_summary(spark, sf_dir):
     if s.n_pairs:
         assert s.n_sim_ge_090 + s.n_sim_060_090 + s.n_sim_lt_060 == s.n_pairs
         assert 0.3 <= s.min_sim <= s.max_sim <= 1.0001
+    else:
+        # band counts pin 0 on the empty branch, not NULL (r8 ADVICE)
+        assert (s.n_sim_ge_090, s.n_sim_060_090, s.n_sim_lt_060) == (0, 0, 0)
+
+
+def test_full_summaries_dup_free_zero_not_null(spark, sf_dir, tmp_path_factory):
+    """r9 (r8 ADVICE) — on a dup-free corpus the 'never empty' summary rows
+    must carry 0, not NULL, in the sum-derived fields: n_exact_sig_pairs
+    (q_simhash_dedup_full) and the three similarity-band counts
+    (q_embed_neardup_full), consistent with n_pairs=0."""
+    import shutil
+
+    from twitter_event_stream_spark.tables import TABLE_NAMES
+
+    base = str(tmp_path_factory.mktemp("dupfree"))
+    for name in TABLE_NAMES:
+        if name in ("documents", "embeddings"):
+            continue
+        shutil.copy(f"{sf_dir}/{name}.parquet", f"{base}/{name}.parquet")
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie delta echo foxtrot golf hotel", "en", "s", 10),
+            (2, "uno dos tres cuatro cinco seis siete ocho nueve diez", "es", "s", 10),
+            (3, "eins zwei drei vier fuenf sechs sieben acht neun zehn", "de", "s", 10),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(f"{base}/documents.parquet")
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [0.0, 1.0, 0.0], 1),
+            (3, [0.0, 0.0, 1.0], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    vecs.coalesce(1).write.parquet(f"{base}/embeddings.parquet")
+
+    s = registry.get("q_simhash_dedup_full").fn(spark, base).collect()[0]
+    assert s.n_pairs == 0
+    assert s.n_dup_docs == 0 and s.n_exact_sig_pairs == 0
+    assert s.max_hamming is None
+
+    e = registry.get("q_embed_neardup_full").fn(spark, base).collect()[0]
+    assert e.n_pairs == 0 and e.n_dup_vecs == 0
+    assert (e.n_sim_ge_090, e.n_sim_060_090, e.n_sim_lt_060) == (0, 0, 0)
+    assert e.min_sim is None and e.max_sim is None

@@ -1558,8 +1558,10 @@ def test_simhash_incremental_index(spark, sf_dir, tmp_path_factory):
     batch against the indexed corpus must equal the cross-(corpus, batch)
     pairs of the verified full-corpus banded scan with minimal
     (hamming, corpus_id) tie-break; the batch side must broadcast (the
-    index scan never shuffles); appending the batch makes its docs
-    self-findable at hamming 0."""
+    index scan never shuffles); after appending the batch, identity is NOT
+    duplication (r9, the X116 crash-replay contract): a doc probed against
+    an index containing ITSELF reports no self-match, while a distinct
+    indexed near-dup peer is still found."""
     from pyspark.sql import functions as F
 
     from twitter_event_stream_spark.operators.corpus_full import (
@@ -1601,7 +1603,31 @@ def test_simhash_incremental_index(spark, sf_dir, tmp_path_factory):
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
 
-    # grow the index with the batch; its docs now self-match at hamming 0
+    # grow the index with the batch, so every probed doc's OWN rows are
+    # indexed; self-identity must be excluded (else an at-least-once replay
+    # of an ingest batch would flag all its survivors as dups of
+    # themselves, r8 verdict "What's wrong" #1)
     write_simhash_index(spark, batch, path, mode="append")
-    again = dedup_against_index(spark, batch.limit(1), path).collect()
-    assert len(again) == 1 and again[0].hamming == 0
+    in_any_pair = {r.a_id for r in pairs} | {r.b_id for r in pairs}
+    odd_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    free_id = min(odd_ids - in_any_pair)  # a dup-free batch doc
+    again = dedup_against_index(
+        spark, batch.filter(F.col("doc_id") == free_id), path
+    ).collect()
+    assert len(again) == 1 and again[0].dup_of is None, again
+    # ...but a doc with a DISTINCT near-dup (now fully indexed: both
+    # parities) still gets the minimal (hamming, peer) verdict
+    best_any: dict = {}
+    for r in pairs:
+        for n, c in ((r.a_id, r.b_id), (r.b_id, r.a_id)):
+            if n % 2 == 1:
+                key = (r.hamming, c)
+                if n not in best_any or key < best_any[n]:
+                    best_any[n] = key
+    dup_id = min(best_any)
+    again2 = dedup_against_index(
+        spark, batch.filter(F.col("doc_id") == dup_id), path
+    ).collect()
+    assert len(again2) == 1
+    assert (again2[0].hamming, again2[0].dup_of) == best_any[dup_id]
+    assert again2[0].dup_of != dup_id

@@ -873,3 +873,81 @@ def test_dedup_ingest_stream(spark, sf_dir, tmp_path_factory):
         .count()
     )
     assert out2 == 0  # hamming-0 match against run 1's appended rows
+
+
+def test_dedup_ingest_replay_is_lossless(spark, sf_dir, tmp_path_factory):
+    """r9 — the X116 crash-replay window (r8 verdict "What's wrong" #1):
+    foreachBatch is at-least-once, so the handler may re-run AFTER its
+    index append committed but BEFORE the checkpoint did. The replayed
+    batch then finds its own band rows in the index; self-identity must
+    not gate it — the republished survivor set must be identical, not
+    empty."""
+    from pyspark.sql import functions as F
+
+    from twitter_event_stream_spark.operators.corpus_full import (
+        write_simhash_index,
+    )
+    from twitter_event_stream_spark.streaming.pipelines import (
+        dedup_ingest_batch,
+    )
+    from twitter_event_stream_spark.tables import table
+
+    base = str(tmp_path_factory.mktemp("ingest_replay"))
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1).limit(500)
+    write_simhash_index(spark, corpus, f"{base}/idx")
+
+    handler = dedup_ingest_batch(f"{base}/idx", f"{base}/out")
+    handler(batch, 3)
+    first = sorted(
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(f"{base}/out/batch=3").collect()
+    )
+    assert first, "gate published nothing on a mostly-unique batch"
+    # simulated at-least-once retry: same (batch, batch_id), index already
+    # grown by the first attempt's append
+    handler(batch, 3)
+    second = sorted(
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(f"{base}/out/batch=3").collect()
+    )
+    assert second == first, "replay changed the published survivor set"
+
+
+def test_dedup_ingest_intra_batch(spark, tmp_path_factory):
+    """r9 — intra-batch dedup in the ingest gate (r8 verdict "What's
+    missing" #1): two near-dup docs arriving in the SAME micro-batch must
+    not both survive — the smaller doc_id is published and indexed, the
+    larger is suppressed; unrelated docs pass."""
+    from pyspark.sql import functions as F
+
+    from twitter_event_stream_spark.operators.corpus_full import (
+        write_simhash_index,
+    )
+    from twitter_event_stream_spark.streaming.pipelines import (
+        dedup_ingest_batch,
+    )
+
+    base = str(tmp_path_factory.mktemp("ingest_intra"))
+    dup_text = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely unrelated payload words zebra quantum lattice nine"
+    seed = spark.createDataFrame(
+        [(1, "seed document entirely different vocabulary alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    write_simhash_index(spark, seed, f"{base}/idx")
+    batch = spark.createDataFrame(
+        [(10, dup_text), (20, dup_text), (30, other)],
+        "doc_id long, text string",
+    )
+    dedup_ingest_batch(f"{base}/idx", f"{base}/out")(batch, 0)
+    out_ids = {
+        r.doc_id for r in spark.read.parquet(f"{base}/out/batch=0").collect()
+    }
+    assert out_ids == {10, 30}, out_ids  # min-id survives, copy suppressed
+    idx_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{base}/idx").select("doc_id").collect()
+    }
+    assert idx_ids == {1, 10, 30}, idx_ids  # only survivors were appended

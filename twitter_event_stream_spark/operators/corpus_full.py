@@ -168,7 +168,9 @@ def q_simhash_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ends.agg(
         (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
         F.count_distinct("doc_id").alias("n_dup_docs"),
-        (F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0)) / 2)
+        # coalesce: sum() over the zero-row (dup-free) corpus is NULL, and
+        # the "never empty" summary contract pins 0 there (r8 ADVICE)
+        (F.coalesce(F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0)), F.lit(0)) / 2)
         .cast("long")
         .alias("n_exact_sig_pairs"),
         F.max("hamming").alias("max_hamming"),
@@ -222,13 +224,25 @@ def q_embed_neardup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ends.agg(
         (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
         F.count_distinct("vec_id").alias("n_dup_vecs"),
-        (F.sum(F.when(F.col("sim") >= 0.9, 1).otherwise(0)) / 2)
+        # coalesce: on a dup-free corpus these sums see zero rows and would
+        # be NULL next to n_pairs=0 — the summary pins 0 (r8 ADVICE)
+        (F.coalesce(F.sum(F.when(F.col("sim") >= 0.9, 1).otherwise(0)), F.lit(0)) / 2)
         .cast("long")
         .alias("n_sim_ge_090"),
-        (F.sum(F.when((F.col("sim") >= 0.6) & (F.col("sim") < 0.9), 1).otherwise(0)) / 2)
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("sim") >= 0.6) & (F.col("sim") < 0.9), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            / 2
+        )
         .cast("long")
         .alias("n_sim_060_090"),
-        (F.sum(F.when(F.col("sim") < 0.6, 1).otherwise(0)) / 2)
+        (F.coalesce(F.sum(F.when(F.col("sim") < 0.6, 1).otherwise(0)), F.lit(0)) / 2)
         .cast("long")
         .alias("n_sim_lt_060"),
         F.min("sim").alias("min_sim"),
@@ -316,6 +330,16 @@ def _simhash_band_rows(
     )
 
 
+def write_band_rows(rows: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write pre-computed (doc_id, sig, band, val) band rows in the index
+    layout (parquet partitioned by band). Factored out of
+    :func:`write_simhash_index` so callers that already hold a batch's band
+    rows (the X116 ingest gate) can append them WITHOUT re-tokenizing and
+    re-voting the text — keeping the 'signatures compute once per document
+    ever' claim literally true."""
+    rows.write.mode(mode).partitionBy("band").parquet(path)
+
+
 def write_simhash_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -332,8 +356,7 @@ def write_simhash_index(
     document over the corpus's lifetime (``mode="append"`` grows the
     index with a batch's survivors). The text-dedup twin of the persisted
     IVF index (X114, vector_search.write_ivf_index)."""
-    rows = _simhash_band_rows(simhash64(docs, text_col))
-    rows.write.mode(mode).partitionBy("band").parquet(path)
+    write_band_rows(_simhash_band_rows(simhash64(docs, text_col)), path, mode)
 
 
 def dedup_against_index(
@@ -342,11 +365,21 @@ def dedup_against_index(
     path: str,
     max_hamming: int = 3,
     text_col: str = "text",
+    band_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Flag which docs of an incoming batch near-duplicate the INDEXED
     corpus (X115): returns one row per batch doc — (doc_id, dup_of,
     hamming), dup_of NULL when no indexed doc is within ``max_hamming``
     (ties broken deterministically: minimal (hamming, corpus doc_id)).
+
+    Self-identity is NOT duplication: an index row whose doc_id equals the
+    probing doc's id is dropped before the verdict (doc_ids are globally
+    unique by contract, so an equal id can only be the SAME document —
+    seen when an at-least-once caller replays a batch whose rows were
+    already appended, the X116 crash-retry window). Without this filter a
+    replayed batch would flag every one of its own survivors as a
+    hamming-0 dup of itself and republish an empty set over the previously
+    published files.
 
     Scale shape: the batch (a micro-batch or daily drop, orders of
     magnitude smaller than the corpus) computes its signatures and band
@@ -356,17 +389,25 @@ def dedup_against_index(
     Hamming <= 3 under 4 bands), and the only wide operation is the
     per-batch-doc min aggregation over those candidates. Duplicate
     candidates from multi-band matches are absorbed by the min, so no
-    distinct pass is needed. Intra-batch duplicates are out of scope by
-    contract — run the batch through exact/banded dedup first, or append
-    and let the next batch see them."""
+    distinct pass is needed. Intra-batch duplicates are out of scope here
+    — the X116 ingest gate runs the batch through the banded self-join
+    first (pipelines.dedup_ingest_batch); pass ``band_rows`` (the
+    pre-exploded (doc_id, sig, band, val) rows of ``new_docs``) to reuse
+    signatures already computed for that pass instead of recomputing."""
     idx = spark.read.parquet(path)
-    nb = _simhash_band_rows(simhash64(new_docs, text_col)).select(
+    if band_rows is None:
+        band_rows = _simhash_band_rows(simhash64(new_docs, text_col))
+    nb = band_rows.select(
         F.col("doc_id").alias("n_id"), F.col("sig").alias("n_sig"),
         "band", "val",
     )
-    cand = idx.join(F.broadcast(nb), ["band", "val"]).select(
-        "n_id", "n_sig", F.col("doc_id").alias("dup_of"),
-        F.col("sig").alias("c_sig"),
+    cand = (
+        idx.join(F.broadcast(nb), ["band", "val"])
+        .filter(F.col("doc_id") != F.col("n_id"))
+        .select(
+            "n_id", "n_sig", F.col("doc_id").alias("dup_of"),
+            F.col("sig").alias("c_sig"),
+        )
     )
     hamming = F.bit_count(F.col("n_sig").bitwiseXOR(F.col("c_sig")))
     best = (

@@ -391,6 +391,106 @@ def curation_stream(
     )
 
 
+def dedup_ingest_batch(
+    index_path: str,
+    out_dir: str,
+    max_hamming: int = 3,
+) -> Callable[[DataFrame, int], None]:
+    """Per-micro-batch body of :func:`dedup_ingest_stream`, factored to
+    module level (like ``fanout_foreach_partition``) so the crash-replay
+    contract is directly testable: calling the handler twice with the same
+    (batch, batch_id) — the at-least-once retry after a crash between the
+    index append and the checkpoint commit — must republish the identical
+    survivor set.
+
+    Per batch, exactly once per document ever, the 64-bit SimHash
+    signature is computed and exploded into band rows; those SAME rows
+    then feed all three uses (r8 ADVICE — no recompute):
+
+    1. **Intra-batch gate** — banded self-join of the batch against
+       itself: a doc is suppressed when some batch peer with a SMALLER
+       doc_id is within ``max_hamming``. Deterministic and batch-order
+       free; the published survivors of one batch are pairwise more than
+       ``max_hamming`` apart (banded recall is pigeonhole-exact, so a
+       surviving pair at <= max_hamming would have been a candidate).
+       This is deliberately a pairwise gate, not connected-components
+       canonicalization: it mirrors what ``dedup_against_index`` does with
+       the index side (is ANY already-accepted doc near me?), with
+       "already accepted" = smaller-id peers of the same batch.
+    2. **Index gate** — broadcast band join against the persisted index
+       via ``dedup_against_index(band_rows=...)``; self-identity matches
+       (a replayed batch finding its own appended rows) are excluded
+       there, which is what closes the replay window.
+    3. **Index append** — the survivors' band rows append via
+       ``write_band_rows``; no re-tokenize, no re-vote.
+
+    Replay safety: the corpus sink overwrites ``out_dir/batch=<id>`` (a
+    replay republishes the same files); the index append is absorbed by
+    the min-(hamming, doc_id) verdict (duplicate band rows only duplicate
+    join candidates) plus the self-identity filter (a doc's own appended
+    rows never gate it). Pinned by tests/test_streaming.py's replay test.
+    """
+    from twitter_event_stream_spark.operators.corpus_full import (
+        _simhash_band_rows,
+        dedup_against_index,
+        simhash64,
+        write_band_rows,
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.persist()
+        rows = _simhash_band_rows(simhash64(batch_df))
+        rows.persist()
+        try:
+            lft = rows.select(
+                F.col("doc_id").alias("n_id"),
+                F.col("sig").alias("n_sig"),
+                "band",
+                "val",
+            )
+            rgt = rows.select(
+                F.col("doc_id").alias("c_id"),
+                F.col("sig").alias("c_sig"),
+                "band",
+                "val",
+            )
+            suppressed = (
+                lft.join(F.broadcast(rgt), ["band", "val"])
+                .filter(F.col("c_id") < F.col("n_id"))
+                .filter(
+                    F.bit_count(F.col("n_sig").bitwiseXOR(F.col("c_sig")))
+                    <= max_hamming
+                )
+                .select(F.col("n_id").alias("doc_id"))
+                .distinct()
+            )
+            verdicts = dedup_against_index(
+                spark, batch_df, index_path, max_hamming, band_rows=rows
+            )
+            uniq_ids = (
+                verdicts.filter(F.col("dup_of").isNull())
+                .select("doc_id")
+                .join(suppressed, "doc_id", "left_anti")
+            )
+            uniq = batch_df.join(uniq_ids, "doc_id")
+            uniq.persist()
+            try:
+                uniq.write.mode("overwrite").parquet(
+                    f"{out_dir}/batch={batch_id}"
+                )
+                write_band_rows(
+                    rows.join(uniq_ids, "doc_id"), index_path, mode="append"
+                )
+            finally:
+                uniq.unpersist()
+        finally:
+            rows.unpersist()
+            batch_df.unpersist()
+
+    return _ingest
+
+
 def dedup_ingest_stream(
     docs_stream: DataFrame,
     index_path: str,
@@ -400,55 +500,25 @@ def dedup_ingest_stream(
 ):
     """Streaming corpus ingestion gated by the persisted incremental dedup
     index (X115 composed onto Structured Streaming): every micro-batch of
-    incoming documents is deduped against the index, only the surviving
-    unique docs are published to the corpus sink, and their band keys are
-    appended to the index — so later micro-batches AND later streaming
-    runs see everything ingested before them. This is the ingest-time
-    near-dup gate a training-corpus pipeline runs continuously; corpus
-    signatures are never recomputed (the index carries them) and the
-    per-batch work is the broadcast band join of
-    :func:`~twitter_event_stream_spark.operators.corpus_full.dedup_against_index`.
-
-    Delivery semantics on foreachBatch retry: the corpus sink writes each
-    micro-batch under ``out_dir/batch=<id>`` with overwrite, so a replayed
-    batch republishes the same files (idempotent). The index append is NOT
-    idempotent, but duplicate band rows only duplicate join candidates,
-    which the min-(hamming, doc_id) verdict absorbs — verdicts stay
-    correct after any number of replays. Intra-batch duplicates are out of
-    scope by the X115 contract (both survive; the next batch sees them).
+    incoming documents is first deduped WITHIN the batch (smallest doc_id
+    survives among mutual near-dups), then against the index; only the
+    surviving unique docs are published to the corpus sink, and their band
+    keys are appended to the index — so later micro-batches AND later
+    streaming runs see everything ingested before them. This is the
+    ingest-time near-dup gate a training-corpus pipeline runs
+    continuously; signatures are computed once per document ever (the
+    index carries the corpus's, the batch's feed gate and append alike)
+    and the per-batch work is the broadcast band joins of
+    :func:`dedup_ingest_batch`, where the per-batch semantics — including
+    crash-replay safety — are documented and pinned.
 
     Returns the started query (caller awaits termination); drain with
     ``trigger(availableNow=True)`` semantics — the trigger is set here.
     """
-    from twitter_event_stream_spark.operators.corpus_full import (
-        dedup_against_index,
-        write_simhash_index,
-    )
-
-    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch_df.persist()
-        try:
-            verdicts = dedup_against_index(
-                spark, batch_df, index_path, max_hamming
-            )
-            uniq = batch_df.join(
-                verdicts.filter(F.col("dup_of").isNull()).select("doc_id"),
-                "doc_id",
-            )
-            uniq.persist()
-            try:
-                uniq.write.mode("overwrite").parquet(
-                    f"{out_dir}/batch={batch_id}"
-                )
-                write_simhash_index(spark, uniq, index_path, mode="append")
-            finally:
-                uniq.unpersist()
-        finally:
-            batch_df.unpersist()
-
     return (
-        docs_stream.writeStream.foreachBatch(_ingest)
+        docs_stream.writeStream.foreachBatch(
+            dedup_ingest_batch(index_path, out_dir, max_hamming)
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
