@@ -132,7 +132,8 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         delivery_dt = time.perf_counter() - t
         shutil.rmtree(ckpt2, ignore_errors=True)
         delivered = 0
-        for root, _dirs, files in _os.walk(fanout_dir):
+        for root, dirs, files in _os.walk(fanout_dir):
+            dirs[:] = [d for d in dirs if not d.startswith("_")]  # _manifests
             for fname in files:
                 with open(_os.path.join(root, fname), "rb") as f:
                     delivered += sum(1 for _ in f)

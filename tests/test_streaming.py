@@ -206,6 +206,8 @@ def test_bridge_pipeline_fanout_partitioned(spark, sf_dir, chunk_dir):
 
     got: dict[str, list[str]] = {}
     for client_dir in sorted(os.listdir(out)):
+        if not client_dir.startswith("client_id="):
+            continue  # _manifests (r9 commit protocol)
         client = client_dir.split("=", 1)[1]
         payloads: list[str] = []
         cdir = os.path.join(out, client_dir)
@@ -951,3 +953,80 @@ def test_dedup_ingest_intra_batch(spark, tmp_path_factory):
         for r in spark.read.parquet(f"{base}/idx").select("doc_id").collect()
     }
     assert idx_ids == {1, 10, 30}, idx_ids  # only survivors were appended
+
+
+def test_fanout_manifest_commit_protocol(spark, tmp_path_factory):
+    """r9 — exactly-once visibility for the fan-out sink (r8 verdict "What's
+    missing" #3): the batch manifest is written last, covers every published
+    file, is rewritten identically on replay, and data files without a
+    manifest (a crashed batch's partial publish) are invisible to the
+    reader."""
+    import os
+
+    from twitter_event_stream_spark.streaming.pipelines import (
+        fanout_foreach_partition,
+        manifested_fanout_files,
+    )
+
+    base = str(tmp_path_factory.mktemp("fanout_manifest"))
+    batch = spark.createDataFrame(
+        [(str(i % 3), f'{{"event_id": {i}}}', i) for i in range(30)],
+        "client_id string, payload string, ts long",
+    )
+    handle = fanout_foreach_partition(base)
+    handle(batch, 7)
+    entries = manifested_fanout_files(base)
+    assert sum(e["n"] for e in entries) == 30
+    assert {e["client_id"] for e in entries} == {"0", "1", "2"}
+    for e in entries:
+        assert os.path.isfile(os.path.join(base, e["path"])), e
+    # replay rewrites the identical manifest
+    mpath = os.path.join(base, "_manifests", "batch-000000007.json")
+    before = open(mpath).read()
+    handle(batch, 7)
+    assert open(mpath).read() == before
+    # a crashed batch: data file present, manifest absent -> invisible
+    os.makedirs(os.path.join(base, "client_id=9"), exist_ok=True)
+    with open(os.path.join(base, "client_id=9", "batch-000000099.ndjson"), "w") as f:
+        f.write('{"event_id": 999}\n')
+    after = manifested_fanout_files(base)
+    assert after == entries, "partial (unmanifested) publish leaked to reader"
+
+
+def test_ingest_manifest_commit_protocol(spark, tmp_path_factory):
+    """r9 — commit manifests for the X116 corpus sink: read_ingested sees
+    exactly the manifested batches; a partial batch directory without a
+    manifest (crash between publish and commit) is invisible; an empty
+    sink raises instead of fabricating a schema."""
+    import pytest as _pytest
+
+    from twitter_event_stream_spark.operators.corpus_full import (
+        write_simhash_index,
+    )
+    from twitter_event_stream_spark.streaming.pipelines import (
+        dedup_ingest_batch,
+        read_ingested,
+    )
+
+    base = str(tmp_path_factory.mktemp("ingest_manifest"))
+    seed = spark.createDataFrame(
+        [(1, "seed document entirely different vocabulary alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    write_simhash_index(spark, seed, f"{base}/idx")
+    with _pytest.raises(ValueError, match="no committed ingest batches"):
+        read_ingested(spark, f"{base}/out")
+    batch = spark.createDataFrame(
+        [(10, "ten bright red lanterns floating over the quiet harbor"),
+         (30, "completely unrelated payload words zebra quantum lattice nine")],
+        "doc_id long, text string",
+    )
+    dedup_ingest_batch(f"{base}/idx", f"{base}/out")(batch, 0)
+    got = {r.doc_id for r in read_ingested(spark, f"{base}/out").collect()}
+    assert got == {10, 30}
+    # crash sim: a later batch published its parquet but never committed
+    batch.withColumn("doc_id", batch.doc_id + 100).write.parquet(
+        f"{base}/out/batch=99"
+    )
+    got2 = {r.doc_id for r in read_ingested(spark, f"{base}/out").collect()}
+    assert got2 == {10, 30}, "unmanifested batch leaked to reader"

@@ -139,7 +139,7 @@ def _write_fanout_chunks(base_dir: str, batch_id: int):
         # orphan .tmp. Plain truncate-then-write ("w" on the final name)
         # is idempotent for sequential replays but not for concurrent ones.
         writers: dict[str, tuple[object, str, str]] = {}
-        n = 0
+        counts: dict[str, int] = {}
         ok = False
         try:
             for pdf in chunks:  # chunk order == sorted partition order
@@ -155,7 +155,7 @@ def _write_fanout_chunks(base_dir: str, batch_id: int):
                         entry = (open(tmp, "w", encoding="utf-8"), tmp, final)
                         writers[client] = entry
                     entry[0].write("\n".join(grp["payload"]) + "\n")
-                    n += len(grp)
+                    counts[client] = counts.get(client, 0) + len(grp)
             ok = True
         finally:
             # Per-entry isolation: one writer's close/replace/unlink failing
@@ -175,7 +175,17 @@ def _write_fanout_chunks(base_dir: str, batch_id: int):
                         first_err = exc
             if first_err is not None:
                 raise first_err
-        yield pd.DataFrame({"n_written": [n]})
+        # one row per published (client, file): the driver aggregates these
+        # tiny rows into the batch manifest — payloads never leave executors
+        yield pd.DataFrame(
+            {
+                "client_id": list(counts),
+                "path": [
+                    os.path.relpath(writers[c][2], base_dir) for c in counts
+                ],
+                "n_written": [counts[c] for c in counts],
+            }
+        ).astype({"client_id": "object", "path": "object", "n_written": "int64"})
 
     return write
 
@@ -193,18 +203,83 @@ def fanout_foreach_partition(base_dir: str) -> Callable[[DataFrame, int], None]:
     fan-out bandwidth scales with the executor count — the collect-based
     double above is O(stream) on one node. Each (client, batch) produces
     one atomically-replaced file named by batch id, so concatenating a
-    client's files in name order replays its stream in delivery order."""
+    client's files in name order replays its stream in delivery order.
+
+    Commit protocol (r9): after every partition's files are in place, the
+    driver writes ``_manifests/batch-<id>.json`` — the sorted (client,
+    file, count) list — to a temp name and atomically renames it. The
+    manifest is written LAST, so its existence certifies the batch is
+    fully published: a crash mid-batch leaves data files (or orphan .tmp
+    attempts) but no manifest, and :func:`manifested_fanout_files` makes
+    those invisible to readers. A foreachBatch replay rewrites the same
+    files and the same manifest (deterministic content), so the marker is
+    idempotent too. The rows the driver collects are one per (client,
+    task) — file paths and counts, never payloads."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        (
+        import os
+
+        rows = (
             batch.repartition("client_id")
             .sortWithinPartitions("client_id", "ts", "payload")
             .select("client_id", "payload")
-            .mapInPandas(_write_fanout_chunks(base_dir, batch_id), "n_written long")
+            .mapInPandas(
+                _write_fanout_chunks(base_dir, batch_id),
+                "client_id string, path string, n_written long",
+            )
             .collect()
+        )
+        _write_local_manifest(
+            os.path.join(base_dir, "_manifests"),
+            batch_id,
+            sorted(
+                (
+                    {"client_id": r.client_id, "path": r.path, "n": r.n_written}
+                    for r in rows
+                    if r.client_id is not None
+                ),
+                key=lambda e: (e["client_id"], e["path"]),
+            ),
         )
 
     return handle
+
+
+def _write_local_manifest(mdir: str, batch_id: int, entries: list) -> None:
+    """Atomically publish ``<mdir>/batch-<id>.json`` (temp file +
+    ``os.replace``) listing a batch's published files — the LAST write of a
+    batch, so manifest-present ⟺ batch-complete."""
+    import json
+    import os
+    import uuid
+
+    os.makedirs(mdir, exist_ok=True)
+    final = os.path.join(mdir, f"batch-{batch_id:09d}.json")
+    tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"batch_id": batch_id, "files": entries}, f, sort_keys=True)
+    os.replace(tmp, final)
+
+
+def manifested_fanout_files(base_dir: str) -> list[dict]:
+    """Reader side of the fan-out commit protocol: the (client_id, path, n)
+    entries of every COMMITTED batch, in batch order — data files not
+    covered by a manifest (a crashed batch's partial publish, orphan .tmp
+    attempts) are invisible. Concatenating one client's paths in this
+    order replays its stream in delivery order."""
+    import json
+    import os
+
+    mdir = os.path.join(base_dir, "_manifests")
+    if not os.path.isdir(mdir):
+        return []
+    out: list[dict] = []
+    for name in sorted(os.listdir(mdir)):
+        if not (name.startswith("batch-") and name.endswith(".json")):
+            continue
+        with open(os.path.join(mdir, name), encoding="utf-8") as f:
+            out.extend(json.load(f)["files"])
+    return out
 
 
 def windowed_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
@@ -482,6 +557,11 @@ def dedup_ingest_batch(
                 write_band_rows(
                     rows.join(uniq_ids, "doc_id"), index_path, mode="append"
                 )
+                # manifest LAST: its presence certifies publish + append
+                # both committed — read_ingested skips unmanifested batches
+                _write_fs_manifest(
+                    spark, out_dir, batch_id, f"{out_dir}/batch={batch_id}"
+                )
             finally:
                 uniq.unpersist()
         finally:
@@ -489,6 +569,67 @@ def dedup_ingest_batch(
             batch_df.unpersist()
 
     return _ingest
+
+
+def _write_fs_manifest(
+    spark, out_dir: str, batch_id: int, batch_dir: str
+) -> None:
+    """Commit marker for the X116 corpus sink, written through the Hadoop
+    FileSystem API so it lands on whatever FS the parquet went to (local,
+    HDFS, S3A): ``<out_dir>/_manifests/batch-<id>.json`` holds the batch's
+    data-file list and is the LAST write of the batch — temp file + rename
+    (the delete-before-rename only fires on an at-least-once replay, where
+    the same content is republished anyway)."""
+    import json
+    import uuid
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    conf = spark._jsc.hadoopConfiguration()
+    fs = hpath(out_dir).getFileSystem(conf)
+    files = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(hpath(batch_dir))
+        if not st.getPath().getName().startswith(("_", "."))
+    )
+    mdir = f"{out_dir}/_manifests"
+    fs.mkdirs(hpath(mdir))
+    final = hpath(f"{mdir}/batch-{batch_id:09d}.json")
+    tmp = hpath(f"{mdir}/.batch-{batch_id:09d}.tmp-{uuid.uuid4().hex}")
+    out = fs.create(tmp, True)
+    out.write(
+        json.dumps(
+            {"batch_id": batch_id, "dir": f"batch={batch_id}", "files": files},
+            sort_keys=True,
+        ).encode("utf-8")
+    )
+    out.close()
+    fs.delete(final, False)
+    fs.rename(tmp, final)
+
+
+def read_ingested(spark, out_dir: str) -> DataFrame:
+    """Reader side of the X116 commit protocol: the union of every
+    COMMITTED ingest batch — only ``batch=<id>`` directories whose
+    manifest exists are read, so a crash that left a partial parquet
+    directory (or a publish whose index append never committed) is
+    invisible until its replay completes. Raises if nothing has been
+    committed yet (no schema to fabricate an empty frame from)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    conf = spark._jsc.hadoopConfiguration()
+    fs = hpath(out_dir).getFileSystem(conf)
+    mdir = hpath(f"{out_dir}/_manifests")
+    dirs: list[str] = []
+    if fs.exists(mdir):
+        for st in fs.listStatus(mdir):
+            name = st.getPath().getName()
+            if name.startswith("batch-") and name.endswith(".json"):
+                bid = int(name[len("batch-"):-len(".json")])
+                dirs.append(f"{out_dir}/batch={bid}")
+    if not dirs:
+        raise ValueError(f"no committed ingest batches under {out_dir}")
+    return spark.read.parquet(*sorted(dirs))
 
 
 def dedup_ingest_stream(
