@@ -1631,3 +1631,76 @@ def test_simhash_incremental_index(spark, sf_dir, tmp_path_factory):
     assert len(again2) == 1
     assert (again2[0].hamming, again2[0].dup_of) == best_any[dup_id]
     assert again2[0].dup_of != dup_id
+
+
+def test_ivf_index_append_and_stats(spark, sf_dir, tmp_path_factory):
+    """r9 — append path for the persisted IVF index (r8 verdict "What's
+    missing" #2): appended vectors are assigned against the STORED
+    centroids (cells content == one-shot assignment of the full corpus
+    with the same centroids), existing cell files are untouched (parquet
+    append only adds files), probes see the appended vectors, and the
+    occupancy report accounts for every vector across all trained cells."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from twitter_event_stream_spark.operators.vector_search import (
+        _cell_assign,
+        append_ivf_index,
+        ivf_index_stats,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+    from twitter_event_stream_spark.tables import table
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings")
+    half = e.filter(F.col("vec_id") % 2 == 0)
+    rest = e.filter(F.col("vec_id") % 2 == 1)
+    base = str(tmp_path_factory.mktemp("ivfappend")) + "/idx"
+    write_ivf_index(spark, half, base)
+
+    def data_files() -> set:
+        out = set()
+        for root, dirs, files in os.walk(f"{base}/cells"):
+            for fn in files:
+                if not fn.startswith(("_", ".")):
+                    out.add(os.path.join(root, fn))
+        return out
+
+    before = data_files()
+    append_ivf_index(spark, rest, base)
+    after = data_files()
+    assert before <= after and len(after) > len(before), (
+        "append must only add files"
+    )
+
+    # appended cells == assigning the full corpus against the stored
+    # (half-trained) centroids in one shot
+    cent = spark.read.parquet(f"{base}/centroids").orderBy("cell").toPandas()
+    bc = spark.sparkContext.broadcast(
+        np.asarray(cent["centroid"].tolist(), dtype=np.float64)
+    )
+    want = {
+        (r.vec_id, r.cell) for r in _cell_assign(e, bc, 1).collect()
+    }
+    got = {
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(f"{base}/cells").collect()
+    }
+    assert got == want
+
+    # probes now see appended (odd) vectors
+    probes = e.filter(F.col("vec_id") < 20)
+    res = ivf_topk_indexed(spark, base, probes, k=5).collect()
+    assert any(r.cand_id % 2 == 1 for r in res), "appended vectors invisible"
+
+    stats = ivf_index_stats(spark, base).collect()
+    n_cells = spark.read.parquet(f"{base}/centroids").count()
+    assert len(stats) == n_cells
+    assert sum(r.n_vectors for r in stats) == e.filter(
+        F.col("embedding").isNotNull()
+    ).count()
+    mean = sum(r.n_vectors for r in stats) / n_cells
+    for r in stats:
+        assert abs(r.skew - r.n_vectors / mean) < 1e-3
