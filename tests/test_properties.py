@@ -594,3 +594,74 @@ def test_mix_sample_prune_is_lossless(spark, docs, budget):
     got = {(r.lang, r.rk, r.cum) for r in pruned.collect()}
     want = {(r.lang, r.rk, r.cum) for r in naive.collect()}
     assert got == want
+
+
+@st.composite
+def _near_dup_corpora(draw):
+    """Randomized small corpora exercising the adversarial shapes of the
+    near-dup graph: exact-copy cliques (0-edit mutations), mutation CHAINS
+    (a→a'→a'' where the ends may not be near-dups of each other),
+    singletons, degenerate short docs, and non-contiguous doc_ids."""
+    vocab = [f"w{i}" for i in range(20)] + ["x", ""]
+    n = draw(st.integers(min_value=2, max_value=9))
+    texts: list[str] = []
+    for _ in range(n):
+        if texts and draw(st.booleans()):
+            base = draw(st.sampled_from(texts)).split(" ")
+            for _ in range(draw(st.integers(min_value=0, max_value=2))):
+                pos = draw(st.integers(min_value=0, max_value=len(base) - 1))
+                base[pos] = draw(st.sampled_from(vocab))
+            texts.append(" ".join(base))
+        else:
+            texts.append(
+                " ".join(
+                    draw(
+                        st.lists(
+                            st.sampled_from(vocab), min_size=1, max_size=10
+                        )
+                    )
+                )
+            )
+    ids = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=10**6),
+            min_size=n,
+            max_size=n,
+            unique=True,
+        )
+    )
+    return list(zip(ids, texts))
+
+
+@settings(**{**_SETTINGS, "max_examples": 12})
+@given(_near_dup_corpora())
+def test_star_edges_equal_pair_graph_components_random(spark, docs):
+    """r9 (r8 verdict #6) — the O(n·bands) leave-one-out star-edge graph
+    must have EXACTLY the connected components of the k²-per-clique
+    ≥7-of-8-band pair graph on ADVERSARIAL corpora, not just the fixture:
+    the equivalence proof (each 7-band key bucket is a clique; a star to
+    the bucket-min spans it) is subtle enough to deserve random chains,
+    cliques, and singletons. Same labels ⇒ same nodes AND same min-id
+    components."""
+    from twitter_event_stream_spark.operators.graph import (
+        connected_components,
+    )
+    from twitter_event_stream_spark.operators.llm_extra import (
+        minhash_cluster_edges,
+        minhash_det_pairs,
+    )
+
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    lab_pairs = {
+        (r.node, r.label)
+        for r in connected_components(
+            minhash_det_pairs(d).select("a_id", "b_id"), "a_id", "b_id"
+        ).collect()
+    }
+    lab_star = {
+        (r.node, r.label)
+        for r in connected_components(
+            minhash_cluster_edges(d), "a_id", "b_id"
+        ).collect()
+    }
+    assert lab_star == lab_pairs
