@@ -339,6 +339,49 @@ def streaming_probe(spark, sf_dir: str) -> tuple[float, int]:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def ingest_gate_probe(spark, sf_dir: str) -> tuple[float, int]:
+    """r9 (r8 verdict #7): the X116 ingest gate against a full-corpus
+    index — index build (excluded from the timing) over the even-id half
+    of ``documents``, then ONE gated micro-batch of the 2000 smallest
+    odd-id docs through ``dedup_ingest_batch`` (signature pass, intra-batch
+    banded self-join, broadcast index probe, publish, band-row append,
+    manifest). The batch is constant-size across scales, so the timed cost
+    isolates how gating scales with INDEX size — the 100 TB axis: the
+    corpus grows, the daily drop doesn't. Expected shape: the index-side
+    band scan is the only corpus-sized term, so time grows at most
+    linearly in the index with a small columnar-scan constant."""
+    import tempfile
+
+    from twitter_event_stream_spark.operators.corpus_full import (
+        write_simhash_index,
+    )
+    from twitter_event_stream_spark.streaming.pipelines import (
+        dedup_ingest_batch,
+    )
+    from twitter_event_stream_spark.tables import table
+
+    base = tempfile.mkdtemp(prefix="tes_probe_ingest_")
+    try:
+        d = table(spark, sf_dir, "documents")
+        write_simhash_index(
+            spark, d.filter(F.col("doc_id") % 2 == 0), f"{base}/idx"
+        )
+        # materialize the batch first: the gate timing should cover gating,
+        # not the fixture scan feeding it
+        batch = (
+            d.filter(F.col("doc_id") % 2 == 1)
+            .orderBy("doc_id")
+            .limit(2000)
+            .localCheckpoint()
+        )
+        n = batch.count()
+        t = time.perf_counter()
+        dedup_ingest_batch(f"{base}/idx", f"{base}/out")(batch, 0)
+        return time.perf_counter() - t, n
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def time_probe(spark, fn, sf_dir: str, scale: int):
     """Construction + full execution (count), best of 2 — the second run
     amortizes one-off costs (scan footer reads, codegen) like bench warm.
@@ -426,6 +469,26 @@ def main() -> int:
             f"{'streaming_bridge':20s} {t_small_s:8.2f} {t_big_s:8.2f} "
             f"{ratio:5.1f}x  <= {budget:.1f}s {'OK' if ok else 'FAIL'}  "
             f"({int(n_small / t_small_s)} -> {int(n_big / t_big_s)} ev/s)",
+            flush=True,
+        )
+
+        # ingest-gate lane (r9): constant 2000-doc batch against a 10×
+        # larger index — pins per-doc gating cost as the corpus grows.
+        t_small_g, n_g = ingest_gate_probe(spark, SRC)
+        t_big_g, _ = ingest_gate_probe(spark, dst)
+        budget = LINEAR_ALPHA * args.copies * t_small_g + SLACK_SEC
+        ratio = t_big_g / max(t_small_g, 1e-9)
+        ok = t_big_g <= budget
+        if not ok:
+            failures.append(
+                f"ingest_gate: {t_big_g:.1f}s > budget {budget:.1f}s "
+                f"(small={t_small_g:.1f}s, ratio={ratio:.1f}x)"
+            )
+        print(
+            f"{'ingest_gate':20s} {t_small_g:8.2f} {t_big_g:8.2f} "
+            f"{ratio:5.1f}x  <= {budget:.1f}s {'OK' if ok else 'FAIL'}  "
+            f"({t_small_g / n_g * 1e3:.1f} -> {t_big_g / n_g * 1e3:.1f} "
+            f"ms/doc, batch={n_g})",
             flush=True,
         )
 
