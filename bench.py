@@ -98,16 +98,18 @@ def bench_streaming(spark, sf_dir: str) -> dict:
             .distinct()
             .withColumn("client_id", (F.col("user_id") % 8).cast("string"))
         )
-        routed = {"n": 0}
+        files_per_trigger = 4
+        routed = {"n": 0, "batches": 0}
 
         def count_batch(batch, _batch_id) -> None:
             routed["n"] += batch.count()
+            routed["batches"] += 1
 
         # Phase 1 — routing only (the r1-comparable number): the full
         # bridge, counting sink, no delivery work.
         t = time.perf_counter()
         q = (
-            bridge_pipeline(replay_stream(spark, chunk_dir, files_per_trigger=4), subs)
+            bridge_pipeline(replay_stream(spark, chunk_dir, files_per_trigger=files_per_trigger), subs)
             .writeStream.foreachBatch(count_batch)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -122,7 +124,7 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         ckpt2 = tempfile.mkdtemp(prefix="tes_bench_ckpt2_")
         t = time.perf_counter()
         q = (
-            bridge_pipeline(replay_stream(spark, chunk_dir, files_per_trigger=4), subs)
+            bridge_pipeline(replay_stream(spark, chunk_dir, files_per_trigger=files_per_trigger), subs)
             .writeStream.foreachBatch(fanout_foreach_partition(fanout_dir))
             .option("checkpointLocation", ckpt2)
             .trigger(availableNow=True)
@@ -145,6 +147,11 @@ def bench_streaming(spark, sf_dir: str) -> dict:
             "delivered_payloads": delivered,
             "delivery_sec": round(delivery_dt, 3),
             "delivery_events_per_sec": int(n_events / delivery_dt),
+            # self-describing trigger config (r8 ADVICE): throughput here is
+            # micro-batch-COUNT bound, so cross-round comparisons are only
+            # valid at the same trigger sizing — emit it next to the number
+            "files_per_trigger": files_per_trigger,
+            "micro_batches": routed["batches"],
         }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
