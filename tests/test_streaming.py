@@ -900,6 +900,10 @@ def test_dedup_ingest_replay_is_lossless(spark, sf_dir, tmp_path_factory):
     batch = d.filter(F.col("doc_id") % 2 == 1).limit(500)
     write_simhash_index(spark, corpus, f"{base}/idx")
 
+    from twitter_event_stream_spark.streaming.pipelines import (
+        read_ingest_rejects,
+    )
+
     handler = dedup_ingest_batch(f"{base}/idx", f"{base}/out")
     handler(batch, 3)
     first = sorted(
@@ -907,6 +911,10 @@ def test_dedup_ingest_replay_is_lossless(spark, sf_dir, tmp_path_factory):
         for r in spark.read.parquet(f"{base}/out/batch=3").collect()
     )
     assert first, "gate published nothing on a mostly-unique batch"
+    rej_first = sorted(
+        (r.doc_id, r.dup_of, r.hamming, r.reason)
+        for r in read_ingest_rejects(spark, f"{base}/out").collect()
+    )
     # simulated at-least-once retry: same (batch, batch_id), index already
     # grown by the first attempt's append
     handler(batch, 3)
@@ -915,6 +923,11 @@ def test_dedup_ingest_replay_is_lossless(spark, sf_dir, tmp_path_factory):
         for r in spark.read.parquet(f"{base}/out/batch=3").collect()
     )
     assert second == first, "replay changed the published survivor set"
+    rej_second = sorted(
+        (r.doc_id, r.dup_of, r.hamming, r.reason)
+        for r in read_ingest_rejects(spark, f"{base}/out").collect()
+    )
+    assert rej_second == rej_first, "replay relabeled the audit trail"
 
 
 def test_dedup_ingest_intra_batch(spark, tmp_path_factory):
@@ -931,16 +944,20 @@ def test_dedup_ingest_intra_batch(spark, tmp_path_factory):
         dedup_ingest_batch,
     )
 
+    from twitter_event_stream_spark.streaming.pipelines import (
+        read_ingest_rejects,
+    )
+
     base = str(tmp_path_factory.mktemp("ingest_intra"))
+    seed_text = "seed document entirely different vocabulary alpha beta gamma"
     dup_text = "the quick brown fox jumps over the lazy dog again and again"
     other = "completely unrelated payload words zebra quantum lattice nine"
     seed = spark.createDataFrame(
-        [(1, "seed document entirely different vocabulary alpha beta gamma")],
-        "doc_id long, text string",
+        [(1, seed_text)], "doc_id long, text string"
     )
     write_simhash_index(spark, seed, f"{base}/idx")
     batch = spark.createDataFrame(
-        [(10, dup_text), (20, dup_text), (30, other)],
+        [(10, dup_text), (20, dup_text), (30, other), (40, seed_text)],
         "doc_id long, text string",
     )
     dedup_ingest_batch(f"{base}/idx", f"{base}/out")(batch, 0)
@@ -953,6 +970,13 @@ def test_dedup_ingest_intra_batch(spark, tmp_path_factory):
         for r in spark.read.parquet(f"{base}/idx").select("doc_id").collect()
     }
     assert idx_ids == {1, 10, 30}, idx_ids  # only survivors were appended
+    # audit trail: one minimal verdict per reject, reason by where the
+    # surviving twin lives (batch-mate vs prior corpus)
+    rej = {
+        (r.doc_id, r.dup_of, r.hamming, r.reason)
+        for r in read_ingest_rejects(spark, f"{base}/out").collect()
+    }
+    assert rej == {(20, 10, 0, "intra_batch"), (40, 1, 0, "index_dup")}, rej
 
 
 def test_fanout_manifest_commit_protocol(spark, tmp_path_factory):

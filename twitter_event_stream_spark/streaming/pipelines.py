@@ -499,6 +499,18 @@ def dedup_ingest_batch(
     3. **Index append** — the survivors' band rows append via
        ``write_band_rows``; no re-tokenize, no re-vote.
 
+    Rejected docs are not silently dropped: every gated doc gets one row
+    in ``out_dir/_rejects/batch=<id>`` — (doc_id, dup_of, hamming, reason;
+    the underscore keeps the audit trail out of recursive corpus reads)
+    with the minimal (hamming, dup_of) verdict across BOTH gates and
+    ``reason`` derived from whether ``dup_of`` is a batch-mate
+    (``intra_batch``) or prior corpus (``index_dup``). That derivation
+    makes the audit trail replay-STABLE: after a crash-retry the
+    suppressing batch-mate is also in the index, but its membership in
+    the batch, not where it was found, decides the label. The audit
+    trail is what a curator reviews before trusting the gate — which
+    boilerplate got collapsed, at what distance, onto which survivor.
+
     Replay safety: the corpus sink overwrites ``out_dir/batch=<id>`` (a
     replay republishes the same files); the index append is absorbed by
     the min-(hamming, doc_id) verdict (duplicate band rows only duplicate
@@ -530,16 +542,23 @@ def dedup_ingest_batch(
                 "band",
                 "val",
             )
-            suppressed = (
+            intra = (
                 lft.join(F.broadcast(rgt), ["band", "val"])
                 .filter(F.col("c_id") < F.col("n_id"))
-                .filter(
-                    F.bit_count(F.col("n_sig").bitwiseXOR(F.col("c_sig")))
-                    <= max_hamming
+                .withColumn(
+                    "hamming",
+                    F.bit_count(F.col("n_sig").bitwiseXOR(F.col("c_sig"))),
                 )
-                .select(F.col("n_id").alias("doc_id"))
-                .distinct()
+                .filter(F.col("hamming") <= max_hamming)
+                .groupBy("n_id")
+                .agg(F.min(F.struct("hamming", "c_id")).alias("m"))
+                .select(
+                    F.col("n_id").alias("doc_id"),
+                    F.col("m.c_id").alias("dup_of"),
+                    F.col("m.hamming").alias("hamming"),
+                )
             )
+            suppressed = intra.select("doc_id")
             verdicts = dedup_against_index(
                 spark, batch_df, index_path, max_hamming, band_rows=rows
             )
@@ -551,6 +570,42 @@ def dedup_ingest_batch(
             uniq = batch_df.join(uniq_ids, "doc_id")
             uniq.persist()
             try:
+                # audit trail: one minimal (hamming, dup_of) verdict per
+                # rejected doc across BOTH gates; reason by batch
+                # membership of the survivor, so replays relabel nothing
+                batch_ids = rows.select("doc_id").distinct()
+                rejects = (
+                    verdicts.filter(F.col("dup_of").isNotNull())
+                    .select("doc_id", "dup_of", "hamming")
+                    .unionByName(intra)
+                    .groupBy("doc_id")
+                    .agg(F.min(F.struct("hamming", "dup_of")).alias("m"))
+                    .select(
+                        "doc_id",
+                        F.col("m.dup_of").alias("dup_of"),
+                        F.col("m.hamming").alias("hamming"),
+                    )
+                    .join(
+                        F.broadcast(
+                            batch_ids.select(
+                                F.col("doc_id").alias("dup_of")
+                            ).withColumn("_in_batch", F.lit(1))
+                        ),
+                        "dup_of",
+                        "left",
+                    )
+                    .select(
+                        "doc_id",
+                        "dup_of",
+                        "hamming",
+                        F.when(F.col("_in_batch") == 1, F.lit("intra_batch"))
+                        .otherwise(F.lit("index_dup"))
+                        .alias("reason"),
+                    )
+                )
+                rejects.write.mode("overwrite").parquet(
+                    f"{out_dir}/_rejects/batch={batch_id}"
+                )
                 uniq.write.mode("overwrite").parquet(
                     f"{out_dir}/batch={batch_id}"
                 )
@@ -627,6 +682,30 @@ def read_ingested(spark, out_dir: str) -> DataFrame:
             if name.startswith("batch-") and name.endswith(".json"):
                 bid = int(name[len("batch-"):-len(".json")])
                 dirs.append(f"{out_dir}/batch={bid}")
+    if not dirs:
+        raise ValueError(f"no committed ingest batches under {out_dir}")
+    return spark.read.parquet(*sorted(dirs))
+
+
+def read_ingest_rejects(spark, out_dir: str) -> DataFrame:
+    """The gate's audit trail for COMMITTED batches: one (doc_id, dup_of,
+    hamming, reason) row per rejected doc, same manifest rule as
+    :func:`read_ingested` — a replayed-but-uncommitted batch's rejects are
+    invisible until its replay completes. ``reason`` is ``intra_batch``
+    (collapsed onto a batch-mate) or ``index_dup`` (matched the prior
+    corpus); a batch with zero rejects contributes an empty typed dir."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    conf = spark._jsc.hadoopConfiguration()
+    fs = hpath(out_dir).getFileSystem(conf)
+    mdir = hpath(f"{out_dir}/_manifests")
+    dirs: list[str] = []
+    if fs.exists(mdir):
+        for st in fs.listStatus(mdir):
+            name = st.getPath().getName()
+            if name.startswith("batch-") and name.endswith(".json"):
+                bid = int(name[len("batch-"):-len(".json")])
+                dirs.append(f"{out_dir}/_rejects/batch={bid}")
     if not dirs:
         raise ValueError(f"no committed ingest batches under {out_dir}")
     return spark.read.parquet(*sorted(dirs))
