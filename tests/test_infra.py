@@ -1704,3 +1704,138 @@ def test_ivf_index_append_and_stats(spark, sf_dir, tmp_path_factory):
     mean = sum(r.n_vectors for r in stats) / n_cells
     for r in stats:
         assert abs(r.skew - r.n_vectors / mean) < 1e-3
+
+
+def test_compact_simhash_index(spark, sf_dir, tmp_path_factory):
+    """r9 — X119 compaction for the append-grown dedup index: after
+    several appends the band dirs hold many small files; compaction must
+    shrink them to one file per band while preserving the EXACT row set,
+    leaving every probe verdict unchanged, and remaining appendable
+    afterwards (the maintenance cycle continues)."""
+    from pyspark.sql import functions as F
+
+    from twitter_event_stream_spark.fsio import data_file_count
+    from twitter_event_stream_spark.operators.corpus_full import (
+        compact_band_rows,
+        dedup_against_index,
+        write_simhash_index,
+    )
+    from twitter_event_stream_spark.tables import table
+
+    d = table(spark, sf_dir, "documents")
+    path = str(tmp_path_factory.mktemp("shcompact")) + "/idx"
+    write_simhash_index(spark, d.filter(F.col("doc_id") % 4 == 0), path)
+    for m in (1, 2):  # simulated ingest cadence: two appends
+        write_simhash_index(
+            spark, d.filter(F.col("doc_id") % 4 == m), path, mode="append"
+        )
+    probe = d.filter(F.col("doc_id") % 4 == 3).limit(200)
+    before_rows = sorted(
+        (r.doc_id, r.sig, r.band, r.val)
+        for r in spark.read.parquet(path).collect()
+    )
+    before_verdict = sorted(
+        (r.doc_id, r.dup_of, r.hamming)
+        for r in dedup_against_index(spark, probe, path).collect()
+    )
+    n_before = data_file_count(spark, path)
+    assert n_before > 4, "fixture must start fragmented"
+
+    rep = compact_band_rows(spark, path)
+    assert rep["files_before"] == n_before
+    assert rep["files_after"] == 4  # one file per band partition
+    after_rows = sorted(
+        (r.doc_id, r.sig, r.band, r.val)
+        for r in spark.read.parquet(path).collect()
+    )
+    assert after_rows == before_rows, "compaction changed index content"
+    after_verdict = sorted(
+        (r.doc_id, r.dup_of, r.hamming)
+        for r in dedup_against_index(spark, probe, path).collect()
+    )
+    assert after_verdict == before_verdict
+
+    # the cycle continues: append after compact is visible
+    n_docs_before = len({r[0] for r in after_rows})
+    write_simhash_index(spark, probe, path, mode="append")
+    n_docs = spark.read.parquet(path).select("doc_id").distinct().count()
+    assert n_docs == n_docs_before + probe.count()
+    assert data_file_count(spark, path) > rep["files_after"]
+    grown_rows = sorted(
+        (r.doc_id, r.sig, r.band, r.val)
+        for r in spark.read.parquet(path).collect()
+    )
+
+    # salted variant: files_per_band > 1 spreads each band over <= k files
+    rep2 = compact_band_rows(spark, path, files_per_band=2)
+    assert rep2["files_after"] <= 8
+    assert sorted(
+        (r.doc_id, r.sig, r.band, r.val)
+        for r in spark.read.parquet(path).collect()
+    ) == grown_rows
+
+
+def test_compact_ivf_cells(spark, sf_dir, tmp_path_factory):
+    """r9 — X119 compaction for the appended IVF index: rewrite the cell
+    partitions to one file per cell; probe results must be bit-identical,
+    occupancy stats unchanged, centroids untouched, and the index still
+    appendable afterwards."""
+    from pyspark.sql import functions as F
+
+    from twitter_event_stream_spark.fsio import data_file_count
+    from twitter_event_stream_spark.operators.vector_search import (
+        append_ivf_index,
+        compact_ivf_cells,
+        ivf_index_stats,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+    from twitter_event_stream_spark.tables import table
+
+    e = table(spark, sf_dir, "embeddings")
+    base = str(tmp_path_factory.mktemp("ivfcompact")) + "/idx"
+    write_ivf_index(spark, e.filter(F.col("vec_id") % 3 == 0), base)
+    for m in (1, 2):
+        append_ivf_index(spark, e.filter(F.col("vec_id") % 3 == m), base)
+
+    probes = e.filter(F.col("vec_id") < 20)
+    before = sorted(
+        (r.probe_id, r.cand_id, r.sim, r.rn)
+        for r in ivf_topk_indexed(spark, base, probes, k=5).collect()
+    )
+    stats_before = [
+        (r.cell, r.n_vectors, r.frac, r.skew)
+        for r in ivf_index_stats(spark, base).collect()
+    ]
+    cent_before = spark.read.parquet(f"{base}/centroids").orderBy(
+        "cell"
+    ).collect()
+    n_cells_trained = len(cent_before)
+    n_before = data_file_count(spark, f"{base}/cells")
+
+    rep = compact_ivf_cells(spark, base)
+    assert rep["files_before"] == n_before
+    assert rep["files_after"] <= n_cells_trained < n_before
+    after = sorted(
+        (r.probe_id, r.cand_id, r.sim, r.rn)
+        for r in ivf_topk_indexed(spark, base, probes, k=5).collect()
+    )
+    assert after == before, "compaction changed probe results"
+    stats_after = [
+        (r.cell, r.n_vectors, r.frac, r.skew)
+        for r in ivf_index_stats(spark, base).collect()
+    ]
+    assert stats_after == stats_before
+    assert (
+        spark.read.parquet(f"{base}/centroids").orderBy("cell").collect()
+        == cent_before
+    )
+
+    # still appendable: growth lands and is visible to probes
+    extra = e.filter(F.col("vec_id") % 3 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    append_ivf_index(spark, extra, base)
+    assert data_file_count(spark, f"{base}/cells") > rep["files_after"]
+    res = ivf_topk_indexed(spark, base, probes, k=5).collect()
+    assert any(r.cand_id >= 1_000_000 for r in res)

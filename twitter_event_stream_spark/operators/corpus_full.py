@@ -21,10 +21,12 @@ leave the executors.
 from __future__ import annotations
 
 import functools
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from twitter_event_stream_spark.fsio import atomic_swap_dir, data_file_count
 from twitter_event_stream_spark.registry import query
 from twitter_event_stream_spark.tables import table
 
@@ -422,3 +424,42 @@ def dedup_against_index(
         )
     )
     return new_docs.select("doc_id").join(best, "doc_id", "left")
+
+
+def compact_band_rows(
+    spark: SparkSession, path: str, files_per_band: int = 1
+) -> dict:
+    """Compact the persisted SimHash dedup index (X115) down to
+    ``files_per_band`` parquet files per band partition — the maintenance
+    half of an append-only index (X119). Every ingest batch APPENDS files
+    (the X116 gate appends once per micro-batch), so at production cadence
+    the index accretes thousands of tiny files and probe cost drifts from
+    O(bytes) to O(files): directory listing, parquet footer reads, and
+    task scheduling all scale with file count. Compaction rewrites the
+    SAME rows (content equality and unchanged probe verdicts pinned by
+    test) clustered by band — ``repartition("band")`` lands each band in
+    one writer task, so the rewrite is a single shuffle of the index —
+    then swaps the live directory atomically (:func:`fsio.atomic_swap_dir`):
+    probes resolve either the old file set or the new one, never a mix.
+    Run from the maintenance path while ingest is QUIESCED — an append
+    racing the swap would land its files in the doomed directory.
+
+    Returns ``{"files_before", "files_after"}`` for the caller's log;
+    trigger compaction on :func:`fsio.data_file_count` (say, > 64 files
+    per band), not on row count — rows never change."""
+    before = data_file_count(spark, path)
+    idx = spark.read.parquet(path)
+    if files_per_band <= 1:
+        df = idx.repartition("band")
+    else:
+        df = (
+            idx.withColumn(
+                "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(files_per_band))
+            )
+            .repartition("band", "_salt")
+            .drop("_salt")
+        )
+    tmp = f"{path}.compact-{uuid.uuid4().hex}"
+    df.write.partitionBy("band").parquet(tmp)
+    atomic_swap_dir(spark, path, tmp)
+    return {"files_before": before, "files_after": data_file_count(spark, path)}

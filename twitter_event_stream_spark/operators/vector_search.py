@@ -17,10 +17,14 @@ by design (one bucket), and the exact-contract HASH variant
 
 from __future__ import annotations
 
+import uuid
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from twitter_event_stream_spark.fsio import atomic_swap_dir, data_file_count
 
 
 def knn_topk(
@@ -571,3 +575,46 @@ def ivf_index_stats(spark: SparkSession, path: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+def compact_ivf_cells(
+    spark: SparkSession, path: str, files_per_cell: int = 1
+) -> dict:
+    """Compact a persisted IVF index's cell partitions (X114) down to
+    ``files_per_cell`` parquet files per cell — the maintenance half of
+    the append path (X119, the vector twin of
+    ``corpus_full.compact_band_rows``). :func:`append_ivf_index` only ever
+    ADDS files, and probe latency follows the FILE count of the probed
+    cells (listing + footer reads per file), so a daily-append deployment
+    drifts toward thousands of tiny files per cell. Compaction rewrites
+    the same vectors (content equality, bit-identical probe results, and
+    unchanged occupancy stats pinned by test) clustered by cell — one
+    shuffle, each cell in one writer task — then swaps ``<path>/cells``
+    atomically; the centroids file is untouched, so the quantizer and
+    every cell assignment are exactly preserved. Run while appends are
+    quiesced — an append racing the swap lands in the doomed directory.
+
+    Returns ``{"files_before", "files_after"}``; trigger on
+    :func:`fsio.data_file_count` growth, and note compaction is NOT the
+    drift rebuild — occupancy skew still calls for
+    :func:`write_ivf_index` (full retrain) per :func:`ivf_index_stats`."""
+    cells_dir = f"{path}/cells"
+    before = data_file_count(spark, cells_dir)
+    cells = spark.read.parquet(cells_dir)
+    if files_per_cell <= 1:
+        df = cells.repartition("cell")
+    else:
+        df = (
+            cells.withColumn(
+                "_salt", F.pmod(F.xxhash64("vec_id"), F.lit(files_per_cell))
+            )
+            .repartition("cell", "_salt")
+            .drop("_salt")
+        )
+    tmp = f"{cells_dir}.compact-{uuid.uuid4().hex}"
+    df.write.partitionBy("cell").parquet(tmp)
+    atomic_swap_dir(spark, cells_dir, tmp)
+    return {
+        "files_before": before,
+        "files_after": data_file_count(spark, cells_dir),
+    }
