@@ -665,3 +665,94 @@ def test_star_edges_equal_pair_graph_components_random(spark, docs):
         ).collect()
     }
     assert lab_star == lab_pairs
+
+
+@settings(**{**_SETTINGS, "max_examples": 6})
+@given(_near_dup_corpora())
+def test_ingest_gate_matches_functional_spec_random(spark, docs):
+    """r9 — the X116 gate against its complete functional spec on
+    ADVERSARIAL corpora (mutation chains, exact-copy cliques, empty
+    texts): a batch doc is rejected iff SOME candidate is within
+    max_hamming (a corpus doc, or a smaller-id batch peer — banded recall
+    is pigeonhole-exact at <=3 under 4x16-bit bands, so 'iff' is exact,
+    not probabilistic); its audit row carries the minimal (hamming,
+    dup_of) over ALL such candidates with the batch-membership reason;
+    published docs are pairwise and corpus-wise > max_hamming apart; and
+    an at-least-once replay republishes the identical set."""
+    import shutil
+    import tempfile
+
+    from twitter_event_stream_spark.operators.corpus_full import (
+        simhash64,
+        write_simhash_index,
+    )
+    from twitter_event_stream_spark.streaming.pipelines import (
+        dedup_ingest_batch,
+        read_ingest_rejects,
+        read_ingested,
+    )
+
+    corpus = docs[0::2]
+    batch = [(i + 2_000_000, t) for i, t in docs[1::2]]
+    base = tempfile.mkdtemp(prefix="gateprop")
+    try:
+        cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+        bdf = spark.createDataFrame(batch, "doc_id long, text string")
+        write_simhash_index(spark, cdf, f"{base}/idx")
+        handler = dedup_ingest_batch(f"{base}/idx", f"{base}/out")
+        handler(bdf, 0)
+
+        pub = {r.doc_id for r in read_ingested(spark, f"{base}/out").collect()}
+        verdicts = {
+            r.doc_id: (r.dup_of, r.hamming, r.reason)
+            for r in read_ingest_rejects(spark, f"{base}/out").collect()
+        }
+        corpus_ids = {i for i, _ in corpus}
+        batch_ids = {i for i, _ in batch}
+        assert pub | set(verdicts) == batch_ids
+        assert not (pub & set(verdicts))
+
+        sigs = {
+            r.doc_id: r.simhash64
+            for r in simhash64(
+                spark.createDataFrame(
+                    corpus + batch, "doc_id long, text string"
+                )
+            ).collect()
+        }
+
+        def ham(a: int, b: int) -> int:
+            return bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+
+        for d in sorted(batch_ids):
+            cands = [(ham(d, c), c) for c in corpus_ids if ham(d, c) <= 3]
+            cands += [
+                (ham(d, b), b)
+                for b in batch_ids
+                if b < d and ham(d, b) <= 3
+            ]
+            if cands:
+                h, c = min(cands)
+                assert d in verdicts, (d, cands)
+                want_reason = "intra_batch" if c in batch_ids else "index_dup"
+                assert verdicts[d] == (c, h, want_reason), (
+                    d, verdicts[d], (c, h, want_reason),
+                )
+            else:
+                assert d in pub, (d, verdicts.get(d))
+        for a in pub:
+            for c in corpus_ids:
+                assert ham(a, c) > 3, (a, c)
+            for b in pub:
+                if a < b:
+                    assert ham(a, b) > 3, (a, b)
+
+        # at-least-once replay: the index now holds the survivors' own
+        # rows; the republished set must be identical, not empty
+        handler(bdf, 0)
+        pub2 = {
+            r.doc_id for r in read_ingested(spark, f"{base}/out").collect()
+        }
+        assert pub2 == pub
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

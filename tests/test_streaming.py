@@ -1054,3 +1054,83 @@ def test_ingest_manifest_commit_protocol(spark, tmp_path_factory):
     )
     got2 = {r.doc_id for r in read_ingested(spark, f"{base}/out").collect()}
     assert got2 == {10, 30}, "unmanifested batch leaked to reader"
+
+
+def test_dedup_ingest_checkpoint_continuation(spark, tmp_path_factory):
+    """r9 — exactly-once ACROSS streaming runs through the checkpoint: a
+    second availableNow run over the same checkpoint/out/index processes
+    only the files that arrived since the first run, already-published
+    batch dirs are byte-untouched, batch ids continue, cross-run dups are
+    gated by the index the first run grew, and the committed reader sees
+    every ingested doc exactly once."""
+    import os
+
+    from twitter_event_stream_spark.operators.corpus_full import (
+        write_simhash_index,
+    )
+    from twitter_event_stream_spark.streaming.pipelines import (
+        dedup_ingest_stream,
+        read_ingest_rejects,
+        read_ingested,
+    )
+
+    base = str(tmp_path_factory.mktemp("ingest_ckpt"))
+    seed = spark.createDataFrame(
+        [(1, "seed document entirely different vocabulary alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    write_simhash_index(spark, seed, f"{base}/idx")
+    schema = "doc_id long, text string"
+    a_text = "ten bright red lanterns floating over the quiet harbor"
+    spark.createDataFrame(
+        [(10, a_text),
+         (11, "completely unrelated payload words zebra quantum lattice nine")],
+        schema,
+    ).coalesce(1).write.parquet(f"{base}/chunks/chunk=000")
+
+    def run():
+        st = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{base}/chunks")
+        )
+        q = dedup_ingest_stream(
+            st, f"{base}/idx", f"{base}/out", f"{base}/ckpt"
+        )
+        q.awaitTermination(120)
+        return q
+
+    q1 = run()
+    got1 = {r.doc_id for r in read_ingested(spark, f"{base}/out").collect()}
+    assert got1 == {10, 11}
+    published = {}
+    for root, _dirs, files in os.walk(f"{base}/out/batch=0"):
+        for fn in files:
+            if not fn.startswith(("_", ".")):
+                p = os.path.join(root, fn)
+                published[p] = (os.path.getsize(p), os.path.getmtime(p))
+
+    # new arrivals: one genuinely new doc, one exact copy of an ingested
+    # run-1 doc (must be gated by the index run 1 grew)
+    spark.createDataFrame(
+        [(20, "fresh subject matter entirely about glacier melt dynamics"),
+         (21, a_text)],
+        schema,
+    ).coalesce(1).write.parquet(f"{base}/chunks/chunk=001")
+    q2 = run()
+    n_in = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert n_in == 2, "second run reprocessed already-committed files"
+
+    ingested = read_ingested(spark, f"{base}/out")
+    rows = [r.doc_id for r in ingested.collect()]
+    assert sorted(rows) == [10, 11, 20]  # each exactly once, copy gated
+    rej = {
+        (r.doc_id, r.dup_of, r.hamming, r.reason)
+        for r in read_ingest_rejects(spark, f"{base}/out").collect()
+    }
+    assert rej == {(21, 10, 0, "index_dup")}, rej
+    for p, sig in published.items():
+        assert (os.path.getsize(p), os.path.getmtime(p)) == sig, (
+            f"run 2 rewrote run 1's published file {p}"
+        )
