@@ -1839,3 +1839,32 @@ def test_compact_ivf_cells(spark, sf_dir, tmp_path_factory):
     assert data_file_count(spark, f"{base}/cells") > rep["files_after"]
     res = ivf_topk_indexed(spark, base, probes, k=5).collect()
     assert any(r.cand_id >= 1_000_000 for r in res)
+
+
+def test_index_gate_rejects_unexact_radius(spark, tmp_path_factory):
+    """r9 — the 4x16-bit banding is pigeonhole-exact only for radius < 4:
+    asking the index probe or the ingest gate for max_hamming >= 4 must
+    fail fast (construction time for the gate), not silently degrade to
+    approximate recall."""
+    import pytest as _pytest
+
+    from twitter_event_stream_spark.operators.corpus_full import (
+        dedup_against_index,
+        write_simhash_index,
+    )
+    from twitter_event_stream_spark.streaming.pipelines import (
+        dedup_ingest_batch,
+    )
+
+    path = str(tmp_path_factory.mktemp("radius")) + "/idx"
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    write_simhash_index(spark, docs, path)
+    with _pytest.raises(ValueError, match="max_hamming < 4"):
+        dedup_against_index(spark, docs, path, max_hamming=4)
+    with _pytest.raises(ValueError, match="max_hamming < 4"):
+        dedup_ingest_batch(path, "/tmp/unused", max_hamming=7)
+    # the exact radii still work
+    ok = dedup_against_index(spark, docs, path, max_hamming=3).collect()
+    assert len(ok) == 1

@@ -396,6 +396,16 @@ def dedup_against_index(
     first (pipelines.dedup_ingest_batch); pass ``band_rows`` (the
     pre-exploded (doc_id, sig, band, val) rows of ``new_docs``) to reuse
     signatures already computed for that pass instead of recomputing."""
+    if max_hamming >= 4:
+        # the persisted index is 4x16-bit-banded; pigeonhole-exact recall
+        # holds only for radii < n_bands — a larger radius would SILENTLY
+        # miss pairs whose differing bits touch all four bands (same
+        # contract simhash_banded_pairs enforces for its caller-chosen
+        # banding). Rebuild the index with more bands for larger radii.
+        raise ValueError(
+            "index uses 4 bands: exact recall needs max_hamming < 4 "
+            f"(got {max_hamming})"
+        )
     idx = spark.read.parquet(path)
     if band_rows is None:
         band_rows = _simhash_band_rows(simhash64(new_docs, text_col))

@@ -524,6 +524,16 @@ def dedup_ingest_batch(
         write_band_rows,
     )
 
+    if max_hamming >= 4:
+        # fail at handler CONSTRUCTION, not first micro-batch: both gates
+        # run over the 4x16-bit banding, whose pigeonhole-exact recall
+        # stops at radius 3 — a larger radius would silently publish
+        # near-dups whose differing bits touch all four bands
+        raise ValueError(
+            "ingest gate uses 4 bands: exact recall needs max_hamming < 4 "
+            f"(got {max_hamming})"
+        )
+
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df.persist()
