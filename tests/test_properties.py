@@ -756,3 +756,151 @@ def test_ingest_gate_matches_functional_spec_random(spark, docs):
         assert pub2 == pub
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@settings(**{**_SETTINGS, "max_examples": 10})
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=30)),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=30)),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_random_graphs(spark, edges):
+    """r9 — both CC phases against a union-find reference on RANDOM
+    graphs (self-loops, duplicate edges, null endpoints, disconnected
+    blobs): the bounded numpy finish and the distributed
+    hash-min + pointer-jump loop must both return exactly the min-id
+    component labels. The synthetic-graph test pins a handful of shapes;
+    random graphs cover the chains/cycles/star mixes that stress the
+    pointer-jump convergence argument."""
+    from twitter_event_stream_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    local = {
+        (r.node, r.label) for r in connected_components(df, "a", "b").collect()
+    }
+    dist = {
+        (r.node, r.label)
+        for r in connected_components(
+            df, "a", "b", local_threshold=0
+        ).collect()
+    }
+
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a is None or b is None:
+            continue
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expected = {(n, comp_min[find(n)]) for n in parent}
+    assert local == expected
+    assert dist == expected
+
+
+@settings(**{**_SETTINGS, "max_examples": 6})
+@given(_near_dup_corpora())
+def test_simhash_banded_exact_recall_random(spark, docs):
+    """r9 — the pigeonhole-exactness claim on RANDOM corpora: for
+    n_bands > max_hamming, simhash_banded_pairs must return EXACTLY the
+    brute-force set of pairs within the radius (both the 4x16 config the
+    persisted index uses and the 8x8 config of the bounded query) — the
+    whole dedup stack (X106, X115, X116) rests on this not being
+    approximate."""
+    from twitter_event_stream_spark.operators.corpus_full import simhash64
+    from twitter_event_stream_spark.operators.llm_extra import (
+        simhash_banded_pairs,
+    )
+
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = simhash64(d)
+    sigs = {r.doc_id: r.simhash64 for r in sh.collect()}
+    ids = sorted(sigs)
+
+    def ham(a: int, b: int) -> int:
+        return bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+
+    for max_hamming, n_bands in ((3, 4), (6, 8)):
+        got = {
+            (r.a_id, r.b_id, r.hamming)
+            for r in simhash_banded_pairs(
+                spark, sh, max_hamming=max_hamming, n_bands=n_bands,
+                bits=64, sig_col="simhash64",
+            ).collect()
+        }
+        want = {
+            (a, b, ham(a, b))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if ham(a, b) <= max_hamming
+        }
+        assert got == want, (max_hamming, n_bands)
+
+
+@settings(**{**_SETTINGS, "max_examples": 8})
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_session_window_matches_gaps_and_islands_fold(spark, rows):
+    """r9 — the session-window boundary contract the I3 oracle rewrite
+    depends on, checked against a local fold on RANDOM timestamps on a
+    10-minute grid (so gaps of EXACTLY the 30-minute gap parameter, and
+    duplicate timestamps, occur constantly): Spark's session range is
+    [start, last + gap), so an event at exactly last + gap opens a NEW
+    session — the >= break of the gaps-and-islands form, not >."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 3, 1)
+    data = [
+        (u, base + datetime.timedelta(seconds=600 * k)) for u, k in rows
+    ]
+    df = spark.createDataFrame(data, "user_id int, ts timestamp")
+    got = {
+        (r.user_id, r.start, r.n)
+        for r in df.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("sw.start").alias("start"), "n")
+        .collect()
+    }
+    expected = set()
+    for u in {u for u, _ in data}:
+        ts = sorted(t for uu, t in data if uu == u)
+        start, n, last = ts[0], 0, None
+        for t in ts:
+            if last is not None and (t - last).total_seconds() >= 1800:
+                expected.add((u, start, n))
+                start, n = t, 0
+            n += 1
+            last = t
+        expected.add((u, start, n))
+    assert got == expected
