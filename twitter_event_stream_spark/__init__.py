@@ -12,6 +12,7 @@ Layout:
 - ``registry``  — query + oracle-SQL registry backing ``__spark_entry__``
 - ``operators`` — one module per SURVEY §2.2 operator family (A..K)
 - ``streaming`` — structured-streaming pipelines, replay fixture, state ops
+- ``fsio``      — Hadoop-FS helpers for persisted-index maintenance (X119)
 """
 
 from twitter_event_stream_spark.session import get_spark, configure_session
