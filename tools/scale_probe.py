@@ -382,6 +382,42 @@ def ingest_gate_probe(spark, sf_dir: str) -> tuple[float, int]:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def index_maintenance_probe(spark, sf_dir: str) -> tuple[float, dict]:
+    """r9 (X119): compaction cost scales with INDEX size — the rewrite is
+    one clustered shuffle of the whole band-row table, the corpus-sized
+    term — so the timed op is ``compact_band_rows`` over a full-corpus
+    index fragmented by three appends (the build/append passes are setup,
+    untimed). Expected shape: ~linear in the corpus with a columnar
+    shuffle constant; the returned report also shows the reclaim
+    (files_before → 4)."""
+    import tempfile
+
+    from twitter_event_stream_spark.operators.corpus_full import (
+        compact_band_rows,
+        write_simhash_index,
+    )
+    from twitter_event_stream_spark.tables import table
+
+    base = tempfile.mkdtemp(prefix="tes_probe_compact_")
+    try:
+        d = table(spark, sf_dir, "documents")
+        write_simhash_index(
+            spark, d.filter(F.col("doc_id") % 4 == 0), f"{base}/idx"
+        )
+        for m in (1, 2, 3):  # simulated ingest cadence: three appends
+            write_simhash_index(
+                spark,
+                d.filter(F.col("doc_id") % 4 == m),
+                f"{base}/idx",
+                mode="append",
+            )
+        t = time.perf_counter()
+        rep = compact_band_rows(spark, f"{base}/idx")
+        return time.perf_counter() - t, rep
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def time_probe(spark, fn, sf_dir: str, scale: int):
     """Construction + full execution (count), best of 2 — the second run
     amortizes one-off costs (scan footer reads, codegen) like bench warm.
@@ -489,6 +525,27 @@ def main() -> int:
             f"{ratio:5.1f}x  <= {budget:.1f}s {'OK' if ok else 'FAIL'}  "
             f"({t_small_g / n_g * 1e3:.1f} -> {t_big_g / n_g * 1e3:.1f} "
             f"ms/doc, batch={n_g})",
+            flush=True,
+        )
+
+        # index-maintenance lane (r9, X119): compacting a full-corpus
+        # index fragmented by appends — the rewrite is the corpus-sized
+        # term, so its time must track index size ~linearly.
+        t_small_c, rep_small = index_maintenance_probe(spark, SRC)
+        t_big_c, rep_big = index_maintenance_probe(spark, dst)
+        budget = LINEAR_ALPHA * args.copies * t_small_c + SLACK_SEC
+        ratio = t_big_c / max(t_small_c, 1e-9)
+        ok = t_big_c <= budget
+        if not ok:
+            failures.append(
+                f"index_maintenance: {t_big_c:.1f}s > budget {budget:.1f}s "
+                f"(small={t_small_c:.1f}s, ratio={ratio:.1f}x)"
+            )
+        print(
+            f"{'index_maintenance':20s} {t_small_c:8.2f} {t_big_c:8.2f} "
+            f"{ratio:5.1f}x  <= {budget:.1f}s {'OK' if ok else 'FAIL'}  "
+            f"(files {rep_small['files_before']}->{rep_small['files_after']}"
+            f" / {rep_big['files_before']}->{rep_big['files_after']})",
             flush=True,
         )
 
