@@ -871,9 +871,15 @@ def test_session_window_matches_gaps_and_islands_fold(spark, rows):
     """r9 — the session-window boundary contract the I3 oracle rewrite
     depends on, checked against a local fold on RANDOM timestamps on a
     10-minute grid (so gaps of EXACTLY the 30-minute gap parameter, and
-    duplicate timestamps, occur constantly): Spark's session range is
-    [start, last + gap), so an event at exactly last + gap opens a NEW
-    session — the >= break of the gaps-and-islands form, not >."""
+    duplicate timestamps, occur constantly). Measured semantics (Spark
+    4.1.2, and what this test PINS): an event at exactly last + gap
+    MERGES into the session — the boundary is inclusive for merging — so
+    the gaps-and-islands break is strictly-greater-than-gap. The first
+    run of this test falsified the engine's previous documented claim
+    (split at exactly-gap, `>=` oracle) with the 2-event counterexample
+    [t, t+30min]; fixture timestamps never land exactly on a boundary,
+    which is why three rounds of hash-parity sweeps could not catch
+    it."""
     import datetime
 
     from pyspark.sql import functions as F
@@ -897,7 +903,7 @@ def test_session_window_matches_gaps_and_islands_fold(spark, rows):
         ts = sorted(t for uu, t in data if uu == u)
         start, n, last = ts[0], 0, None
         for t in ts:
-            if last is not None and (t - last).total_seconds() >= 1800:
+            if last is not None and (t - last).total_seconds() > 1800:
                 expected.add((u, start, n))
                 start, n = t, 0
             n += 1

@@ -189,8 +189,8 @@ _SESSIONIZE_SQL = """
 WITH t AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-              OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       + {INT30}
+              OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      + {INT30}
               THEN 1 ELSE 0 END AS new_s
   FROM {EVENTS}
 ), s AS (
@@ -217,8 +217,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gaps-and-islands: lag → new-session flag → running sum), the batch
     twin of I3's ``session_window`` aggregate that I3 cannot express —
     session_window yields bounds, not joinable per-user session keys. The
-    ≥-gap convention matches session_window's half-open semantics (SURVEY
-    I3 note). Two window passes over the same (user_id, ts) sort — Spark
+    strict >-gap break matches session_window's boundary-inclusive merge
+    (an event at exactly last+gap EXTENDS the session — SURVEY I3 note).
+    Two window passes over the same (user_id, ts) sort — Spark
     plans ONE exchange+sort reused by both windows, then a partial-agg
     rollup; per-user state at 100 TB is the sort run, not materialized
     sessions."""
