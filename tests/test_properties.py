@@ -910,3 +910,60 @@ def test_session_window_matches_gaps_and_islands_fold(spark, rows):
             last = t
         expected.add((u, start, n))
     assert got == expected
+
+
+@settings(**{**_SETTINGS, "max_examples": 8})
+@given(
+    st.lists(st.integers(min_value=0, max_value=16), min_size=1, max_size=25)
+)
+def test_fixed_window_boundary_semantics(spark, ks):
+    """r9 — tumbling and sliding window boundaries on a 15-minute grid
+    (events land EXACTLY on hour and slide boundaries), against local
+    folds: window(ts, 1h) assigns a boundary event to the window STARTING
+    at it ([start, start+len), matching the I1 date_trunc oracle), and
+    window(ts, 1h, 15m) puts every event in exactly the 4 slide-aligned
+    windows the I2 oracle reconstructs. The session-window sibling test
+    falsified the engine's documented merge boundary, so the fixed-window
+    claims get measured too, not assumed."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 3, 1)
+    data = [(base + datetime.timedelta(seconds=900 * k),) for k in ks]
+    df = spark.createDataFrame(data, "ts timestamp")
+
+    tum = {
+        (r.s, r.e, r.n)
+        for r in df.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n"
+        )
+        .collect()
+    }
+    exp_tum: dict = {}
+    for (t,) in data:
+        s = t.replace(minute=0, second=0, microsecond=0)
+        exp_tum[s] = exp_tum.get(s, 0) + 1
+    assert tum == {
+        (s, s + datetime.timedelta(hours=1), n) for s, n in exp_tum.items()
+    }
+
+    sli = {
+        (r.s, r.n)
+        for r in df.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("s"), "n")
+        .collect()
+    }
+    exp_sli: dict = {}
+    for (t,) in data:
+        t15 = t - datetime.timedelta(
+            minutes=t.minute % 15, seconds=t.second,
+            microseconds=t.microsecond,
+        )
+        for j in range(4):
+            s = t15 - datetime.timedelta(minutes=15 * j)
+            exp_sli[s] = exp_sli.get(s, 0) + 1
+    assert sli == {(s, n) for s, n in exp_sli.items()}
