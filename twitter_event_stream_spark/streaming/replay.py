@@ -14,8 +14,9 @@ Never touches /root/testdata — chunks go to a caller-owned temp dir.
 from __future__ import annotations
 
 import os
+import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from twitter_event_stream_spark.streaming.pipelines import WIRE_SCHEMA
@@ -44,24 +45,44 @@ def write_replay_chunks(
     watermark drop is guaranteed only after eviction); two chunks late, the
     window was evicted a batch earlier and the duplicate is genuinely late.
     """
-    ev = table(spark, sf_dir, "events")
+    from pyspark.sql.types import StructType
+
+    ev = table(spark, sf_dir, "events").select(
+        *StructType.fromDDL(EVENTS_SCHEMA).fieldNames()
+    )
     n = ev.count()
     per = (n + n_chunks - 1) // n_chunks
-    # Driver-side ordering is acceptable here only because this is a test
-    # fixture bounded by the fixture's size — never a production path.
-    rows = ev.orderBy("ts", "event_id").collect()
+    n_nonempty = (n + per - 1) // per
+    # All rows pass through ONE executor-side sort (the constant partition
+    # key keeps the window spec non-empty). Bounded by the fixture's size —
+    # the same total order the old driver-side collect produced, but the
+    # rows never leave the JVM, so chunk tasks stay plan-sized.
+    w = Window.partitionBy(F.lit(0)).orderBy("ts", "event_id")
+    staged = ev.withColumn(
+        "chunk", F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(per)).cast("int")
+    )
+    # Stage OUTSIDE out_dir: the replay reader walks out_dir recursively and
+    # must never see the staging files. partitionBy gives the per-chunk
+    # writes below a partition-pruned scan.
+    staging = out_dir.rstrip("/") + ".staging"
+    staged.write.mode("overwrite").partitionBy("chunk").parquet(staging)
+    base = spark.read.parquet(staging)
     os.makedirs(out_dir, exist_ok=True)
-    chunks: list[list] = [rows[i * per : (i + 1) * per] for i in range(n_chunks)]
-    for i, chunk_rows in enumerate(chunks):
-        if not chunk_rows:
-            continue
-        batch = list(chunk_rows)
+    # Chunks are written SEQUENTIALLY: the file streaming source replays in
+    # modification-time order, so arrival order is the loop order.
+    for i in range(n_nonempty):
+        part = base.filter(F.col("chunk") == i)
         if late_rows and i > 1:
-            batch += [r for r in chunks[i - 2] if r.event_id % 100 == 7]
-        spark.createDataFrame(batch, schema=EVENTS_SCHEMA).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out_dir, f"chunk={i:03d}"))
-    return sum(1 for c in chunks if c)
+            part = part.unionByName(
+                base.filter(
+                    (F.col("chunk") == i - 2) & (F.col("event_id") % 100 == 7)
+                )
+            )
+        part.drop("chunk").coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"chunk={i:03d}")
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    return n_nonempty
 
 
 def replay_stream(
