@@ -1134,3 +1134,152 @@ def test_dedup_ingest_checkpoint_continuation(spark, tmp_path_factory):
         assert (os.path.getsize(p), os.path.getmtime(p)) == sig, (
             f"run 2 rewrote run 1's published file {p}"
         )
+
+
+# ---------------------------------------------------------------------------
+# R2 hardened decode (DLQ) + R11 observability
+# ---------------------------------------------------------------------------
+
+_GOOD_LINE = (
+    '{"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 5,'
+    ' "event_type": "tweet", "value": 1.5, "props": "{}"}'
+)
+
+
+def test_decode_events_dlq_taxonomy(spark):
+    """R2: every malformed-input class lands in exactly one reject bucket and
+    the good row decodes to the same values the plain decoder produces."""
+    from twitter_event_stream_spark.streaming.pipelines import (
+        decode_events_dlq,
+        dlq_split,
+    )
+
+    raw = spark.createDataFrame(
+        [
+            (_GOOD_LINE,),
+            ("not json at all {",),
+            ('{"user_id": 7, "event_type": "fav"}',),
+            ('{"event_id": "abc", "ts": "2024-01-01T00:00:00", "user_id": 5}',),
+            (None,),
+        ],
+        "value string",
+    )
+    decoded = decode_events_dlq(raw)
+    got = {
+        (r.raw_value or "")[:12]: r.reject_reason for r in decoded.collect()
+    }
+    assert got == {
+        _GOOD_LINE[:12]: None,
+        "not json at ": "malformed",
+        '{"user_id": ': "missing_required",
+        '{"event_id":': "malformed",  # type mismatch is a corrupt capture
+        "": "empty",
+    }
+
+    events, dead = dlq_split(decoded)
+    assert events.columns == decode_events(raw).columns
+    (row,) = events.collect()
+    assert (row.event_id, row.user_id, row.event_type, row.value) == (
+        1,
+        5,
+        "tweet",
+        1.5,
+    )
+    assert {(r.reject_reason) for r in dead.collect()} == {
+        "malformed",
+        "empty",
+        "missing_required",
+    }
+    assert dead.count() == 4
+
+
+def test_dlq_stream_split_and_observed_metrics(spark, sf_dir):
+    """R2/R11 end-to-end: a wire stream with injected garbage splits into the
+    event lane (batch-parity count) and the quarantine lane, and the
+    `observe` counters in query progress account for every input row."""
+    from twitter_event_stream_spark.streaming.observe import (
+        observe_wire,
+        progress_summary,
+    )
+    from twitter_event_stream_spark.streaming.pipelines import (
+        decode_events_dlq,
+        dlq_split,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    n_good = ev.count()
+    base = tempfile.mkdtemp(prefix="tes_dlq_")
+    try:
+        wire = ev.select(F.to_json(F.struct(*ev.columns)).alias("value"))
+        wire.repartition(2).write.parquet(f"{base}/wire/part=good")
+        spark.createDataFrame(
+            [("not json {",), ('{"user_id": 1}',), (None,)], "value string"
+        ).coalesce(1).write.parquet(f"{base}/wire/part=bad")
+
+        stream = (
+            spark.readStream.schema("value string")
+            .option("maxFilesPerTrigger", 2)
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{base}/wire")
+        )
+        events, dead = dlq_split(observe_wire(decode_events_dlq(stream)))
+
+        q_ev = run_available_now(events, "dlq_events", f"{base}/ck1")
+        q_dl = run_available_now(dead, "dlq_rejects", f"{base}/ck2")
+        q_ev.awaitTermination(120)
+        q_dl.awaitTermination(120)
+
+        assert spark.sql("SELECT count(*) FROM dlq_events").first()[0] == n_good
+        rejects = {
+            (r.reject_reason, r.n)
+            for r in spark.sql(
+                "SELECT reject_reason, count(*) n FROM dlq_rejects"
+                " GROUP BY reject_reason"
+            ).collect()
+        }
+        assert rejects == {("malformed", 1), ("missing_required", 1), ("empty", 1)}
+
+        s = progress_summary(q_ev)
+        assert s["n_input_rows"] == n_good + 3
+        obs = s["observed"]
+        assert obs["n_rows"] == n_good + 3
+        assert obs["n_accepted"] == n_good
+        assert (
+            obs["n_malformed"],
+            obs["n_empty"],
+            obs["n_missing_required"],
+        ) == (1, 1, 1)
+        assert s["n_batches"] >= 2, "maxFilesPerTrigger=2 over 3 files"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_progress_capture_listener(spark, chunk_dir):
+    """R11 push path: a registered StreamingQueryListener sees every
+    micro-batch's progress; its rollup matches the pull-path summary."""
+    import time
+
+    from twitter_event_stream_spark.streaming.observe import (
+        ProgressCapture,
+        progress_summary,
+    )
+
+    cap = ProgressCapture()
+    spark.streams.addListener(cap)
+    try:
+        stream = replay_stream(spark, chunk_dir, files_per_trigger=5)
+        ckpt = tempfile.mkdtemp(prefix="tes_ckpt_listener_")
+        q = run_available_now(stream, "listener_probe", ckpt)
+        q.awaitTermination(120)
+        # The listener bus is asynchronous — poll for the terminate event.
+        deadline = time.time() + 30
+        while str(q.id) not in cap.terminated and time.time() < deadline:
+            time.sleep(0.2)
+        assert str(q.id) in cap.terminated
+        pulled = progress_summary(q)
+        pushed = progress_summary(cap.rows)
+        assert pushed["n_input_rows"] == pulled["n_input_rows"] > 0
+        assert pushed["n_batches"] >= pulled["n_batches"] > 0
+        shutil.rmtree(ckpt, ignore_errors=True)
+    finally:
+        spark.streams.removeListener(cap)

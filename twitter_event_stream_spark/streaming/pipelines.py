@@ -56,6 +56,74 @@ def decode_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
     ).select("e.*")
 
 
+#: The wire schema widened with the PERMISSIVE-mode capture column —
+#: ``from_json`` only materializes ``columnNameOfCorruptRecord`` when the
+#: target schema declares it.
+DLQ_WIRE_SCHEMA = WIRE_SCHEMA + ", _corrupt string"
+
+
+def decode_events_dlq(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """R2 hardened — decode with a dead-letter verdict instead of silent nulls.
+
+    ``from_json`` in PERMISSIVE mode maps an unparseable line to an all-null
+    struct, so the plain :func:`decode_events` forwards garbage input as a
+    phantom all-null event that the bridge then drops silently (null
+    ``event_id`` never matches a subscription). A production ingest needs the
+    opposite: keep the raw line, tag it, and route it to a quarantine sink so
+    producers can be debugged. This decoder emits the wire columns plus
+
+    - ``raw_value`` — the original line, always preserved;
+    - ``reject_reason`` — null for a good event, else one of
+      ``malformed`` (not parseable as the wire shape, including a parseable
+      line with a type-mismatched field — ``from_json`` captures the raw
+      line in the corrupt column for both), ``empty`` (null/absent payload),
+      or ``missing_required`` (valid JSON but no ``event_id``/``ts`` — the
+      bridge keys redelivery dedup and the watermark on those).
+
+    Split the two streams with :func:`dlq_split`. Everything here is a
+    narrow per-row projection — zero shuffle, fully streamable, and the
+    reject lane costs nothing when empty.
+    """
+    parsed = raw.select(
+        F.col(value_col).cast("string").alias("raw_value"),
+        F.from_json(
+            F.col(value_col).cast("string"),
+            DLQ_WIRE_SCHEMA,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("e"),
+    )
+    return (
+        parsed.select("raw_value", "e.*")
+        .withColumn(
+            "reject_reason",
+            F.when(F.col("raw_value").isNull(), F.lit("empty"))
+            .when(F.col("_corrupt").isNotNull(), F.lit("malformed"))
+            .when(
+                F.col("event_id").isNull() | F.col("ts").isNull(),
+                F.lit("missing_required"),
+            ),
+        )
+        .drop("_corrupt")
+    )
+
+
+def dlq_split(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a :func:`decode_events_dlq` frame into (events, dead_letters).
+
+    ``events`` carries exactly the :data:`WIRE_SCHEMA` columns (drop-in for
+    everything downstream of :func:`decode_events`); ``dead_letters`` carries
+    (raw_value, reject_reason) for the quarantine sink. Both are filters over
+    the same decoded frame, so a streaming source can feed two writeStream
+    queries without re-reading."""
+    events = decoded.filter(F.col("reject_reason").isNull()).drop(
+        "raw_value", "reject_reason"
+    )
+    dead = decoded.filter(F.col("reject_reason").isNotNull()).select(
+        "raw_value", "reject_reason"
+    )
+    return events, dead
+
+
 def bridge_pipeline(
     events: DataFrame,
     subscriptions: DataFrame,
