@@ -1283,3 +1283,25 @@ def test_progress_capture_listener(spark, chunk_dir):
         shutil.rmtree(ckpt, ignore_errors=True)
     finally:
         spark.streams.removeListener(cap)
+
+
+def test_bridge_backfill_batch_parity(spark, sf_dir, chunk_dir):
+    """Backfill seam: the SAME bridge_pipeline over the batch events table
+    (bootstrap-from-history) must produce exactly the payload multiset the
+    streaming replay delivers — one code path, parity by construction."""
+    subs = spark.createDataFrame(
+        [(u, f"client_{u % 3}") for u in range(0, 10)],
+        "user_id long, client_id string",
+    )
+    streamed = _drain(
+        spark,
+        bridge_pipeline(replay_stream(spark, chunk_dir, files_per_trigger=5), subs),
+        "bridge_backfill_ref",
+    )
+    batch = bridge_pipeline(table(spark, sf_dir, "events"), subs)
+    assert batch.isStreaming is False
+    got = sorted(
+        (r.client_id, r.user_id, r.kind, r.payload) for r in batch.collect()
+    )
+    want = sorted((r.client_id, r.user_id, r.kind, r.payload) for r in streamed)
+    assert got == want and len(got) > 0

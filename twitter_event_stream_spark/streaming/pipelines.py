@@ -135,11 +135,25 @@ def bridge_pipeline(
     stream-static join (I6) is broadcast. Delete events become tombstone
     records (R10) instead of being dropped. Output is the legacy-shaped
     NDJSON payload column plus routing keys.
+
+    Accepts a BATCH events frame too (backfill/bootstrap-from-history —
+    e.g. seeding a new subscriber from the events table): the only
+    stream-specific stage is the redelivery dedup, which degrades to the
+    exact whole-history ``dropDuplicates`` when there is no watermark to
+    bound state by. Everything downstream is shared code, so backfill
+    output parity with the live stream holds by construction, not by
+    keeping two pipelines in sync (pinned in tests).
     """
-    routed = (
-        as_event_time(events).withWatermark("ts", watermark)
+    deduped = (
         # R6 — redelivery dedup, state bounded by the watermark.
+        as_event_time(events)
+        .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
+        if events.isStreaming
+        else as_event_time(events).dropDuplicates(["event_id"])
+    )
+    routed = (
+        deduped
         # R3 — event-type dispatch: keep the service event kinds, tag class.
         .withColumn(
             "kind",
