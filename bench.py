@@ -132,6 +132,13 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         )
         q.awaitTermination(300)
         delivery_dt = time.perf_counter() - t
+        # X121 dogfood: the delivery query's own progress rollup — state
+        # size and per-batch rate from the SAME payload a production
+        # listener ships, so the bench line doubles as an observability
+        # fixture.
+        from twitter_event_stream_spark.streaming.observe import progress_summary
+
+        prog = progress_summary(q)
         shutil.rmtree(ckpt2, ignore_errors=True)
         delivered = 0
         for root, dirs, files in _os.walk(fanout_dir):
@@ -152,6 +159,11 @@ def bench_streaming(spark, sf_dir: str) -> dict:
             # valid at the same trigger sizing — emit it next to the number
             "files_per_trigger": files_per_trigger,
             "micro_batches": routed["batches"],
+            "max_state_rows": prog["max_state_rows"],
+            "max_state_memory_bytes": prog["max_state_memory_bytes"],
+            "avg_processed_rows_per_sec": int(
+                prog["avg_processed_rows_per_second"]
+            ),
         }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

@@ -967,3 +967,58 @@ def test_fixed_window_boundary_semantics(spark, ks):
             s = t15 - datetime.timedelta(minutes=15 * j)
             exp_sli[s] = exp_sli.get(s, 0) + 1
     assert sli == {(s, n) for s, n in exp_sli.items()}
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(min_size=0, max_size=120),  # arbitrary unicode garbage
+            st.builds(
+                lambda i, t, u: (
+                    f'{{"event_id": {i}, "ts": "{t}", "user_id": {u},'
+                    f' "event_type": "click", "value": 1.0, "props": "x"}}'
+                ),
+                st.integers(min_value=0, max_value=10**9),
+                st.just("2024-03-01T12:00:00"),
+                st.integers(min_value=0, max_value=99),
+            ),
+            st.builds(lambda d: __import__("json").dumps(d), st.dictionaries(
+                st.sampled_from(["event_id", "ts", "user_id", "junk"]),
+                st.one_of(st.integers(), st.text(max_size=8), st.none()),
+                max_size=3,
+            )),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_dlq_decode_total_partition(spark, lines):
+    """X120 fuzz: decode_events_dlq never throws on arbitrary input, and
+    dlq_split is a TOTAL PARTITION — every input row lands in exactly one
+    lane, a good lane row has the dedup/watermark keys, and a reject keeps
+    its raw line (or tags `empty` for null)."""
+    from twitter_event_stream_spark.streaming.pipelines import (
+        decode_events_dlq,
+        dlq_split,
+    )
+
+    raw = spark.createDataFrame([(x,) for x in lines], "value string")
+    decoded = decode_events_dlq(raw)
+    events, dead = dlq_split(decoded)
+    n_events, n_dead = events.count(), dead.count()
+    assert n_events + n_dead == len(lines)
+    for r in events.collect():
+        assert r.event_id is not None and r.ts is not None
+    dead_rows = dead.collect()
+    assert {r.reject_reason for r in dead_rows} <= {
+        "malformed",
+        "empty",
+        "missing_required",
+    }
+    # Every non-null rejected line is preserved verbatim for the quarantine.
+    assert all(r.raw_value is not None for r in dead_rows
+               if r.reject_reason != "empty")
+    n_null = sum(1 for x in lines if x is None)
+    assert sum(1 for r in dead_rows if r.reject_reason == "empty") == n_null

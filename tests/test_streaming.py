@@ -1305,3 +1305,91 @@ def test_bridge_backfill_batch_parity(spark, sf_dir, chunk_dir):
     )
     want = sorted((r.client_id, r.user_id, r.kind, r.payload) for r in streamed)
     assert got == want and len(got) > 0
+
+
+def test_vector_ingest_stream_end_to_end(spark, sf_dir, tmp_path_factory):
+    """X123: streaming vector ingest into a persisted IVF index — committed
+    batches are probe-visible and stats-visible, a handler replay is
+    byte-equivalent (no duplicate vectors), an unmanifested batch dir is
+    invisible, and absorb folds the spill into the main tree without
+    changing any probe result."""
+    import os
+
+    from twitter_event_stream_spark.operators.vector_search import (
+        absorb_ingested,
+        ivf_index_stats,
+        ivf_topk_indexed,
+        read_ivf_cells,
+        write_ivf_index,
+    )
+    from twitter_event_stream_spark.streaming.pipelines import (
+        vector_ingest_batch,
+        vector_ingest_stream,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    half = e.filter(F.col("vec_id") % 2 == 0)
+    rest = e.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    base = str(tmp_path_factory.mktemp("vecingest")) + "/idx"
+    write_ivf_index(spark, half, base)
+    # no pending batches -> the visible set is the PLAIN cells scan
+    assert "Union" not in read_ivf_cells(spark, base)._jdf.queryExecution().toString()
+
+    # stream the odd vectors in 2 micro-batches
+    src = str(tmp_path_factory.mktemp("vecsrc"))
+    rest.filter(F.col("vec_id") % 4 == 1).write.parquet(f"{src}/f0")
+    rest.filter(F.col("vec_id") % 4 == 3).write.parquet(f"{src}/f1")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    ck = str(tmp_path_factory.mktemp("vecck"))
+    q = vector_ingest_stream(stream, base, ck)
+    q.awaitTermination(180)
+
+    n_all = e.filter(F.col("embedding").isNotNull()).count()
+    visible = read_ivf_cells(spark, base)
+    assert visible.count() == n_all
+    # probes see streamed (odd) vectors
+    probes = e.filter(F.col("vec_id") < 20)
+    res_before = ivf_topk_indexed(spark, base, probes, k=5).collect()
+    assert any(r.cand_id % 2 == 1 for r in res_before)
+    # stats account for every visible vector
+    stats = ivf_index_stats(spark, base).collect()
+    assert sum(r.n_vectors for r in stats) == n_all
+
+    # handler replay with an already-committed batch id: byte-equivalent
+    def pending_rows():
+        return sorted(
+            (r.vec_id, r.cell)
+            for r in spark.read.option("basePath", f"{base}/ingest").parquet(
+                *[p for p in [f"{base}/ingest/batch=0", f"{base}/ingest/batch=1"]]
+            ).collect()
+        )
+
+    before = pending_rows()
+    vector_ingest_batch(base)(rest.filter(F.col("vec_id") % 4 == 1), 0)
+    assert pending_rows() == before, "replay duplicated or dropped vectors"
+
+    # crash-sim: a batch dir without a manifest is invisible
+    rest.limit(5).write.mode("overwrite").parquet(f"{base}/ingest/batch=99")
+    assert read_ivf_cells(spark, base).count() == n_all
+    import shutil as _sh
+
+    _sh.rmtree(f"{base}/ingest/batch=99")
+
+    # absorb: spill folds into the cell tree, probe results unchanged
+    rep = absorb_ingested(spark, base)
+    assert rep["batches_absorbed"] == 2 and rep["vectors_absorbed"] == len(before)
+    assert not os.path.exists(f"{base}/ingest/batch=0")
+    assert read_ivf_cells(spark, base).count() == n_all
+    assert "Union" not in read_ivf_cells(spark, base)._jdf.queryExecution().toString()
+    res_after = ivf_topk_indexed(spark, base, probes, k=5).collect()
+    assert sorted(map(tuple, res_after)) == sorted(map(tuple, res_before))
+    # absorb again: nothing pending, clean no-op
+    assert absorb_ingested(spark, base) == {
+        "batches_absorbed": 0,
+        "vectors_absorbed": 0,
+    }

@@ -382,6 +382,46 @@ def ingest_gate_probe(spark, sf_dir: str) -> tuple[float, int]:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def vector_ingest_probe(spark, sf_dir: str) -> tuple[float, int]:
+    """r9 (X123): ONE streamed vector micro-batch (1000 smallest odd
+    vec_ids — constant across scales; sf0.1 has ~1000 odd vectors total)
+    into a persisted IVF index built (untimed) over the even half. The timed handler is centroid read + Arrow-batched assignment +
+    cell-partitioned publish + manifest — NONE of which touches the main
+    cell files or scales with the index, so the expected ratio is ~1x:
+    streamed ingest cost is a function of the batch, not the corpus.
+    That flatness is the lane's claim; a corpus-sized term creeping into
+    the handler (e.g. an accidental index scan) fails the budget."""
+    import tempfile
+
+    from twitter_event_stream_spark.operators.vector_search import (
+        write_ivf_index,
+    )
+    from twitter_event_stream_spark.streaming.pipelines import (
+        vector_ingest_batch,
+    )
+    from twitter_event_stream_spark.tables import table
+
+    base = tempfile.mkdtemp(prefix="tes_probe_vecingest_")
+    try:
+        e = table(spark, sf_dir, "embeddings")
+        write_ivf_index(
+            spark, e.filter(F.col("vec_id") % 2 == 0), f"{base}/idx"
+        )
+        batch = (
+            e.filter(F.col("vec_id") % 2 == 1)
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(1000)
+            .localCheckpoint()
+        )
+        n = batch.count()
+        t = time.perf_counter()
+        vector_ingest_batch(f"{base}/idx")(batch, 0)
+        return time.perf_counter() - t, n
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def index_maintenance_probe(spark, sf_dir: str) -> tuple[float, dict]:
     """r9 (X119): compaction cost scales with INDEX size — the rewrite is
     one clustered shuffle of the whole band-row table, the corpus-sized
@@ -525,6 +565,27 @@ def main() -> int:
             f"{ratio:5.1f}x  <= {budget:.1f}s {'OK' if ok else 'FAIL'}  "
             f"({t_small_g / n_g * 1e3:.1f} -> {t_big_g / n_g * 1e3:.1f} "
             f"ms/doc, batch={n_g})",
+            flush=True,
+        )
+
+        # vector-ingest lane (r9, X123): constant 2000-vector batch into
+        # a 10x larger IVF index — the handler never reads the corpus, so
+        # per-vector cost must stay ~flat as the index grows.
+        t_small_v, n_v = vector_ingest_probe(spark, SRC)
+        t_big_v, _ = vector_ingest_probe(spark, dst)
+        budget = LINEAR_ALPHA * args.copies * t_small_v + SLACK_SEC
+        ratio = t_big_v / max(t_small_v, 1e-9)
+        ok = t_big_v <= budget
+        if not ok:
+            failures.append(
+                f"vector_ingest: {t_big_v:.1f}s > budget {budget:.1f}s "
+                f"(small={t_small_v:.1f}s, ratio={ratio:.1f}x)"
+            )
+        print(
+            f"{'vector_ingest':20s} {t_small_v:8.2f} {t_big_v:8.2f} "
+            f"{ratio:5.1f}x  <= {budget:.1f}s {'OK' if ok else 'FAIL'}  "
+            f"({t_small_v / n_v * 1e3:.1f} -> {t_big_v / n_v * 1e3:.1f} "
+            f"ms/vec, batch={n_v})",
             flush=True,
         )
 

@@ -59,3 +59,20 @@ def atomic_swap_dir(spark, live: str, fresh: str) -> None:
             f"(previous contents restored)"
         )
     fs.delete(old, True)
+
+
+def manifested_batch_ids(spark, out_dir: str) -> list[int]:
+    """Sorted ids of batches with a COMMITTED manifest under
+    ``out_dir/_manifests`` (the X117 commit protocol: the manifest is the
+    batch's last write, so its presence certifies the data landed). Shared
+    by every manifested reader — corpus sink, reject trail, vector-ingest
+    spill — so the commit rule cannot drift between them."""
+    fs, hpath = _fs(spark, out_dir)
+    mdir = hpath(f"{out_dir}/_manifests")
+    ids: list[int] = []
+    if fs.exists(mdir):
+        for st in fs.listStatus(mdir):
+            name = st.getPath().getName()
+            if name.startswith("batch-") and name.endswith(".json"):
+                ids.append(int(name[len("batch-"):-len(".json")]))
+    return sorted(ids)

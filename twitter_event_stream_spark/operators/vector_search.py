@@ -489,13 +489,9 @@ def ivf_topk_indexed(
     :func:`ivf_topk` (same JVM-side cosine, same tiebreak), so a fresh
     build probed with the same parameters returns the identical result —
     pinned by test."""
-    cent_pdf = (
-        spark.read.parquet(f"{path}/centroids").orderBy("cell").toPandas()
-    )
-    cm = np.asarray(cent_pdf["centroid"].tolist(), dtype=np.float64)
-    bc = spark.sparkContext.broadcast(cm)
+    bc = _stored_centroid_bc(spark, path)
     probe_cells = _cell_assign(probes, bc, n_probe_cells)
-    corpus = spark.read.parquet(f"{path}/cells")
+    corpus = read_ivf_cells(spark, path)
     p = probe_cells.select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv"), "cell"
     )
@@ -518,6 +514,74 @@ def ivf_topk_indexed(
     )
 
 
+def _stored_centroid_bc(spark: SparkSession, path: str):
+    """Broadcast of a persisted index's centroid matrix (cell-ordered) —
+    the one tiny read every stored-quantizer operation shares."""
+    cent_pdf = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cell").toPandas()
+    )
+    cm = np.asarray(cent_pdf["centroid"].tolist(), dtype=np.float64)
+    return spark.sparkContext.broadcast(cm)
+
+
+def read_ivf_cells(spark: SparkSession, path: str) -> DataFrame:
+    """Every VISIBLE vector of a persisted IVF index: the absorbed cell
+    tree plus all COMMITTED streaming-ingest batches (X123 spill area,
+    ``<path>/ingest/batch=<id>`` — only manifested batches, same X117
+    commit rule as the text-corpus sink). With nothing pending this
+    returns the plain ``cells`` scan unchanged — same plan, same dynamic
+    partition pruning — so batch-only deployments never pay for the
+    streaming seam. Pending batches are cell-partitioned too (one scan
+    relation via ``basePath``), so a probe's cell join prunes their files
+    the same way; the spill stays small because :func:`absorb_ingested`
+    folds it into the main tree on the maintenance cadence."""
+    from twitter_event_stream_spark.fsio import manifested_batch_ids
+
+    cells = spark.read.parquet(f"{path}/cells")
+    ids = manifested_batch_ids(spark, f"{path}/ingest")
+    if not ids:
+        return cells
+    pending = (
+        spark.read.option("basePath", f"{path}/ingest")
+        .parquet(*[f"{path}/ingest/batch={i}" for i in ids])
+        .select("vec_id", "embedding", "cell")
+    )
+    return cells.select("vec_id", "embedding", "cell").unionByName(pending)
+
+
+def absorb_ingested(spark: SparkSession, path: str) -> dict:
+    """Fold committed streaming-ingest batches (X123) into the main cell
+    tree — the maintenance half of the streaming seam, run quiesced like
+    compaction (X119): append the pending vectors to ``<path>/cells``
+    (cell partitions, existing files untouched), then retire each batch by
+    deleting its manifest FIRST (making it invisible to
+    :func:`read_ivf_cells` before the data dir goes away — readers never
+    see a half-deleted batch) and its data dir second. Crash between the
+    append and a manifest delete leaves those vectors visible twice until
+    absorb is re-run; duplicates are transient, bounded to the crashed
+    maintenance window, and absorb itself is re-runnable. Follow with
+    :func:`compact_ivf_cells` when the append pushed file counts up.
+
+    Returns ``{"batches_absorbed", "vectors_absorbed"}``."""
+    from twitter_event_stream_spark.fsio import _fs, manifested_batch_ids
+
+    ids = manifested_batch_ids(spark, f"{path}/ingest")
+    if not ids:
+        return {"batches_absorbed": 0, "vectors_absorbed": 0}
+    pending = (
+        spark.read.option("basePath", f"{path}/ingest")
+        .parquet(*[f"{path}/ingest/batch={i}" for i in ids])
+        .select("vec_id", "embedding", "cell")
+    )
+    n = pending.count()
+    pending.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+    fs, hpath = _fs(spark, path)
+    for i in ids:
+        fs.delete(hpath(f"{path}/ingest/_manifests/batch-{i:09d}.json"), False)
+        fs.delete(hpath(f"{path}/ingest/batch={i}"), True)
+    return {"batches_absorbed": len(ids), "vectors_absorbed": n}
+
+
 def append_ivf_index(spark: SparkSession, new_vectors: DataFrame, path: str) -> None:
     """Grow a persisted IVF index (X114) WITHOUT retraining — the missing
     half of the build-once/probe-many story (r8 verdict "What's missing"
@@ -536,11 +600,7 @@ def append_ivf_index(spark: SparkSession, new_vectors: DataFrame, path: str) -> 
     (``write_ivf_index``, a full retrain + rewrite) when occupancy skew
     exceeds ~4× the mean or any probed cell outgrows executor memory —
     the same re-train rule of thumb FAISS documents for IVF lists."""
-    cent_pdf = (
-        spark.read.parquet(f"{path}/centroids").orderBy("cell").toPandas()
-    )
-    cm = np.asarray(cent_pdf["centroid"].tolist(), dtype=np.float64)
-    bc = spark.sparkContext.broadcast(cm)
+    bc = _stored_centroid_bc(spark, path)
     _cell_assign(new_vectors, bc, 1).write.mode("append").partitionBy(
         "cell"
     ).parquet(f"{path}/cells")
@@ -554,8 +614,10 @@ def ivf_index_stats(spark: SparkSession, path: str) -> DataFrame:
     n_vectors / mean-occupancy; ``max(skew)`` ≳ 4 is the documented
     rebuild trigger. Output is n_cells rows — driver-safe at any corpus
     size; the only corpus-wide work is one count aggregation pushed to the
-    cell partitioning."""
-    cells = spark.read.parquet(f"{path}/cells")
+    cell partitioning. Counts every VISIBLE vector — committed
+    streaming-ingest batches included — so the rebuild signal can't lag
+    behind a continuously-ingesting deployment."""
+    cells = read_ivf_cells(spark, path)
     trained = spark.read.parquet(f"{path}/centroids").select("cell")
     occ = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
     full = (

@@ -762,21 +762,14 @@ def read_ingested(spark, out_dir: str) -> DataFrame:
     directory (or a publish whose index append never committed) is
     invisible until its replay completes. Raises if nothing has been
     committed yet (no schema to fabricate an empty frame from)."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    conf = spark._jsc.hadoopConfiguration()
-    fs = hpath(out_dir).getFileSystem(conf)
-    mdir = hpath(f"{out_dir}/_manifests")
-    dirs: list[str] = []
-    if fs.exists(mdir):
-        for st in fs.listStatus(mdir):
-            name = st.getPath().getName()
-            if name.startswith("batch-") and name.endswith(".json"):
-                bid = int(name[len("batch-"):-len(".json")])
-                dirs.append(f"{out_dir}/batch={bid}")
+    from twitter_event_stream_spark.fsio import manifested_batch_ids
+
+    dirs = [
+        f"{out_dir}/batch={bid}" for bid in manifested_batch_ids(spark, out_dir)
+    ]
     if not dirs:
         raise ValueError(f"no committed ingest batches under {out_dir}")
-    return spark.read.parquet(*sorted(dirs))
+    return spark.read.parquet(*dirs)
 
 
 def read_ingest_rejects(spark, out_dir: str) -> DataFrame:
@@ -786,21 +779,15 @@ def read_ingest_rejects(spark, out_dir: str) -> DataFrame:
     invisible until its replay completes. ``reason`` is ``intra_batch``
     (collapsed onto a batch-mate) or ``index_dup`` (matched the prior
     corpus); a batch with zero rejects contributes an empty typed dir."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    conf = spark._jsc.hadoopConfiguration()
-    fs = hpath(out_dir).getFileSystem(conf)
-    mdir = hpath(f"{out_dir}/_manifests")
-    dirs: list[str] = []
-    if fs.exists(mdir):
-        for st in fs.listStatus(mdir):
-            name = st.getPath().getName()
-            if name.startswith("batch-") and name.endswith(".json"):
-                bid = int(name[len("batch-"):-len(".json")])
-                dirs.append(f"{out_dir}/_rejects/batch={bid}")
+    from twitter_event_stream_spark.fsio import manifested_batch_ids
+
+    dirs = [
+        f"{out_dir}/_rejects/batch={bid}"
+        for bid in manifested_batch_ids(spark, out_dir)
+    ]
     if not dirs:
         raise ValueError(f"no committed ingest batches under {out_dir}")
-    return spark.read.parquet(*sorted(dirs))
+    return spark.read.parquet(*dirs)
 
 
 def dedup_ingest_stream(
@@ -831,6 +818,58 @@ def dedup_ingest_stream(
         docs_stream.writeStream.foreachBatch(
             dedup_ingest_batch(index_path, out_dir, max_hamming)
         )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def vector_ingest_batch(index_path: str) -> Callable[[DataFrame, int], None]:
+    """X123 — per-micro-batch handler growing a persisted IVF index (X114)
+    from a stream, the vector twin of :func:`dedup_ingest_batch`: assign
+    the batch's vectors against the STORED centroids (quantizer frozen, as
+    in ``append_ivf_index``) and publish them cell-partitioned under
+    ``<index>/ingest/batch=<id>``, manifest LAST (X117 commit rule).
+
+    Replay-safe by layout, not by append: a raw ``mode("append")`` into
+    the cell tree would duplicate every vector of a replayed batch
+    (foreachBatch is at-least-once); publishing each batch into its OWN
+    overwritten directory makes the retry byte-equivalent, and probes see
+    only manifested batches (``read_ivf_cells``). The spill area is folded
+    into the main tree by ``absorb_ingested`` on the maintenance cadence —
+    ingest stays append-cheap, probes stay pruned, and the main cell files
+    are never touched by a streaming batch."""
+    from twitter_event_stream_spark.operators.vector_search import (
+        _cell_assign,
+        _stored_centroid_bc,
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # nothing to publish; replay of an empty batch is a no-op
+        spark = batch_df.sparkSession
+        bc = _stored_centroid_bc(spark, index_path)
+        out_dir = f"{index_path}/ingest"
+        batch_dir = f"{out_dir}/batch={batch_id}"
+        _cell_assign(batch_df, bc, 1).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(batch_dir)
+        _write_fs_manifest(spark, out_dir, batch_id, batch_dir)
+
+    return _ingest
+
+
+def vector_ingest_stream(
+    vectors_stream: DataFrame, index_path: str, checkpoint: str
+):
+    """X123 — streaming vector ingestion into a persisted IVF index: every
+    micro-batch of (vec_id, embedding) rows becomes a committed,
+    cell-partitioned, probe-visible index batch. Returns the started
+    availableNow query (caller awaits termination). Semantics — assignment
+    arithmetic, commit protocol, replay safety, absorb cadence — live on
+    :func:`vector_ingest_batch`."""
+    return (
+        vectors_stream.writeStream.foreachBatch(vector_ingest_batch(index_path))
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -53,11 +53,13 @@ def write_replay_chunks(
     n = ev.count()
     per = (n + n_chunks - 1) // n_chunks
     n_nonempty = (n + per - 1) // per
-    # All rows pass through ONE executor-side sort (the constant partition
-    # key keeps the window spec non-empty). Bounded by the fixture's size —
-    # the same total order the old driver-side collect produced, but the
-    # rows never leave the JVM, so chunk tasks stay plan-sized.
-    w = Window.partitionBy(F.lit(0)).orderBy("ts", "event_id")
+    # All rows pass through ONE executor-side sort — bounded by the
+    # fixture's size, the same total order the old driver-side collect
+    # produced, but the rows never leave the JVM, so chunk tasks stay
+    # plan-sized. The column-derived constant keeps the partition spec
+    # non-foldable (a plain lit(0) is stripped by Catalyst and the
+    # "No Partition Defined" warning returns).
+    w = Window.partitionBy(F.col("event_id") * F.lit(0)).orderBy("ts", "event_id")
     staged = ev.withColumn(
         "chunk", F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(per)).cast("int")
     )
