@@ -1277,7 +1277,7 @@ def test_progress_capture_listener(spark, chunk_dir):
             time.sleep(0.2)
         assert str(q.id) in cap.terminated
         pulled = progress_summary(q)
-        pushed = progress_summary(cap.rows)
+        pushed = progress_summary(cap.rows_for(q))
         assert pushed["n_input_rows"] == pulled["n_input_rows"] > 0
         assert pushed["n_batches"] >= pulled["n_batches"] > 0
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -1372,6 +1372,16 @@ def test_vector_ingest_stream_end_to_end(spark, sf_dir, tmp_path_factory):
     before = pending_rows()
     vector_ingest_batch(base)(rest.filter(F.col("vec_id") % 4 == 1), 0)
     assert pending_rows() == before, "replay duplicated or dropped vectors"
+
+    # a batch that assigns to nothing (all-null embeddings) publishes
+    # nothing: no manifest, no dir — and so can't poison the readers
+    null_batch = spark.createDataFrame(
+        [(900001, None), (900002, None)], "vec_id long, embedding array<float>"
+    )
+    vector_ingest_batch(base)(null_batch, 7)
+    assert not os.path.exists(f"{base}/ingest/batch=7")
+    assert not os.path.exists(f"{base}/ingest/_manifests/batch-000000007.json")
+    assert read_ivf_cells(spark, base).count() == n_all
 
     # crash-sim: a batch dir without a manifest is invisible
     rest.limit(5).write.mode("overwrite").parquet(f"{base}/ingest/batch=99")

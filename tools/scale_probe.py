@@ -568,12 +568,17 @@ def main() -> int:
             flush=True,
         )
 
-        # vector-ingest lane (r9, X123): constant 2000-vector batch into
+        # vector-ingest lane (r9, X123): constant 1000-vector batch into
         # a 10x larger IVF index — the handler never reads the corpus, so
-        # per-vector cost must stay ~flat as the index grows.
+        # per-vector cost must stay ~FLAT as the index grows; the budget
+        # is deliberately NOT scaled by copies (a linear corpus-sized term
+        # creeping into the handler must FAIL this lane, unlike the
+        # corpus-sized lanes above). The slack absorbs the benign growth
+        # axis: more corpus -> more trained cells -> O(batch x cells)
+        # assignment.
         t_small_v, n_v = vector_ingest_probe(spark, SRC)
         t_big_v, _ = vector_ingest_probe(spark, dst)
-        budget = LINEAR_ALPHA * args.copies * t_small_v + SLACK_SEC
+        budget = LINEAR_ALPHA * t_small_v + SLACK_SEC
         ratio = t_big_v / max(t_small_v, 1e-9)
         ok = t_big_v <= budget
         if not ok:

@@ -524,6 +524,16 @@ def _stored_centroid_bc(spark: SparkSession, path: str):
     return spark.sparkContext.broadcast(cm)
 
 
+def _read_pending(spark: SparkSession, path: str, ids: list[int]) -> DataFrame:
+    """One scan relation over the given committed ingest batches — shared
+    by the reader and the absorber so the spill layout can't drift."""
+    return (
+        spark.read.option("basePath", f"{path}/ingest")
+        .parquet(*[f"{path}/ingest/batch={i}" for i in ids])
+        .select("vec_id", "embedding", "cell")
+    )
+
+
 def read_ivf_cells(spark: SparkSession, path: str) -> DataFrame:
     """Every VISIBLE vector of a persisted IVF index: the absorbed cell
     tree plus all COMMITTED streaming-ingest batches (X123 spill area,
@@ -541,12 +551,9 @@ def read_ivf_cells(spark: SparkSession, path: str) -> DataFrame:
     ids = manifested_batch_ids(spark, f"{path}/ingest")
     if not ids:
         return cells
-    pending = (
-        spark.read.option("basePath", f"{path}/ingest")
-        .parquet(*[f"{path}/ingest/batch={i}" for i in ids])
-        .select("vec_id", "embedding", "cell")
+    return cells.select("vec_id", "embedding", "cell").unionByName(
+        _read_pending(spark, path, ids)
     )
-    return cells.select("vec_id", "embedding", "cell").unionByName(pending)
 
 
 def absorb_ingested(spark: SparkSession, path: str) -> dict:
@@ -568,11 +575,7 @@ def absorb_ingested(spark: SparkSession, path: str) -> dict:
     ids = manifested_batch_ids(spark, f"{path}/ingest")
     if not ids:
         return {"batches_absorbed": 0, "vectors_absorbed": 0}
-    pending = (
-        spark.read.option("basePath", f"{path}/ingest")
-        .parquet(*[f"{path}/ingest/batch={i}" for i in ids])
-        .select("vec_id", "embedding", "cell")
-    )
+    pending = _read_pending(spark, path, ids)
     n = pending.count()
     pending.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
     fs, hpath = _fs(spark, path)

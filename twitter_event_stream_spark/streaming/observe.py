@@ -61,6 +61,7 @@ def _progress_row(p: Any) -> dict:
     positional arrays, losing the metric names."""
     state = p.stateOperators or []
     return {
+        "query_id": str(p.id),
         "batch_id": p.batchId,
         "num_input_rows": p.numInputRows or 0,
         "input_rows_per_second": p.inputRowsPerSecond or 0.0,
@@ -82,11 +83,20 @@ class ProgressCapture(StreamingQueryListener):
     remove with ``removeListener`` when done. Listener callbacks run on the
     driver's listener bus asynchronously; for deterministic post-run
     assertions prefer :func:`progress_summary` over the captured list.
+
+    The listener bus is session-wide: with several queries running (e.g.
+    the DLQ split's two lanes) ``rows`` interleaves all of them — each row
+    carries its ``query_id``, and :meth:`rows_for` slices one query out.
     """
 
     def __init__(self) -> None:
         self.rows: list[dict] = []
         self.terminated: list[str] = []
+
+    def rows_for(self, query) -> list[dict]:
+        """The captured rows of one query (a StreamingQuery or its id)."""
+        qid = str(getattr(query, "id", query))
+        return [r for r in self.rows if r["query_id"] == qid]
 
     def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
         pass
@@ -106,9 +116,13 @@ def progress_summary(source: StreamingQuery | list[dict]) -> dict:
     (or a test) wants: batches, rows, rates, state size, watermark, and the
     summed ``observe`` counters.
 
-    Accepts a (finished) query — reads ``recentProgress``, which is complete
-    for ``availableNow`` runs after ``awaitTermination`` — or a
-    :class:`ProgressCapture`'s ``rows`` list.
+    Accepts a (finished) query — reads ``recentProgress``, complete for an
+    ``availableNow`` run after ``awaitTermination`` PROVIDED the run fits
+    Spark's retention window (``spark.sql.streaming.numRecentProgressUpdates``,
+    default 100 progress rows; longer runs keep only the tail, so totals
+    undercount) — or a :class:`ProgressCapture` rows list (typically
+    ``cap.rows_for(q)``), which has no cap and is the right source for
+    long-lived queries.
     """
     rows = (
         [_progress_row(p) for p in source.recentProgress]

@@ -834,8 +834,11 @@ def vector_ingest_batch(index_path: str) -> Callable[[DataFrame, int], None]:
     Replay-safe by layout, not by append: a raw ``mode("append")`` into
     the cell tree would duplicate every vector of a replayed batch
     (foreachBatch is at-least-once); publishing each batch into its OWN
-    overwritten directory makes the retry byte-equivalent, and probes see
-    only manifested batches (``read_ivf_cells``). The spill area is folded
+    directory — staged dot-prefixed, then atomically renamed/swapped into
+    place, so a concurrent probe never sees a manifested batch mid-rewrite
+    — makes the retry equivalent, and probes see only manifested batches
+    (``read_ivf_cells``). A batch that assigns to nothing (empty, or all
+    embeddings null) publishes nothing. The spill area is folded
     into the main tree by ``absorb_ingested`` on the maintenance cadence —
     ingest stays append-cheap, probes stay pruned, and the main cell files
     are never touched by a streaming batch."""
@@ -845,16 +848,39 @@ def vector_ingest_batch(index_path: str) -> Callable[[DataFrame, int], None]:
     )
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return  # nothing to publish; replay of an empty batch is a no-op
+        import uuid
+
+        from twitter_event_stream_spark.fsio import _fs
+
         spark = batch_df.sparkSession
         bc = _stored_centroid_bc(spark, index_path)
-        out_dir = f"{index_path}/ingest"
-        batch_dir = f"{out_dir}/batch={batch_id}"
-        _cell_assign(batch_df, bc, 1).write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(batch_dir)
-        _write_fs_manifest(spark, out_dir, batch_id, batch_dir)
+        assigned = _cell_assign(batch_df, bc, 1)
+        assigned.persist()
+        try:
+            # Guard on the ASSIGNED rows, not the raw batch: a batch whose
+            # embeddings are all null assigns to nothing, and publishing it
+            # would commit a manifested dir with no parquet footers —
+            # poisoning every reader of the index with UNABLE_TO_INFER_SCHEMA.
+            if assigned.isEmpty():
+                return  # replay of a no-op batch is a no-op
+            out_dir = f"{index_path}/ingest"
+            batch_dir = f"{out_dir}/batch={batch_id}"
+            # Publish via a dot-prefixed staging dir + rename: a replayed
+            # batch must never delete the live dir while its manifest still
+            # exists (mode("overwrite") in place would), or a concurrent
+            # probe that just listed the manifest reads a vanishing path.
+            tmp = f"{out_dir}/.tmp-batch-{batch_id}-{uuid.uuid4().hex}"
+            assigned.write.partitionBy("cell").parquet(tmp)
+            fs, hpath = _fs(spark, out_dir)
+            if fs.exists(hpath(batch_dir)):
+                from twitter_event_stream_spark.fsio import atomic_swap_dir
+
+                atomic_swap_dir(spark, batch_dir, tmp)
+            elif not fs.rename(hpath(tmp), hpath(batch_dir)):
+                raise IOError(f"vector_ingest: could not publish {batch_dir}")
+            _write_fs_manifest(spark, out_dir, batch_id, batch_dir)
+        finally:
+            assigned.unpersist()
 
     return _ingest
 

@@ -47,10 +47,20 @@ def write_replay_chunks(
     """
     from pyspark.sql.types import StructType
 
+    # Cast to the declared wire types, not just the declared names: the
+    # replay reader stamps EVENTS_SCHEMA on the chunk files, and a fixture
+    # whose ts came through the ns-fallback path (tables._normalize_events
+    # rebuilds it as TIMESTAMP) would otherwise write LTZ parquet that an
+    # NTZ reader rejects. The session is pinned UTC, so the cast relabels.
     ev = table(spark, sf_dir, "events").select(
-        *StructType.fromDDL(EVENTS_SCHEMA).fieldNames()
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in StructType.fromDDL(EVENTS_SCHEMA).fields
+        ]
     )
     n = ev.count()
+    if n == 0:
+        return 0
     per = (n + n_chunks - 1) // n_chunks
     n_nonempty = (n + per - 1) // per
     # All rows pass through ONE executor-side sort — bounded by the
