@@ -593,8 +593,10 @@ def dedup_ingest_batch(
     trail is what a curator reviews before trusting the gate — which
     boilerplate got collapsed, at what distance, onto which survivor.
 
-    Replay safety: the corpus sink overwrites ``out_dir/batch=<id>`` (a
-    replay republishes the same files); the index append is absorbed by
+    Replay safety: the corpus sink republishes ``out_dir/batch=<id>``
+    via a staged write + atomic swap (``_publish_atomic`` — a replay
+    replaces the dir without a window where a concurrent reader sees a
+    manifested batch's path vanish); the index append is absorbed by
     the min-(hamming, doc_id) verdict (duplicate band rows only duplicate
     join candidates) plus the self-identity filter (a doc's own appended
     rows never gate it). Pinned by tests/test_streaming.py's replay test.
@@ -695,12 +697,8 @@ def dedup_ingest_batch(
                         .alias("reason"),
                     )
                 )
-                rejects.write.mode("overwrite").parquet(
-                    f"{out_dir}/_rejects/batch={batch_id}"
-                )
-                uniq.write.mode("overwrite").parquet(
-                    f"{out_dir}/batch={batch_id}"
-                )
+                _publish_atomic(rejects, f"{out_dir}/_rejects/batch={batch_id}")
+                _publish_atomic(uniq, f"{out_dir}/batch={batch_id}")
                 write_band_rows(
                     rows.join(uniq_ids, "doc_id"), index_path, mode="append"
                 )
@@ -716,6 +714,33 @@ def dedup_ingest_batch(
             batch_df.unpersist()
 
     return _ingest
+
+
+def _publish_atomic(df: DataFrame, final_dir: str, partition_by=None) -> None:
+    """Stage-then-rename publish for a per-batch sink directory: write to a
+    dot-prefixed temp dir (invisible to Spark readers) and move it into
+    place — atomically swapping out the previous attempt's dir on a
+    replay. A plain ``mode("overwrite")`` deletes the live dir FIRST, so a
+    crash-retry of an already-manifested batch would leave a window where
+    a concurrent reader lists the manifest and then reads a vanishing
+    path; with the swap, readers resolve the old file set or the new one,
+    never an absence."""
+    import uuid
+
+    from twitter_event_stream_spark.fsio import _fs, atomic_swap_dir
+
+    spark = df.sparkSession
+    parent, name = final_dir.rstrip("/").rsplit("/", 1)
+    tmp = f"{parent}/.tmp-{name.replace('=', '-')}-{uuid.uuid4().hex}"
+    writer = df.write
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
+    fs, hpath = _fs(spark, parent)
+    if fs.exists(hpath(final_dir)):
+        atomic_swap_dir(spark, final_dir, tmp)
+    elif not fs.rename(hpath(tmp), hpath(final_dir)):
+        raise IOError(f"could not publish {final_dir}")
 
 
 def _write_fs_manifest(
@@ -848,10 +873,6 @@ def vector_ingest_batch(index_path: str) -> Callable[[DataFrame, int], None]:
     )
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        import uuid
-
-        from twitter_event_stream_spark.fsio import _fs
-
         spark = batch_df.sparkSession
         bc = _stored_centroid_bc(spark, index_path)
         assigned = _cell_assign(batch_df, bc, 1)
@@ -865,19 +886,7 @@ def vector_ingest_batch(index_path: str) -> Callable[[DataFrame, int], None]:
                 return  # replay of a no-op batch is a no-op
             out_dir = f"{index_path}/ingest"
             batch_dir = f"{out_dir}/batch={batch_id}"
-            # Publish via a dot-prefixed staging dir + rename: a replayed
-            # batch must never delete the live dir while its manifest still
-            # exists (mode("overwrite") in place would), or a concurrent
-            # probe that just listed the manifest reads a vanishing path.
-            tmp = f"{out_dir}/.tmp-batch-{batch_id}-{uuid.uuid4().hex}"
-            assigned.write.partitionBy("cell").parquet(tmp)
-            fs, hpath = _fs(spark, out_dir)
-            if fs.exists(hpath(batch_dir)):
-                from twitter_event_stream_spark.fsio import atomic_swap_dir
-
-                atomic_swap_dir(spark, batch_dir, tmp)
-            elif not fs.rename(hpath(tmp), hpath(batch_dir)):
-                raise IOError(f"vector_ingest: could not publish {batch_dir}")
+            _publish_atomic(assigned, batch_dir, partition_by="cell")
             _write_fs_manifest(spark, out_dir, batch_id, batch_dir)
         finally:
             assigned.unpersist()
