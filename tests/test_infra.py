@@ -1868,3 +1868,61 @@ def test_index_gate_rejects_unexact_radius(spark, tmp_path_factory):
     # the exact radii still work
     ok = dedup_against_index(spark, docs, path, max_hamming=3).collect()
     assert len(ok) == 1
+
+
+def test_rebuild_ivf_index(spark, sf_dir, tmp_path_factory):
+    """r9 — the drift rebuild made executable: retraining over every
+    VISIBLE vector (absorbed + committed streaming-ingest batches) must
+    consume the spill, swap in a coherent whole index, and reproduce
+    BIT-IDENTICALLY the index a fresh build over the same vector set
+    produces (the quantizer sample is a TakeOrdered pure function of the
+    data)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from twitter_event_stream_spark.fsio import manifested_batch_ids
+    from twitter_event_stream_spark.operators.vector_search import (
+        ivf_index_stats,
+        ivf_topk_indexed,
+        rebuild_ivf_index,
+        write_ivf_index,
+    )
+    from twitter_event_stream_spark.streaming.pipelines import (
+        vector_ingest_batch,
+    )
+    from twitter_event_stream_spark.tables import table
+
+    e = table(spark, sf_dir, "embeddings")
+    root = str(tmp_path_factory.mktemp("ivfrebuild"))
+    base = f"{root}/live"
+    write_ivf_index(spark, e.filter(F.col("vec_id") % 2 == 0), base)
+    vector_ingest_batch(base)(
+        e.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"), 0
+    )
+    assert manifested_batch_ids(spark, f"{base}/ingest") == [0]
+
+    rep = rebuild_ivf_index(spark, base)
+    n_all = e.filter(F.col("embedding").isNotNull()).count()
+    assert rep["n_vectors"] == n_all
+    assert rep["pending_batches_consumed"] == 1
+    # spill consumed: nothing pending, no ingest dir in the fresh index
+    assert manifested_batch_ids(spark, f"{base}/ingest") == []
+    assert not os.path.exists(f"{base}/ingest")
+    stats = ivf_index_stats(spark, base).collect()
+    assert sum(r.n_vectors for r in stats) == n_all
+
+    # bit-identity with a fresh build over the same visible set
+    fresh = f"{root}/fresh"
+    write_ivf_index(spark, e, fresh)
+    probes = e.filter(F.col("vec_id") < 30)
+    got = sorted(map(tuple, ivf_topk_indexed(spark, base, probes, k=5).collect()))
+    want = sorted(map(tuple, ivf_topk_indexed(spark, fresh, probes, k=5).collect()))
+    assert got == want and len(got) > 0
+    cent_got = sorted(
+        map(tuple, spark.read.parquet(f"{base}/centroids").collect())
+    )
+    cent_want = sorted(
+        map(tuple, spark.read.parquet(f"{fresh}/centroids").collect())
+    )
+    assert cent_got == cent_want

@@ -609,6 +609,57 @@ def append_ivf_index(spark: SparkSession, new_vectors: DataFrame, path: str) -> 
     ).parquet(f"{path}/cells")
 
 
+def rebuild_ivf_index(
+    spark: SparkSession,
+    path: str,
+    n_cells: int | None = None,
+    seed: int = 42,
+    distributed: bool | None = None,
+) -> dict:
+    """The drift rebuild that :func:`ivf_index_stats` skew points at, made
+    executable: retrain the quantizer over every VISIBLE vector (absorbed
+    cells plus committed streaming-ingest batches), build a complete fresh
+    index in a staging sibling, then atomically swap the WHOLE index
+    directory into place. Swapping centroids and cells together matters —
+    a probe must never pair old centroids with new cell assignments, so
+    the two-file-read probe (:func:`ivf_topk_indexed`) sees either the old
+    coherent index or the new one. The ingest spill is consumed by the
+    rebuild (its vectors land in the fresh cells) and does not exist in
+    the swapped-in directory.
+
+    Run quiesced like every index-maintenance op (X119): an ingest batch
+    publishing between the visible-set snapshot and the swap would be
+    deleted with the old directory, and a probe racing the swap itself
+    could read old centroids against new cells on a non-atomic-rename FS
+    (S3A caveat in :func:`~twitter_event_stream_spark.fsio.atomic_swap_dir`).
+    A crash BEFORE the swap leaves the live index untouched plus a stray
+    ``<path>.rebuild-*`` staging dir to clean; a crash after it leaves the
+    new index live. Deterministic: same visible vectors + seed reproduce
+    the same index as a fresh :func:`write_ivf_index` build (pinned by
+    test).
+
+    Returns ``{"n_vectors", "n_cells_before", "n_cells_after",
+    "pending_batches_consumed"}``."""
+    from twitter_event_stream_spark.fsio import (
+        atomic_swap_dir,
+        manifested_batch_ids,
+    )
+
+    vectors = read_ivf_cells(spark, path).select("vec_id", "embedding")
+    n = vectors.count()
+    n_before = spark.read.parquet(f"{path}/centroids").count()
+    n_pending = len(manifested_batch_ids(spark, f"{path}/ingest"))
+    tmp = f"{path}.rebuild-{uuid.uuid4().hex}"
+    write_ivf_index(spark, vectors, tmp, n_cells, seed, distributed)
+    atomic_swap_dir(spark, path, tmp)
+    return {
+        "n_vectors": n,
+        "n_cells_before": n_before,
+        "n_cells_after": spark.read.parquet(f"{path}/centroids").count(),
+        "pending_batches_consumed": n_pending,
+    }
+
+
 def ivf_index_stats(spark: SparkSession, path: str) -> DataFrame:
     """Occupancy report for a persisted IVF index — the signal that decides
     when :func:`append_ivf_index` growth demands a rebuild. One row per
