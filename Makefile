@@ -52,3 +52,5 @@ record:
 	tail -2 CORRECTNESS_FULL_SF0001_r$(ROUND).txt
 	$(PY) tools/scale_probe.py > SCALE_PROBE_r$(ROUND).txt 2>&1 || (tail -8 SCALE_PROBE_r$(ROUND).txt && false)
 	tail -4 SCALE_PROBE_r$(ROUND).txt
+	TES_BENCH_FULL_JSON=BENCH_FULL_r$(ROUND).json $(PY) bench.py > /tmp/tes_record_bench.txt 2>&1 || (tail -5 /tmp/tes_record_bench.txt && false)
+	tail -1 /tmp/tes_record_bench.txt

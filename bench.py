@@ -1,9 +1,28 @@
 #!/usr/bin/env python
 """BENCH harness — runs the 9 headline query shapes of BASELINE.md at
-$SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
+$SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Protocol (r6, de-noised per the r5 verdict: n=3 with warm=median-of-2 let
+Output protocol (r10, fixing the r9 evidentiary defect): the driver
+captures only the last 2,000 characters of stdout, and r9's enriched
+streaming dict grew the single JSON line past that — truncating the
+official record mid-line (BENCH_r09.json parsed=null). So stdout now ends
+with a COMPACT headline line — {"metric", "value", "unit", "queries",
+"warm_std", "sf", "calib_sec"}, guaranteed well under 2,000 chars — and
+the FULL record (cold/rows/extra/streaming/startup/calibration) goes to a
+preceding stdout line plus, when $TES_BENCH_FULL_JSON is set, a committed
+artifact file (`make record` writes BENCH_FULL_r{N}.json).
+
+Host calibration (r10, the r9 "watch" item — that round's host ran ~1.5×
+slower and every number shifted uniformly): `calib_sec` is the warm median
+of a FIXED Spark job (1M-row range → 100-group hash agg — scheduler +
+shuffle + codegen overhead, no data dependence) measured in the same
+process as the queries; `calib_python_sec` is a fixed pure-Python loop
+(single-core speed). Cross-round comparisons should read query times
+RELATIVE to calib_sec: a round where every query and calib_sec shift by
+the same factor is machine weather, not an engine regression — this also
+makes the streaming ev/s target host-relative (see BENCH_NOTES.md).
+
+Timing protocol (r6, de-noised per the r5 verdict: n=3 with warm=median-of-2 let
 ~1.2× ambient machine drift dominate two round-over-round comparisons):
 each query 5×, cold = run 1, warm = median of runs 2-5, warm_std = sample
 stddev of runs 2-5 — so the next comparison can separate code regressions
@@ -172,6 +191,38 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         shutil.rmtree(fanout_dir, ignore_errors=True)
 
 
+def calibrate(spark) -> dict:
+    """Host-speed calibration (r10 — see module docstring): a FIXED Spark
+    job and a FIXED pure-Python loop, both data-independent, timed with the
+    same warm-median protocol as the queries. The Spark job exercises the
+    overhead every query pays (scheduling, one shuffle, codegen, collect);
+    the Python loop isolates raw single-core speed. Reported next to the
+    query numbers so ambient host slowdown reads as a RATIO, not a mystery
+    regression."""
+    from pyspark.sql import functions as F
+
+    times = []
+    for _ in range(5):
+        t = time.perf_counter()
+        (
+            spark.range(1_000_000)
+            .groupBy((F.col("id") % 100).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+            .collect()
+        )
+        times.append(time.perf_counter() - t)
+    t = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i * i
+    py_sec = time.perf_counter() - t
+    return {
+        "calib_sec": round(statistics.median(times[1:]), 3),
+        "calib_cold_sec": round(times[0], 3),
+        "calib_python_sec": round(py_sec, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -179,6 +230,7 @@ def main() -> None:
     spark = get_spark(app_name="tes-bench")
     startup = time.perf_counter() - t0
     load_tables(spark, sf_dir)
+    calib = calibrate(spark)
 
     warm: dict[str, float] = {}
     warm_std: dict[str, float] = {}
@@ -254,24 +306,46 @@ def main() -> None:
     extra["embed_neardup_blocked"] = round(time.perf_counter() - t, 3)
 
     streaming = bench_streaming(spark, sf_dir)
+    # the streaming ev/s target (18k) is host-relative: divide by
+    # (calib_sec / 0.1-ish reference) before comparing rounds — the same
+    # calibration number the batch queries are read against
+    streaming["calib_sec"] = calib["calib_sec"]
 
-    print(
-        json.dumps(
-            {
-                "metric": "warm_total_sec",
-                "value": round(sum(warm.values()), 3),
-                "unit": "sec",
-                "queries": warm,
-                "warm_std": warm_std,
-                "sf": sf,
-                "cold": cold,
-                "rows": rows,
-                "extra": extra,
-                "streaming": streaming,
-                "startup_sec": round(startup, 2),
-            }
-        )
+    headline = {
+        "metric": "warm_total_sec",
+        "value": round(sum(warm.values()), 3),
+        "unit": "sec",
+        "queries": warm,
+        "warm_std": warm_std,
+        "sf": sf,
+        "calib_sec": calib["calib_sec"],
+    }
+    full = dict(
+        headline,
+        cold=cold,
+        rows=rows,
+        extra=extra,
+        streaming=streaming,
+        startup_sec=round(startup, 2),
+        **calib,
     )
+    full_line = json.dumps(full)
+    full_path = os.environ.get("TES_BENCH_FULL_JSON")
+    if full_path:
+        with open(full_path, "w", encoding="utf-8") as f:
+            f.write(full_line + "\n")
+    # FULL record first, compact headline LAST: the driver keeps only the
+    # final ~2,000 stdout chars, and the headline line must never be the
+    # one that gets truncated (r9 lesson). The headline is ~600 chars for
+    # 9 queries; assert the invariant so growth fails loudly here, not in
+    # the driver's record.
+    headline_line = json.dumps(headline)
+    assert len(headline_line) < 1500, (
+        f"headline bench line grew to {len(headline_line)} chars; keep it "
+        "under the driver's 2,000-char stdout tail capture"
+    )
+    print(full_line)
+    print(headline_line)
     spark.stop()
 
 
