@@ -1154,6 +1154,15 @@ def test_decode_events_dlq_taxonomy(spark):
         dlq_split,
     )
 
+    # the fifth line is valid AND carries a top-level "_corrupt" field — a
+    # producer-controlled name that must NOT collide with the decoder's
+    # capture column (r9 ADVICE: with columnNameOfCorruptRecord="_corrupt"
+    # this line was misrouted to the dead-letter lane as 'malformed')
+    sneaky = (
+        '{"event_id": 2, "ts": "2024-01-02T00:00:00", "user_id": 6,'
+        ' "event_type": "fav", "value": 2.5, "props": "{}",'
+        ' "_corrupt": "producer-owned field"}'
+    )
     raw = spark.createDataFrame(
         [
             (_GOOD_LINE,),
@@ -1161,30 +1170,30 @@ def test_decode_events_dlq_taxonomy(spark):
             ('{"user_id": 7, "event_type": "fav"}',),
             ('{"event_id": "abc", "ts": "2024-01-01T00:00:00", "user_id": 5}',),
             (None,),
+            (sneaky,),
         ],
         "value string",
     )
     decoded = decode_events_dlq(raw)
     got = {
-        (r.raw_value or "")[:12]: r.reject_reason for r in decoded.collect()
+        (r.raw_value or "")[:14]: r.reject_reason for r in decoded.collect()
     }
     assert got == {
-        _GOOD_LINE[:12]: None,
-        "not json at ": "malformed",
-        '{"user_id": ': "missing_required",
-        '{"event_id":': "malformed",  # type mismatch is a corrupt capture
+        _GOOD_LINE[:14]: None,
+        "not json at al": "malformed",
+        '{"user_id": 7,': "missing_required",
+        '{"event_id": "': "malformed",  # type mismatch is a corrupt capture
         "": "empty",
+        sneaky[:14]: None,
     }
 
     events, dead = dlq_split(decoded)
     assert events.columns == decode_events(raw).columns
-    (row,) = events.collect()
-    assert (row.event_id, row.user_id, row.event_type, row.value) == (
-        1,
-        5,
-        "tweet",
-        1.5,
-    )
+    rows = {r.event_id: r for r in events.collect()}
+    assert set(rows) == {1, 2}
+    row = rows[1]
+    assert (row.user_id, row.event_type, row.value) == (5, "tweet", 1.5)
+    assert (rows[2].user_id, rows[2].event_type) == (6, "fav")
     assert {(r.reject_reason) for r in dead.collect()} == {
         "malformed",
         "empty",
@@ -1305,6 +1314,90 @@ def test_bridge_backfill_batch_parity(spark, sf_dir, chunk_dir):
     )
     want = sorted((r.client_id, r.user_id, r.kind, r.payload) for r in streamed)
     assert got == want and len(got) > 0
+
+
+def test_bridge_backfill_dedup_survivor_deterministic(spark):
+    """r9 ADVICE: when redelivered duplicates DIFFER in payload (a mutating
+    producer), the batch branch must pick its survivor as a pure function
+    of the data — the minimal (ts, user_id, event_type, value, props) row —
+    not dropDuplicates' partition-order pick. Same frame, shuffled input
+    order, repeated runs: identical output."""
+    rows = [
+        # event 1 redelivered 3x with mutated props and ts
+        (1, "2024-01-01T02:00:00", 5, "tweet", 1.0, '{"v":3}'),
+        (1, "2024-01-01T01:00:00", 5, "tweet", 1.0, '{"v":2}'),
+        (1, "2024-01-01T01:00:00", 5, "tweet", 1.0, '{"v":1}'),
+        # event 2 delivered once
+        (2, "2024-01-01T03:00:00", 7, "fav", 2.0, "{}"),
+    ]
+    subs = spark.createDataFrame(
+        [(5, "c0"), (7, "c1")], "user_id long, client_id string"
+    )
+
+    def run(order):
+        df = spark.createDataFrame(
+            [rows[i] for i in order],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        return sorted(
+            (r.client_id, r.user_id, r.kind, r.payload)
+            for r in bridge_pipeline(df.repartition(4), subs).collect()
+        )
+
+    first = run([0, 1, 2, 3])
+    assert len(first) == 2
+    # survivor for event 1 is the minimal (ts, ..., props) row: v=1
+    assert any('\\"v\\":1' in p or '"v":1' in p for _, _, _, p in first)
+    for order in ([3, 2, 1, 0], [1, 3, 0, 2], [2, 0, 3, 1]):
+        assert run(order) == first
+
+
+def test_absorb_ingested_crash_replay_idempotent(spark, sf_dir, tmp_path_factory):
+    """r9 ADVICE (medium): a crash AFTER absorb's cells append but BEFORE
+    the manifest deletes must not duplicate vectors on re-run — the re-run
+    detects the already-appended vec_ids (anti-join against the touched
+    cells) and appends nothing, then retires the manifests."""
+    from twitter_event_stream_spark.operators.vector_search import (
+        _read_pending,
+        absorb_ingested,
+        ivf_topk_indexed,
+        read_ivf_cells,
+        write_ivf_index,
+    )
+    from twitter_event_stream_spark.streaming.pipelines import (
+        vector_ingest_batch,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    half = e.filter(F.col("vec_id") % 2 == 0)
+    rest = e.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    base = str(tmp_path_factory.mktemp("absorbcrash")) + "/idx"
+    write_ivf_index(spark, half, base)
+    vector_ingest_batch(base)(rest, 0)
+    n_all = e.filter(F.col("embedding").isNotNull()).count()
+    probes = e.filter(F.col("vec_id") < 20)
+    res_before = sorted(
+        map(tuple, ivf_topk_indexed(spark, base, probes, k=5).collect())
+    )
+
+    # simulate the crashed absorb: the append committed, manifests intact
+    _read_pending(spark, base, [0]).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{base}/cells")
+    # the crash window itself: vectors transiently visible twice
+    assert read_ivf_cells(spark, base).count() > n_all
+
+    # recovery re-run: appends nothing, retires the batch, no duplicates
+    rep = absorb_ingested(spark, base)
+    assert rep == {"batches_absorbed": 1, "vectors_absorbed": 0}
+    cells = spark.read.parquet(f"{base}/cells")
+    assert cells.count() == n_all
+    assert cells.select("vec_id").distinct().count() == n_all
+    res_after = sorted(
+        map(tuple, ivf_topk_indexed(spark, base, probes, k=5).collect())
+    )
+    assert res_after == res_before
 
 
 def test_vector_ingest_stream_end_to_end(spark, sf_dir, tmp_path_factory):

@@ -563,21 +563,43 @@ def absorb_ingested(spark: SparkSession, path: str) -> dict:
     (cell partitions, existing files untouched), then retire each batch by
     deleting its manifest FIRST (making it invisible to
     :func:`read_ivf_cells` before the data dir goes away — readers never
-    see a half-deleted batch) and its data dir second. Crash between the
-    append and a manifest delete leaves those vectors visible twice until
-    absorb is re-run; duplicates are transient, bounded to the crashed
-    maintenance window, and absorb itself is re-runnable. Follow with
-    :func:`compact_ivf_cells` when the append pushed file counts up.
+    see a half-deleted batch) and its data dir second.
 
-    Returns ``{"batches_absorbed", "vectors_absorbed"}``."""
+    Idempotent across its crash window (r9 ADVICE): the append anti-joins
+    the pending vec_ids against the cells the pending batches touch (the
+    partition filter prunes the scan to exactly those cell directories, so
+    the check never reads the whole tree; per-cell occupancy is bounded by
+    TARGET_CELL_ROWS-scale auto-sizing, so the anti-join's build side is
+    micro-batch-sized). A crash AFTER the append but BEFORE the manifest
+    deletes therefore re-runs to a no-op append — without the anti-join a
+    re-run would append the same vectors a second time, permanently
+    duplicating them in the main tree (neither rebuild nor compaction
+    dedups), and duplicate candidates would displace legitimate neighbors
+    in top-k results. Between the crash and the re-run the affected
+    vectors ARE visible twice through :func:`read_ivf_cells` (cells ∪
+    still-manifested pending) — transient, bounded to the crashed window.
+    Follow with :func:`compact_ivf_cells` when the append pushed file
+    counts up.
+
+    Returns ``{"batches_absorbed", "vectors_absorbed"}`` —
+    ``vectors_absorbed`` counts vectors actually appended, so a pure
+    crash-recovery re-run reports 0."""
     from twitter_event_stream_spark.fsio import _fs, manifested_batch_ids
 
     ids = manifested_batch_ids(spark, f"{path}/ingest")
     if not ids:
         return {"batches_absorbed": 0, "vectors_absorbed": 0}
     pending = _read_pending(spark, path, ids)
-    n = pending.count()
-    pending.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+    touched = [r.cell for r in pending.select("cell").distinct().collect()]
+    already = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("cell").isin(touched))
+        .select("vec_id")
+    )
+    new = pending.join(already, "vec_id", "left_anti")
+    n = new.count()
+    if n:
+        new.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
     fs, hpath = _fs(spark, path)
     for i in ids:
         fs.delete(hpath(f"{path}/ingest/_manifests/batch-{i:09d}.json"), False)

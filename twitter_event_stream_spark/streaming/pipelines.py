@@ -58,8 +58,13 @@ def decode_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
 
 #: The wire schema widened with the PERMISSIVE-mode capture column —
 #: ``from_json`` only materializes ``columnNameOfCorruptRecord`` when the
-#: target schema declares it.
-DLQ_WIRE_SCHEMA = WIRE_SCHEMA + ", _corrupt string"
+#: target schema declares it. The capture column is part of the parse
+#: SCHEMA, so a valid event whose JSON happens to carry a same-named
+#: top-level field would have that value parsed INTO the column and be
+#: misrouted as 'malformed' (producer-controlled false positive) — hence a
+#: collision-improbable name instead of the obvious ``_corrupt``.
+_CORRUPT_COL = "__tes_corrupt_record__"
+DLQ_WIRE_SCHEMA = WIRE_SCHEMA + f", {_CORRUPT_COL} string"
 
 
 def decode_events_dlq(raw: DataFrame, value_col: str = "value") -> DataFrame:
@@ -89,7 +94,7 @@ def decode_events_dlq(raw: DataFrame, value_col: str = "value") -> DataFrame:
         F.from_json(
             F.col(value_col).cast("string"),
             DLQ_WIRE_SCHEMA,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT_COL},
         ).alias("e"),
     )
     return (
@@ -97,13 +102,13 @@ def decode_events_dlq(raw: DataFrame, value_col: str = "value") -> DataFrame:
         .withColumn(
             "reject_reason",
             F.when(F.col("raw_value").isNull(), F.lit("empty"))
-            .when(F.col("_corrupt").isNotNull(), F.lit("malformed"))
+            .when(F.col(_CORRUPT_COL).isNotNull(), F.lit("malformed"))
             .when(
                 F.col("event_id").isNull() | F.col("ts").isNull(),
                 F.lit("missing_required"),
             ),
         )
-        .drop("_corrupt")
+        .drop(_CORRUPT_COL)
     )
 
 
@@ -138,20 +143,39 @@ def bridge_pipeline(
 
     Accepts a BATCH events frame too (backfill/bootstrap-from-history —
     e.g. seeding a new subscriber from the events table): the only
-    stream-specific stage is the redelivery dedup, which degrades to the
-    exact whole-history ``dropDuplicates`` when there is no watermark to
-    bound state by. Everything downstream is shared code, so backfill
-    output parity with the live stream holds by construction, not by
-    keeping two pipelines in sync (pinned in tests).
+    stream-specific stage is the redelivery dedup, which degrades to a
+    whole-history dedup when there is no watermark to bound state by.
+    Everything downstream is shared code, so backfill output parity with
+    the live stream holds by construction, not by keeping two pipelines in
+    sync (pinned in tests). Survivor choice: the stream keeps the FIRST
+    ARRIVAL per event_id; the batch branch has no arrival order, so it
+    keeps the minimal (ts, user_id, event_type, value, props) row — a
+    deterministic pure function of the data rather than
+    ``dropDuplicates``'s arbitrary-partition-order pick. When redelivered
+    duplicates are byte-identical (the redelivery contract) the two rules
+    coincide exactly; when a producer mutates payloads between deliveries,
+    batch output is at least REPRODUCIBLE while the stream's depends on
+    arrival order.
     """
-    deduped = (
+    if events.isStreaming:
         # R6 — redelivery dedup, state bounded by the watermark.
-        as_event_time(events)
-        .withWatermark("ts", watermark)
-        .dropDuplicatesWithinWatermark(["event_id"])
-        if events.isStreaming
-        else as_event_time(events).dropDuplicates(["event_id"])
-    )
+        deduped = (
+            as_event_time(events)
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+    else:
+        from pyspark.sql import Window
+
+        ev = as_event_time(events)
+        w = Window.partitionBy("event_id").orderBy(
+            "ts", "user_id", "event_type", "value", "props"
+        )
+        deduped = (
+            ev.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     routed = (
         deduped
         # R3 — event-type dispatch: keep the service event kinds, tag class.

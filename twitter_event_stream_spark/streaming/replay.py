@@ -77,23 +77,27 @@ def write_replay_chunks(
     # must never see the staging files. partitionBy gives the per-chunk
     # writes below a partition-pruned scan.
     staging = out_dir.rstrip("/") + ".staging"
-    staged.write.mode("overwrite").partitionBy("chunk").parquet(staging)
-    base = spark.read.parquet(staging)
-    os.makedirs(out_dir, exist_ok=True)
-    # Chunks are written SEQUENTIALLY: the file streaming source replays in
-    # modification-time order, so arrival order is the loop order.
-    for i in range(n_nonempty):
-        part = base.filter(F.col("chunk") == i)
-        if late_rows and i > 1:
-            part = part.unionByName(
-                base.filter(
-                    (F.col("chunk") == i - 2) & (F.col("event_id") % 100 == 7)
+    # Cleanup in a finally so a failed chunk write doesn't leak the staging
+    # dir (rmtree is local-FS-only, fine for a test fixture living in tmp).
+    try:
+        staged.write.mode("overwrite").partitionBy("chunk").parquet(staging)
+        base = spark.read.parquet(staging)
+        os.makedirs(out_dir, exist_ok=True)
+        # Chunks are written SEQUENTIALLY: the file streaming source replays
+        # in modification-time order, so arrival order is the loop order.
+        for i in range(n_nonempty):
+            part = base.filter(F.col("chunk") == i)
+            if late_rows and i > 1:
+                part = part.unionByName(
+                    base.filter(
+                        (F.col("chunk") == i - 2) & (F.col("event_id") % 100 == 7)
+                    )
                 )
+            part.drop("chunk").coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"chunk={i:03d}")
             )
-        part.drop("chunk").coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"chunk={i:03d}")
-        )
-    shutil.rmtree(staging, ignore_errors=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     return n_nonempty
 
 
