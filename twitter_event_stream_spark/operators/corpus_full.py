@@ -451,25 +451,34 @@ def compact_band_rows(
     one writer task, so the rewrite is a single shuffle of the index —
     then swaps the live directory atomically (:func:`fsio.atomic_swap_dir`):
     probes resolve either the old file set or the new one, never a mix.
-    Run from the maintenance path while ingest is QUIESCED — an append
-    racing the swap would land its files in the doomed directory.
+    Runs under the index's maintenance lease (r10 — mechanical quiescing):
+    an ingest handler racing the swap fails fast at its next batch
+    (``fsio.assert_no_maintenance``) instead of landing its append in the
+    doomed directory, and a second concurrent maintenance op is refused.
 
     Returns ``{"files_before", "files_after"}`` for the caller's log;
     trigger compaction on :func:`fsio.data_file_count` (say, > 64 files
     per band), not on row count — rows never change."""
-    before = data_file_count(spark, path)
-    idx = spark.read.parquet(path)
-    if files_per_band <= 1:
-        df = idx.repartition("band")
-    else:
-        df = (
-            idx.withColumn(
-                "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(files_per_band))
+    from twitter_event_stream_spark.fsio import maintenance_lease
+
+    with maintenance_lease(spark, path, "compact_band_rows"):
+        before = data_file_count(spark, path)
+        idx = spark.read.parquet(path)
+        if files_per_band <= 1:
+            df = idx.repartition("band")
+        else:
+            df = (
+                idx.withColumn(
+                    "_salt",
+                    F.pmod(F.xxhash64("doc_id"), F.lit(files_per_band)),
+                )
+                .repartition("band", "_salt")
+                .drop("_salt")
             )
-            .repartition("band", "_salt")
-            .drop("_salt")
-        )
-    tmp = f"{path}.compact-{uuid.uuid4().hex}"
-    df.write.partitionBy("band").parquet(tmp)
-    atomic_swap_dir(spark, path, tmp)
-    return {"files_before": before, "files_after": data_file_count(spark, path)}
+        tmp = f"{path}.compact-{uuid.uuid4().hex}"
+        df.write.partitionBy("band").parquet(tmp)
+        atomic_swap_dir(spark, path, tmp)
+        return {
+            "files_before": before,
+            "files_after": data_file_count(spark, path),
+        }

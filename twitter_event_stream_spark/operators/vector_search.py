@@ -581,30 +581,44 @@ def absorb_ingested(spark: SparkSession, path: str) -> dict:
     Follow with :func:`compact_ivf_cells` when the append pushed file
     counts up.
 
+    Runs under the index's maintenance lease (r10 — mechanical quiescing):
+    concurrent maintenance ops are refused, and live ingest handlers fail
+    fast while the lease is held instead of publishing a batch this fold
+    could race.
+
     Returns ``{"batches_absorbed", "vectors_absorbed"}`` —
     ``vectors_absorbed`` counts vectors actually appended, so a pure
     crash-recovery re-run reports 0."""
-    from twitter_event_stream_spark.fsio import _fs, manifested_batch_ids
-
-    ids = manifested_batch_ids(spark, f"{path}/ingest")
-    if not ids:
-        return {"batches_absorbed": 0, "vectors_absorbed": 0}
-    pending = _read_pending(spark, path, ids)
-    touched = [r.cell for r in pending.select("cell").distinct().collect()]
-    already = (
-        spark.read.parquet(f"{path}/cells")
-        .filter(F.col("cell").isin(touched))
-        .select("vec_id")
+    from twitter_event_stream_spark.fsio import (
+        _fs,
+        maintenance_lease,
+        manifested_batch_ids,
     )
-    new = pending.join(already, "vec_id", "left_anti")
-    n = new.count()
-    if n:
-        new.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
-    fs, hpath = _fs(spark, path)
-    for i in ids:
-        fs.delete(hpath(f"{path}/ingest/_manifests/batch-{i:09d}.json"), False)
-        fs.delete(hpath(f"{path}/ingest/batch={i}"), True)
-    return {"batches_absorbed": len(ids), "vectors_absorbed": n}
+
+    with maintenance_lease(spark, path, "absorb_ingested"):
+        ids = manifested_batch_ids(spark, f"{path}/ingest")
+        if not ids:
+            return {"batches_absorbed": 0, "vectors_absorbed": 0}
+        pending = _read_pending(spark, path, ids)
+        touched = [r.cell for r in pending.select("cell").distinct().collect()]
+        already = (
+            spark.read.parquet(f"{path}/cells")
+            .filter(F.col("cell").isin(touched))
+            .select("vec_id")
+        )
+        new = pending.join(already, "vec_id", "left_anti")
+        n = new.count()
+        if n:
+            new.write.mode("append").partitionBy("cell").parquet(
+                f"{path}/cells"
+            )
+        fs, hpath = _fs(spark, path)
+        for i in ids:
+            fs.delete(
+                hpath(f"{path}/ingest/_manifests/batch-{i:09d}.json"), False
+            )
+            fs.delete(hpath(f"{path}/ingest/batch={i}"), True)
+        return {"batches_absorbed": len(ids), "vectors_absorbed": n}
 
 
 def append_ivf_index(spark: SparkSession, new_vectors: DataFrame, path: str) -> None:
@@ -649,11 +663,14 @@ def rebuild_ivf_index(
     rebuild (its vectors land in the fresh cells) and does not exist in
     the swapped-in directory.
 
-    Run quiesced like every index-maintenance op (X119): an ingest batch
+    Runs under the index's maintenance lease (r10): an ingest batch
     publishing between the visible-set snapshot and the swap would be
-    deleted with the old directory, and a probe racing the swap itself
-    could read old centroids against new cells on a non-atomic-rename FS
-    (S3A caveat in :func:`~twitter_event_stream_spark.fsio.atomic_swap_dir`).
+    deleted with the old directory — ingest handlers now FAIL FAST while
+    the lease is held instead (fsio.assert_no_maintenance), and a second
+    concurrent maintenance op is refused. A probe racing the swap itself
+    could still read old centroids against new cells on a
+    non-atomic-rename FS (S3A caveat in
+    :func:`~twitter_event_stream_spark.fsio.atomic_swap_dir`).
     A crash BEFORE the swap leaves the live index untouched plus a stray
     ``<path>.rebuild-*`` staging dir to clean; a crash after it leaves the
     new index live. Deterministic: same visible vectors + seed reproduce
@@ -664,22 +681,24 @@ def rebuild_ivf_index(
     "pending_batches_consumed"}``."""
     from twitter_event_stream_spark.fsio import (
         atomic_swap_dir,
+        maintenance_lease,
         manifested_batch_ids,
     )
 
-    vectors = read_ivf_cells(spark, path).select("vec_id", "embedding")
-    n = vectors.count()
-    n_before = spark.read.parquet(f"{path}/centroids").count()
-    n_pending = len(manifested_batch_ids(spark, f"{path}/ingest"))
-    tmp = f"{path}.rebuild-{uuid.uuid4().hex}"
-    write_ivf_index(spark, vectors, tmp, n_cells, seed, distributed)
-    atomic_swap_dir(spark, path, tmp)
-    return {
-        "n_vectors": n,
-        "n_cells_before": n_before,
-        "n_cells_after": spark.read.parquet(f"{path}/centroids").count(),
-        "pending_batches_consumed": n_pending,
-    }
+    with maintenance_lease(spark, path, "rebuild_ivf_index"):
+        vectors = read_ivf_cells(spark, path).select("vec_id", "embedding")
+        n = vectors.count()
+        n_before = spark.read.parquet(f"{path}/centroids").count()
+        n_pending = len(manifested_batch_ids(spark, f"{path}/ingest"))
+        tmp = f"{path}.rebuild-{uuid.uuid4().hex}"
+        write_ivf_index(spark, vectors, tmp, n_cells, seed, distributed)
+        atomic_swap_dir(spark, path, tmp)
+        return {
+            "n_vectors": n,
+            "n_cells_before": n_before,
+            "n_cells_after": spark.read.parquet(f"{path}/centroids").count(),
+            "pending_batches_consumed": n_pending,
+        }
 
 
 def ivf_index_stats(spark: SparkSession, path: str) -> DataFrame:
@@ -729,30 +748,36 @@ def compact_ivf_cells(
     unchanged occupancy stats pinned by test) clustered by cell — one
     shuffle, each cell in one writer task — then swaps ``<path>/cells``
     atomically; the centroids file is untouched, so the quantizer and
-    every cell assignment are exactly preserved. Run while appends are
-    quiesced — an append racing the swap lands in the doomed directory.
+    every cell assignment are exactly preserved. Runs under the index's
+    maintenance lease (r10): a streaming append racing the swap now fails
+    fast at its next batch instead of landing files in the doomed
+    directory, and a concurrent maintenance op is refused.
 
     Returns ``{"files_before", "files_after"}``; trigger on
     :func:`fsio.data_file_count` growth, and note compaction is NOT the
     drift rebuild — occupancy skew still calls for
     :func:`write_ivf_index` (full retrain) per :func:`ivf_index_stats`."""
-    cells_dir = f"{path}/cells"
-    before = data_file_count(spark, cells_dir)
-    cells = spark.read.parquet(cells_dir)
-    if files_per_cell <= 1:
-        df = cells.repartition("cell")
-    else:
-        df = (
-            cells.withColumn(
-                "_salt", F.pmod(F.xxhash64("vec_id"), F.lit(files_per_cell))
+    from twitter_event_stream_spark.fsio import maintenance_lease
+
+    with maintenance_lease(spark, path, "compact_ivf_cells"):
+        cells_dir = f"{path}/cells"
+        before = data_file_count(spark, cells_dir)
+        cells = spark.read.parquet(cells_dir)
+        if files_per_cell <= 1:
+            df = cells.repartition("cell")
+        else:
+            df = (
+                cells.withColumn(
+                    "_salt",
+                    F.pmod(F.xxhash64("vec_id"), F.lit(files_per_cell)),
+                )
+                .repartition("cell", "_salt")
+                .drop("_salt")
             )
-            .repartition("cell", "_salt")
-            .drop("_salt")
-        )
-    tmp = f"{cells_dir}.compact-{uuid.uuid4().hex}"
-    df.write.partitionBy("cell").parquet(tmp)
-    atomic_swap_dir(spark, cells_dir, tmp)
-    return {
-        "files_before": before,
-        "files_after": data_file_count(spark, cells_dir),
-    }
+        tmp = f"{cells_dir}.compact-{uuid.uuid4().hex}"
+        df.write.partitionBy("cell").parquet(tmp)
+        atomic_swap_dir(spark, cells_dir, tmp)
+        return {
+            "files_before": before,
+            "files_after": data_file_count(spark, cells_dir),
+        }

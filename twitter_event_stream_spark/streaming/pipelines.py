@@ -643,7 +643,14 @@ def dedup_ingest_batch(
         )
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from twitter_event_stream_spark.fsio import assert_no_maintenance
+
         spark = batch_df.sparkSession
+        # fail FAST while index maintenance (compaction) holds the lease —
+        # an append racing the atomic swap would land in the doomed dir and
+        # silently lose this batch's band rows; foreachBatch retries the
+        # refused batch after the maintenance window (r10)
+        assert_no_maintenance(spark, index_path)
         batch_df.persist()
         rows = _simhash_band_rows(simhash64(batch_df))
         rows.persist()
@@ -897,7 +904,14 @@ def vector_ingest_batch(index_path: str) -> Callable[[DataFrame, int], None]:
     )
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from twitter_event_stream_spark.fsio import assert_no_maintenance
+
         spark = batch_df.sparkSession
+        # fail FAST while maintenance (absorb/rebuild/compact) holds the
+        # index lease: a rebuild's whole-dir swap would delete a batch
+        # published after its visible-set snapshot (r10); the refused
+        # batch is retried by foreachBatch after the lease is released
+        assert_no_maintenance(spark, index_path)
         bc = _stored_centroid_bc(spark, index_path)
         assigned = _cell_assign(batch_df, bc, 1)
         assigned.persist()
