@@ -196,18 +196,140 @@ def assert_no_maintenance(spark, index_path: str) -> None:
     )
 
 
+def _read_json_file(fs, path) -> dict:
+    stream = fs.open(path)
+    try:
+        return json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+    finally:
+        stream.close()
+
+
+def _list_manifest_files(fs, hpath, out_dir: str):
+    """(per_batch, consolidated) manifest files under ``out_dir/_manifests``:
+    ``per_batch`` maps batch id → Path of its ``batch-<id>.json``;
+    ``consolidated`` is [(through, Path)] sorted by through."""
+    mdir = hpath(f"{out_dir}/_manifests")
+    per_batch: dict[int, object] = {}
+    consolidated: list[tuple[int, object]] = []
+    if fs.exists(mdir):
+        for st in fs.listStatus(mdir):
+            name = st.getPath().getName()
+            if name.startswith("batch-") and name.endswith(".json"):
+                per_batch[int(name[len("batch-"):-len(".json")])] = st.getPath()
+            elif name.startswith("consolidated-") and name.endswith(".json"):
+                consolidated.append(
+                    (int(name[len("consolidated-"):-len(".json")]), st.getPath())
+                )
+    return per_batch, sorted(consolidated)
+
+
 def manifested_batch_ids(spark, out_dir: str) -> list[int]:
     """Sorted ids of batches with a COMMITTED manifest under
     ``out_dir/_manifests`` (the X117 commit protocol: the manifest is the
     batch's last write, so its presence certifies the data landed). Shared
     by every manifested reader — corpus sink, reject trail, vector-ingest
-    spill — so the commit rule cannot drift between them."""
+    spill — so the commit rule cannot drift between them. Reads both
+    per-batch manifest files and the consolidated manifest a retention
+    pass (:func:`consolidate_manifests`) folds old ones into; the union is
+    deduped, so the crash window between writing a new consolidated file
+    and deleting the folded per-batch files is invisible."""
     fs, hpath = _fs(spark, out_dir)
-    mdir = hpath(f"{out_dir}/_manifests")
-    ids: list[int] = []
-    if fs.exists(mdir):
-        for st in fs.listStatus(mdir):
-            name = st.getPath().getName()
-            if name.startswith("batch-") and name.endswith(".json"):
-                ids.append(int(name[len("batch-"):-len(".json")]))
+    per_batch, consolidated = _list_manifest_files(fs, hpath, out_dir)
+    ids = set(per_batch)
+    if consolidated:
+        # only the NEWEST consolidated file is authoritative — each
+        # consolidation folds every older one, so older files (pending
+        # delete after a crash) hold a subset of the newest
+        ids.update(
+            m["batch_id"]
+            for m in _read_json_file(fs, consolidated[-1][1])["manifests"]
+        )
     return sorted(ids)
+
+
+def read_manifest_entries(spark, out_dir: str) -> list[dict]:
+    """Every committed batch's manifest CONTENT in batch order — per-batch
+    files plus the newest consolidated file, deduped by batch id (a batch
+    present in both is identical content; per-batch wins arbitrarily).
+    Shared by readers that need the payload (the fan-out file list), not
+    just the ids."""
+    fs, hpath = _fs(spark, out_dir)
+    per_batch, consolidated = _list_manifest_files(fs, hpath, out_dir)
+    entries: dict[int, dict] = {}
+    if consolidated:
+        for m in _read_json_file(fs, consolidated[-1][1])["manifests"]:
+            entries[m["batch_id"]] = m
+    for bid, p in per_batch.items():
+        entries[bid] = _read_json_file(fs, p)
+    return [entries[bid] for bid in sorted(entries)]
+
+
+def consolidate_manifests(spark, out_dir: str, keep_last: int = 8) -> dict:
+    """Retention pass for the ``_manifests`` bookkeeping dir (r9 verdict
+    "What's missing" #5): at one manifest per micro-batch, a month of
+    1-minute triggers is ~43k small files — fold every per-batch manifest
+    older than the newest ``keep_last`` batches (plus any older
+    consolidated file) into ONE ``consolidated-<through>.json``, then
+    delete the folded files. Readers see ids/content identically before
+    and after (pinned by test).
+
+    Commit protocol mirrors X117: the new consolidated file is written
+    tmp+rename FIRST, the folded files deleted after — a crash in between
+    leaves both visible and the readers' dedup-by-batch-id absorbs it; a
+    re-run finishes the deletes. Safe concurrent with a live ingest query
+    (``keep_last >= 1`` enforced): it never touches the newest manifests,
+    and ingest only ever creates new ones. Do NOT run on a vector-ingest
+    spill area (``<ivf index>/ingest``) — ``absorb_ingested`` retires
+    those manifests individually and would not see batches folded here;
+    that dir never accretes anyway, absorb deletes as it folds.
+
+    Returns ``{"folded", "through", "files_before", "files_after"}``."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the newest manifest may "
+                         "still be the live query's latest commit)")
+    fs, hpath = _fs(spark, out_dir)
+    per_batch, consolidated = _list_manifest_files(fs, hpath, out_dir)
+    files_before = len(per_batch) + len(consolidated)
+    fold_ids = sorted(per_batch)[:-keep_last] if per_batch else []
+    if not fold_ids and len(consolidated) <= 1:
+        return {
+            "folded": 0,
+            "through": consolidated[-1][0] if consolidated else None,
+            "files_before": files_before,
+            "files_after": files_before,
+        }
+    entries: dict[int, dict] = {}
+    if consolidated:
+        for m in _read_json_file(fs, consolidated[-1][1])["manifests"]:
+            entries[m["batch_id"]] = m
+    for bid in fold_ids:
+        entries[bid] = _read_json_file(fs, per_batch[bid])
+    through = max(entries)
+    mdir = f"{out_dir}/_manifests"
+    final = hpath(f"{mdir}/consolidated-{through:09d}.json")
+    tmp = hpath(f"{mdir}/.consolidated-{through:09d}.tmp-{uuid.uuid4().hex}")
+    out = fs.create(tmp, True)
+    out.write(
+        json.dumps(
+            {
+                "through": through,
+                "manifests": [entries[bid] for bid in sorted(entries)],
+            },
+            sort_keys=True,
+        ).encode("utf-8")
+    )
+    out.close()
+    fs.delete(final, False)  # idempotent re-run folds to the same through
+    fs.rename(tmp, final)
+    for bid in fold_ids:
+        fs.delete(per_batch[bid], False)
+    for thr, p in consolidated:
+        if thr != through:
+            fs.delete(p, False)
+    _, after_cons = _list_manifest_files(fs, hpath, out_dir)
+    return {
+        "folded": len(fold_ids),
+        "through": through,
+        "files_before": files_before,
+        "files_after": len(per_batch) - len(fold_ids) + len(after_cons),
+    }

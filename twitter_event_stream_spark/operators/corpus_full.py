@@ -368,6 +368,7 @@ def dedup_against_index(
     max_hamming: int = 3,
     text_col: str = "text",
     band_rows: DataFrame | None = None,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Flag which docs of an incoming batch near-duplicate the INDEXED
     corpus (X115): returns one row per batch doc — (doc_id, dup_of,
@@ -395,7 +396,10 @@ def dedup_against_index(
     — the X116 ingest gate runs the batch through the banded self-join
     first (pipelines.dedup_ingest_batch); pass ``band_rows`` (the
     pre-exploded (doc_id, sig, band, val) rows of ``new_docs``) to reuse
-    signatures already computed for that pass instead of recomputing."""
+    signatures already computed for that pass instead of recomputing.
+    ``broadcast=False`` drops the broadcast hint for batches too large to
+    ship to every executor (drop-scale inputs) — the join falls back to a
+    shuffle strategy chosen by AQE, same verdicts."""
     if max_hamming >= 4:
         # the persisted index is 4x16-bit-banded; pigeonhole-exact recall
         # holds only for radii < n_bands — a larger radius would SILENTLY
@@ -414,7 +418,7 @@ def dedup_against_index(
         "band", "val",
     )
     cand = (
-        idx.join(F.broadcast(nb), ["band", "val"])
+        idx.join(F.broadcast(nb) if broadcast else nb, ["band", "val"])
         .filter(F.col("doc_id") != F.col("n_id"))
         .select(
             "n_id", "n_sig", F.col("doc_id").alias("dup_of"),
