@@ -1022,3 +1022,159 @@ def test_dlq_decode_total_partition(spark, lines):
                if r.reject_reason != "empty")
     n_null = sum(1 for x in lines if x is None)
     assert sum(1 for r in dead_rows if r.reject_reason == "empty") == n_null
+
+
+# --- X116/X117 manifest commit protocol under random crash interleavings ---
+
+
+class _SimCrash(Exception):
+    """Injected fault: the process dies between two writes of the ingest
+    protocol (rejects publish -> corpus publish -> index append ->
+    manifest)."""
+
+
+def _attempt_ingest(idx_path, out_dir, bdf, bid, crash_after):
+    """One at-least-once delivery attempt of batch ``bid``: the handler
+    runs with the protocol's four write ops instrumented so the attempt
+    dies after ``crash_after`` of them complete (4 = clean completion).
+    Returns True when the attempt committed (reached the manifest)."""
+    from unittest import mock
+
+    import twitter_event_stream_spark.operators.corpus_full as CF
+    import twitter_event_stream_spark.streaming.pipelines as P
+
+    state = {"n": 0}
+
+    def gated(real):
+        def inner(*a, **k):
+            if state["n"] >= crash_after:
+                raise _SimCrash()
+            res = real(*a, **k)
+            state["n"] += 1
+            return res
+
+        return inner
+
+    with mock.patch.object(
+        P, "_publish_atomic", gated(P._publish_atomic)
+    ), mock.patch.object(
+        P, "_write_fs_manifest", gated(P._write_fs_manifest)
+    ), mock.patch.object(
+        CF, "write_band_rows", gated(CF.write_band_rows)
+    ):
+        # handler built INSIDE the patch: the factory binds write_band_rows
+        # by `from ... import`, so it must read the instrumented attribute
+        handler = P.dedup_ingest_batch(idx_path, out_dir)
+        try:
+            handler(bdf, bid)
+            return True
+        except _SimCrash:
+            return False
+
+
+def _committed_view(spark, out_dir):
+    """What a reader sees: (committed ids, published doc_ids, reject rows).
+    Must always be a readable, consistent prefix — never partial state."""
+    from twitter_event_stream_spark.fsio import manifested_batch_ids
+    from twitter_event_stream_spark.streaming.pipelines import (
+        read_ingest_rejects,
+        read_ingested,
+    )
+
+    ids = manifested_batch_ids(spark, out_dir)
+    if not ids:
+        return ((), (), ())
+    pub = tuple(sorted(r.doc_id for r in read_ingested(spark, out_dir).collect()))
+    rej = tuple(sorted(map(tuple, read_ingest_rejects(spark, out_dir).collect())))
+    return (tuple(ids), pub, rej)
+
+
+@st.composite
+def _crash_scenarios(draw):
+    docs = draw(_near_dup_corpora())
+    # 2 batches, each preceded by 0-1 crashing attempts dying after 0..3
+    # completed writes (each handler run is several Spark jobs, so the
+    # scenario space is kept small; the crash POSITION is the dimension
+    # that matters, and all four positions × both batches are reachable)
+    schedule = [
+        draw(st.lists(st.integers(min_value=0, max_value=3), max_size=1))
+        for _ in range(2)
+    ]
+    return docs, schedule
+
+
+@settings(**{**_SETTINGS, "max_examples": 4})
+@given(_crash_scenarios())
+def test_ingest_commit_protocol_random_crash_interleavings(spark, scenario):
+    """r10 (r9 verdict #6) — the X116/X117 commit protocol as a functional
+    spec over RANDOM interleavings of publish/append/manifest/crash/replay
+    across 2-3 batches: after every attempt (crashed anywhere in the
+    protocol, or completed), readers see exactly the state a CRASH-FREE
+    run of the committed batch prefix produces — same committed ids, same
+    published docs, same audit rows, byte-stable — and the final index
+    holds the same band rows. Single fault points are pinned by the
+    targeted crash-sim tests; this pins arbitrary compositions."""
+    import shutil
+    import tempfile
+
+    from twitter_event_stream_spark.operators.corpus_full import (
+        write_simhash_index,
+    )
+    from twitter_event_stream_spark.streaming.pipelines import (
+        dedup_ingest_batch,
+    )
+
+    docs, schedule = scenario
+    n_batches = len(schedule)
+    batches = [docs[i::n_batches] for i in range(n_batches)]
+    seed = [(5_000_000, "seed corpus document with its own vocabulary")]
+
+    base = tempfile.mkdtemp(prefix="commitprop")
+    try:
+        # golden: the same batch sequence, crash-free, in a sibling tree —
+        # its view after each commit is the spec for the crashy run
+        golden_views = []
+        g_idx, g_out = f"{base}/g_idx", f"{base}/g_out"
+        write_simhash_index(
+            spark,
+            spark.createDataFrame(seed, "doc_id long, text string"),
+            g_idx,
+        )
+        g_handler = dedup_ingest_batch(g_idx, g_out)
+        for bid, docs_b in enumerate(batches):
+            g_handler(
+                spark.createDataFrame(docs_b, "doc_id long, text string"), bid
+            )
+            golden_views.append(_committed_view(spark, g_out))
+
+        idx, out = f"{base}/idx", f"{base}/out"
+        write_simhash_index(
+            spark,
+            spark.createDataFrame(seed, "doc_id long, text string"),
+            idx,
+        )
+        committed = 0
+        for bid, docs_b in enumerate(batches):
+            bdf = spark.createDataFrame(docs_b, "doc_id long, text string")
+            for crash_after in schedule[bid]:
+                assert not _attempt_ingest(idx, out, bdf, bid, crash_after)
+                # invariant: a crashed attempt exposes NOTHING new — the
+                # view is still exactly the committed prefix's golden view
+                want = golden_views[committed - 1] if committed else ((), (), ())
+                assert _committed_view(spark, out) == want, (
+                    bid, crash_after, committed,
+                )
+            assert _attempt_ingest(idx, out, bdf, bid, crash_after=4)
+            committed += 1
+            assert _committed_view(spark, out) == golden_views[committed - 1]
+
+        # final index: same band rows as the crash-free run (the crashed
+        # appends were either absorbed by replay determinism or never
+        # happened; nothing extra, nothing missing)
+        got_idx = sorted(
+            map(tuple, spark.read.parquet(idx).collect())
+        )
+        want_idx = sorted(map(tuple, spark.read.parquet(g_idx).collect()))
+        assert got_idx == want_idx
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -369,6 +369,7 @@ def dedup_against_index(
     text_col: str = "text",
     band_rows: DataFrame | None = None,
     broadcast: bool = True,
+    include_already_indexed: bool = False,
 ) -> DataFrame:
     """Flag which docs of an incoming batch near-duplicate the INDEXED
     corpus (X115): returns one row per batch doc — (doc_id, dup_of,
@@ -399,7 +400,14 @@ def dedup_against_index(
     signatures already computed for that pass instead of recomputing.
     ``broadcast=False`` drops the broadcast hint for batches too large to
     ship to every executor (drop-scale inputs) — the join falls back to a
-    shuffle strategy chosen by AQE, same verdicts."""
+    shuffle strategy chosen by AQE, same verdicts.
+    ``include_already_indexed=True`` adds a boolean column flagging docs
+    whose OWN rows are already in the index (the at-least-once replay
+    signal, r10): the self-identity matches the verdict excludes are
+    byproducts of the same banded join — self rows have hamming 0, so
+    they ride the existing candidate filter for free — which is what lets
+    the X116 handler skip re-appending a replayed batch's band rows
+    without a second index scan."""
     if max_hamming >= 4:
         # the persisted index is 4x16-bit-banded; pigeonhole-exact recall
         # holds only for radii < n_bands — a larger radius would SILENTLY
@@ -419,25 +427,39 @@ def dedup_against_index(
     )
     cand = (
         idx.join(F.broadcast(nb) if broadcast else nb, ["band", "val"])
-        .filter(F.col("doc_id") != F.col("n_id"))
         .select(
             "n_id", "n_sig", F.col("doc_id").alias("dup_of"),
             F.col("sig").alias("c_sig"),
         )
     )
     hamming = F.bit_count(F.col("n_sig").bitwiseXOR(F.col("c_sig")))
+    is_self = F.col("dup_of") == F.col("n_id")
+    # self rows (a replayed batch meeting its own appended rows) have
+    # hamming 0 and pass the candidate filter for free; the verdict min
+    # skips them via the conditional, and max(is_self) is the replay flag
     best = (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .groupBy("n_id")
-        .agg(F.min(F.struct("hamming", "dup_of")).alias("m"))
+        .agg(
+            F.min(
+                F.when(~is_self, F.struct("hamming", "dup_of"))
+            ).alias("m"),
+            F.max(is_self).alias("already"),
+        )
         .select(
             F.col("n_id").alias("doc_id"),
             F.col("m.dup_of").alias("dup_of"),
             F.col("m.hamming").alias("hamming"),
+            "already",
         )
     )
-    return new_docs.select("doc_id").join(best, "doc_id", "left")
+    out = new_docs.select("doc_id").join(best, "doc_id", "left")
+    if include_already_indexed:
+        return out.withColumn(
+            "already_indexed", F.coalesce("already", F.lit(False))
+        ).drop("already")
+    return out.drop("already")
 
 
 def compact_band_rows(

@@ -734,12 +734,15 @@ def dedup_ingest_batch(
                 max_hamming,
                 band_rows=rows,
                 broadcast=bcast,
+                include_already_indexed=True,
             )
-            uniq_ids = (
+            survivors = (
                 verdicts.filter(F.col("dup_of").isNull())
-                .select("doc_id")
+                .select("doc_id", "already_indexed")
                 .join(suppressed, "doc_id", "left_anti")
             )
+            survivors.persist()
+            uniq_ids = survivors.select("doc_id")
             uniq = batch_df.join(uniq_ids, "doc_id")
             uniq.persist()
             try:
@@ -778,8 +781,23 @@ def dedup_ingest_batch(
                 )
                 _publish_atomic(rejects, f"{out_dir}/_rejects/batch={batch_id}")
                 _publish_atomic(uniq, f"{out_dir}/batch={batch_id}")
+                # append only rows the index does not already hold: on an
+                # at-least-once replay after a crash between the append and
+                # the manifest, every survivor is already_indexed and this
+                # appends NOTHING — the index is byte-stable under replay
+                # (r10; before, each crash loop duplicated the survivors'
+                # band rows — verdict-harmless via the min-agg, but the
+                # index grew on every retry), pinned by the hypothesis
+                # commit-protocol test
                 write_band_rows(
-                    rows.join(uniq_ids, "doc_id"), index_path, mode="append"
+                    rows.join(
+                        survivors.filter(~F.col("already_indexed")).select(
+                            "doc_id"
+                        ),
+                        "doc_id",
+                    ),
+                    index_path,
+                    mode="append",
                 )
                 # manifest LAST: its presence certifies publish + append
                 # both committed — read_ingested skips unmanifested batches
@@ -788,6 +806,7 @@ def dedup_ingest_batch(
                 )
             finally:
                 uniq.unpersist()
+                survivors.unpersist()
         finally:
             rows.unpersist()
             batch_df.unpersist()
