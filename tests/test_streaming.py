@@ -1612,6 +1612,64 @@ def test_absorb_ingested_crash_replay_idempotent(spark, sf_dir, tmp_path_factory
     assert res_after == res_before
 
 
+def test_vector_ingest_replay_after_absorb_converges(spark, sf_dir, tmp_path_factory):
+    """r10 — the at-least-once composition across the maintenance cadence:
+    (a) a batch retried AFTER absorb folded its first attempt must publish
+    nothing (its vectors already live in the main tree), never a second
+    visible copy a probe would rank twice; (b) the same vec_id redelivered
+    in TWO pending batches is folded once by absorb."""
+    import os
+
+    from twitter_event_stream_spark.operators.vector_search import (
+        absorb_ingested,
+        ivf_topk_indexed,
+        read_ivf_cells,
+        write_ivf_index,
+    )
+    from twitter_event_stream_spark.streaming.pipelines import (
+        vector_ingest_batch,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    half = e.filter(F.col("vec_id") % 2 == 0)
+    odd = e.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    base = str(tmp_path_factory.mktemp("replayabsorb")) + "/idx"
+    write_ivf_index(spark, half, base)
+    n_all = e.filter(F.col("embedding").isNotNull()).count()
+    probes = e.filter(F.col("vec_id") < 20)
+
+    # (a) ingest, absorb, then REPLAY the absorbed batch
+    vector_ingest_batch(base)(odd, 0)
+    assert absorb_ingested(spark, base)["batches_absorbed"] == 1
+    res_before = sorted(
+        map(tuple, ivf_topk_indexed(spark, base, probes, k=5).collect())
+    )
+    vector_ingest_batch(base)(odd, 0)  # foreachBatch retry post-absorb
+    assert not os.path.exists(f"{base}/ingest/_manifests/batch-000000000.json")
+    visible = read_ivf_cells(spark, base)
+    assert visible.count() == n_all
+    assert visible.select("vec_id").distinct().count() == n_all
+    assert (
+        sorted(map(tuple, ivf_topk_indexed(spark, base, probes, k=5).collect()))
+        == res_before
+    )
+
+    # (b) same vec_ids redelivered in two pending batches -> absorbed once
+    redeliver = e.filter(
+        (F.col("vec_id") < 10) & F.col("embedding").isNotNull()
+    ).select((F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
+    n_re = redeliver.count()
+    vector_ingest_batch(base)(redeliver, 5)
+    vector_ingest_batch(base)(redeliver, 6)
+    # both pending: transiently visible twice (documented), distinct once
+    assert read_ivf_cells(spark, base).count() == n_all + 2 * n_re
+    rep = absorb_ingested(spark, base)
+    assert rep["batches_absorbed"] == 2 and rep["vectors_absorbed"] == n_re
+    cells = spark.read.parquet(f"{base}/cells")
+    assert cells.count() == n_all + n_re
+    assert cells.select("vec_id").distinct().count() == n_all + n_re
+
+
 def test_vector_ingest_stream_end_to_end(spark, sf_dir, tmp_path_factory):
     """X123: streaming vector ingest into a persisted IVF index — committed
     batches are probe-visible and stats-visible, a handler replay is

@@ -599,7 +599,11 @@ def absorb_ingested(spark: SparkSession, path: str) -> dict:
         ids = manifested_batch_ids(spark, f"{path}/ingest")
         if not ids:
             return {"batches_absorbed": 0, "vectors_absorbed": 0}
-        pending = _read_pending(spark, path, ids)
+        # dedup WITHIN the pending set too: a producer redelivering the
+        # same vec_id across trigger boundaries lands it in two pending
+        # batches (identical rows — deterministic assignment), and a plain
+        # fold would append it twice; one copy survives (r10)
+        pending = _read_pending(spark, path, ids).dropDuplicates(["vec_id"])
         touched = [r.cell for r in pending.select("cell").distinct().collect()]
         already = (
             spark.read.parquet(f"{path}/cells")

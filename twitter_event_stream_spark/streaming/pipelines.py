@@ -1058,11 +1058,18 @@ def vector_ingest_batch(index_path: str) -> Callable[[DataFrame, int], None]:
     directory — staged dot-prefixed, then atomically renamed/swapped into
     place, so a concurrent probe never sees a manifested batch mid-rewrite
     — makes the retry equivalent, and probes see only manifested batches
-    (``read_ivf_cells``). A batch that assigns to nothing (empty, or all
-    embeddings null) publishes nothing. The spill area is folded
-    into the main tree by ``absorb_ingested`` on the maintenance cadence —
-    ingest stays append-cheap, probes stay pruned, and the main cell files
-    are never touched by a streaming batch."""
+    (``read_ivf_cells``). Replay is also safe ACROSS the maintenance
+    cadence (r10): vectors already in the main cell tree are anti-joined
+    away before publishing (partition-pruned to the batch's own cells, so
+    the check never scans the whole tree) — without it, a batch retried
+    AFTER ``absorb_ingested`` folded its first attempt would republish
+    vectors the tree already holds, and a probe would rank the same
+    candidate twice until the next absorb. A batch that assigns to
+    nothing — empty, all embeddings null, or fully absorbed already —
+    publishes nothing. The spill area is folded into the main tree by
+    ``absorb_ingested`` on the maintenance cadence — ingest stays
+    append-cheap, probes stay pruned, and the main cell files are never
+    touched by a streaming batch."""
     from twitter_event_stream_spark.operators.vector_search import (
         _cell_assign,
         _stored_centroid_bc,
@@ -1087,10 +1094,28 @@ def vector_ingest_batch(index_path: str) -> Callable[[DataFrame, int], None]:
             # poisoning every reader of the index with UNABLE_TO_INFER_SCHEMA.
             if assigned.isEmpty():
                 return  # replay of a no-op batch is a no-op
-            out_dir = f"{index_path}/ingest"
-            batch_dir = f"{out_dir}/batch={batch_id}"
-            _publish_atomic(assigned, batch_dir, partition_by="cell")
-            _write_fs_manifest(spark, out_dir, batch_id, batch_dir)
+            # replay-after-absorb convergence (r10): drop vectors the main
+            # tree already holds — the scan is pruned to this batch's own
+            # cells, so the check is micro-batch-sized, not tree-sized
+            touched = [
+                r.cell for r in assigned.select("cell").distinct().collect()
+            ]
+            already = (
+                spark.read.parquet(f"{index_path}/cells")
+                .filter(F.col("cell").isin(touched))
+                .select("vec_id")
+            )
+            fresh = assigned.join(already, "vec_id", "left_anti")
+            fresh.persist()
+            try:
+                if fresh.isEmpty():
+                    return  # first attempt fully absorbed: retry is a no-op
+                out_dir = f"{index_path}/ingest"
+                batch_dir = f"{out_dir}/batch={batch_id}"
+                _publish_atomic(fresh, batch_dir, partition_by="cell")
+                _write_fs_manifest(spark, out_dir, batch_id, batch_dir)
+            finally:
+                fresh.unpersist()
         finally:
             assigned.unpersist()
 
