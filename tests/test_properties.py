@@ -1178,3 +1178,183 @@ def test_ingest_commit_protocol_random_crash_interleavings(spark, scenario):
         assert got_idx == want_idx
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --- X123 vector ingest protocol under random crash interleavings ----------
+
+
+def _attempt_vector_ingest(idx_path, bdf, bid, crash_after):
+    """One at-least-once attempt of vector batch ``bid``: the two protocol
+    writes (cell-partitioned publish, manifest) instrumented to die after
+    ``crash_after`` of them complete (2 = clean). Returns True when the
+    attempt reached the manifest. An attempt that correctly publishes
+    NOTHING (fully-absorbed retry) also returns True — it is complete."""
+    from unittest import mock
+
+    import twitter_event_stream_spark.streaming.pipelines as P
+
+    state = {"n": 0}
+
+    def gated(real):
+        def inner(*a, **k):
+            if state["n"] >= crash_after:
+                raise _SimCrash()
+            res = real(*a, **k)
+            state["n"] += 1
+            return res
+
+        return inner
+
+    with mock.patch.object(
+        P, "_publish_atomic", gated(P._publish_atomic)
+    ), mock.patch.object(
+        P, "_write_fs_manifest", gated(P._write_fs_manifest)
+    ):
+        try:
+            P.vector_ingest_batch(idx_path)(bdf, bid)
+            return True
+        except _SimCrash:
+            return False
+
+
+@st.composite
+def _vector_crash_scenarios(draw):
+    """Per batch: 0-1 crashing attempts (dying after 0 or 1 completed
+    writes); between/after batch deliveries, maintenance events drawn from
+    {none, absorb, crashed-absorb-then-absorb}; plus an optional
+    foreachBatch RETRY of batch 0 late in the run (the composition that
+    found the replay-after-absorb duplication)."""
+    crashes = [
+        draw(st.lists(st.integers(min_value=0, max_value=1), max_size=1))
+        for _ in range(2)
+    ]
+    maint = [draw(st.sampled_from(["none", "absorb", "crash_absorb"]))
+             for _ in range(2)]
+    late_retry = draw(st.booleans())
+    return crashes, maint, late_retry
+
+
+@settings(**{**_SETTINGS, "max_examples": 4})
+@given(_vector_crash_scenarios())
+def test_vector_protocol_random_crash_interleavings(spark, sf_dir, scenario):
+    """r10 — the X123 protocol as a functional spec over random
+    compositions of publish/manifest crashes, replays, absorb, CRASHED
+    absorb, and post-absorb retries, with OVERLAPPING batches (cross-batch
+    redelivery): after every event the visible distinct vec_id set equals
+    base ∪ committed batches; after every completed absorb the tree holds
+    no duplicate; and the final probe results equal a fresh index built
+    over the same visible set."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from twitter_event_stream_spark.fsio import manifested_batch_ids
+    from twitter_event_stream_spark.operators.vector_search import (
+        _read_pending,
+        absorb_ingested,
+        ivf_topk_indexed,
+        read_ivf_cells,
+        write_ivf_index,
+    )
+    from twitter_event_stream_spark.tables import table
+
+    crashes, maint, late_retry = scenario
+    e = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    base_df = e.filter(F.col("vec_id") % 2 == 0)
+    # two OVERLAPPING odd slices: batch 1 redelivers half of batch 0
+    b0 = e.filter(F.col("vec_id") % 4 == 1).select("vec_id", "embedding")
+    b1 = e.filter(
+        (F.col("vec_id") % 4 == 3) | (F.col("vec_id") % 8 == 1)
+    ).select("vec_id", "embedding")
+    batches = [b0, b1]
+    ids_of = [
+        frozenset(r.vec_id for r in b.collect()) for b in batches
+    ]
+    base_ids = frozenset(r.vec_id for r in base_df.select("vec_id").collect())
+
+    root = tempfile.mkdtemp(prefix="vecprop")
+    idx = f"{root}/idx"
+    try:
+        write_ivf_index(spark, base_df, idx)
+        committed: set[int] = set()
+
+        def visible_ok():
+            want = base_ids.union(*(ids_of[b] for b in committed)) if committed else base_ids
+            got = {
+                r.vec_id
+                for r in read_ivf_cells(spark, idx).select("vec_id").collect()
+            }
+            assert got == want, (sorted(got ^ want), sorted(committed))
+
+        def crash_absorb():
+            ids = manifested_batch_ids(spark, f"{idx}/ingest")
+            if ids:
+                _read_pending(spark, idx, ids).dropDuplicates(
+                    ["vec_id"]
+                ).write.mode("append").partitionBy("cell").parquet(
+                    f"{idx}/cells"
+                )
+
+        for b in range(2):
+            for crash_after in crashes[b]:
+                assert not _attempt_vector_ingest(
+                    idx, batches[b], b, crash_after
+                )
+                visible_ok()  # a crashed attempt exposes nothing
+            assert _attempt_vector_ingest(idx, batches[b], b, crash_after=2)
+            committed.add(b)
+            visible_ok()
+            if maint[b] == "crash_absorb":
+                crash_absorb()  # duplicates transient, set unchanged
+                visible_ok()
+            if maint[b] in ("absorb", "crash_absorb"):
+                absorb_ingested(spark, idx)
+                visible_ok()
+                cells = spark.read.parquet(f"{idx}/cells")
+                assert cells.count() == cells.select("vec_id").distinct().count()
+
+        if late_retry:
+            # foreachBatch retry of batch 0 arbitrarily late — possibly
+            # after its vectors were absorbed into the main tree
+            assert _attempt_vector_ingest(idx, batches[0], 0, crash_after=2)
+            visible_ok()
+
+        # converge: no duplicates, and the tree's (vec_id, cell) content is
+        # EXACTLY the one-shot stored-centroid assignment of the visible
+        # set — the quantizer is frozen across every ingest/absorb path, so
+        # however the crashes interleaved, the final tree must be the one a
+        # single clean assignment produces (content equality implies probe
+        # equality: identical candidates, identical ranking arithmetic)
+        absorb_ingested(spark, idx)
+        visible_ok()
+        cells = spark.read.parquet(f"{idx}/cells")
+        n_vis = cells.select("vec_id").distinct().count()
+        assert cells.count() == n_vis
+        from twitter_event_stream_spark.operators.vector_search import (
+            _cell_assign,
+            _stored_centroid_bc,
+        )
+
+        bc = _stored_centroid_bc(spark, idx)
+        visible_vecs = e.filter(
+            F.col("vec_id").isin(
+                list(base_ids.union(*(ids_of[b] for b in committed)))
+            )
+        ).select("vec_id", "embedding")
+        want_cells = sorted(
+            (r.vec_id, r.cell)
+            for r in _cell_assign(visible_vecs, bc, 1).collect()
+        )
+        got_cells = sorted(
+            (r.vec_id, r.cell) for r in cells.select("vec_id", "cell").collect()
+        )
+        assert got_cells == want_cells
+        # probe sanity: the ingested (odd) vectors are reachable neighbors
+        probes = e.filter(F.col("vec_id") < 20)
+        res = ivf_topk_indexed(spark, idx, probes, k=5).collect()
+        assert res and any(r.cand_id % 2 == 1 for r in res)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
