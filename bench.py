@@ -340,10 +340,13 @@ def main() -> None:
     # 9 queries; assert the invariant so growth fails loudly here, not in
     # the driver's record.
     headline_line = json.dumps(headline)
-    assert len(headline_line) < 1500, (
-        f"headline bench line grew to {len(headline_line)} chars; keep it "
-        "under the driver's 2,000-char stdout tail capture"
-    )
+    if len(headline_line) >= 1500:
+        # explicit raise, not `assert` — the guard against the r9
+        # truncation defect must survive `python -O` (r10 ADVICE)
+        raise RuntimeError(
+            f"headline bench line grew to {len(headline_line)} chars; keep "
+            "it under the driver's 2,000-char stdout tail capture"
+        )
     print(full_line)
     print(headline_line)
     spark.stop()

@@ -1706,15 +1706,21 @@ def test_ivf_index_append_and_stats(spark, sf_dir, tmp_path_factory):
         assert abs(r.skew - r.n_vectors / mean) < 1e-3
 
 
-def test_compact_simhash_index(spark, sf_dir, tmp_path_factory):
+@pytest.mark.parametrize("pointer", [False, True], ids=["rename", "pointer"])
+def test_compact_simhash_index(spark, sf_dir, tmp_path_factory, pointer):
     """r9 — X119 compaction for the append-grown dedup index: after
     several appends the band dirs hold many small files; compaction must
     shrink them to one file per band while preserving the EXACT row set,
     leaving every probe verdict unchanged, and remaining appendable
-    afterwards (the maintenance cycle continues)."""
+    afterwards (the maintenance cycle continues). Parameterized over both
+    publish mechanisms (r11): the legacy rename swap and the
+    pointer-versioned S3A-safe layout — identical observable behavior."""
     from pyspark.sql import functions as F
 
-    from twitter_event_stream_spark.fsio import data_file_count
+    from twitter_event_stream_spark.fsio import (
+        data_file_count,
+        resolve_data_dir,
+    )
     from twitter_event_stream_spark.operators.corpus_full import (
         compact_band_rows,
         dedup_against_index,
@@ -1722,32 +1728,36 @@ def test_compact_simhash_index(spark, sf_dir, tmp_path_factory):
     )
     from twitter_event_stream_spark.tables import table
 
+    def idx_rows(path):
+        return sorted(
+            (r.doc_id, r.sig, r.band, r.val)
+            for r in spark.read.parquet(
+                resolve_data_dir(spark, path)
+            ).collect()
+        )
+
     d = table(spark, sf_dir, "documents")
     path = str(tmp_path_factory.mktemp("shcompact")) + "/idx"
-    write_simhash_index(spark, d.filter(F.col("doc_id") % 4 == 0), path)
+    write_simhash_index(
+        spark, d.filter(F.col("doc_id") % 4 == 0), path, pointer=pointer
+    )
     for m in (1, 2):  # simulated ingest cadence: two appends
         write_simhash_index(
             spark, d.filter(F.col("doc_id") % 4 == m), path, mode="append"
         )
     probe = d.filter(F.col("doc_id") % 4 == 3).limit(200)
-    before_rows = sorted(
-        (r.doc_id, r.sig, r.band, r.val)
-        for r in spark.read.parquet(path).collect()
-    )
+    before_rows = idx_rows(path)
     before_verdict = sorted(
         (r.doc_id, r.dup_of, r.hamming)
         for r in dedup_against_index(spark, probe, path).collect()
     )
-    n_before = data_file_count(spark, path)
+    n_before = data_file_count(spark, resolve_data_dir(spark, path))
     assert n_before > 4, "fixture must start fragmented"
 
     rep = compact_band_rows(spark, path)
     assert rep["files_before"] == n_before
     assert rep["files_after"] == 4  # one file per band partition
-    after_rows = sorted(
-        (r.doc_id, r.sig, r.band, r.val)
-        for r in spark.read.parquet(path).collect()
-    )
+    after_rows = idx_rows(path)
     assert after_rows == before_rows, "compaction changed index content"
     after_verdict = sorted(
         (r.doc_id, r.dup_of, r.hamming)
@@ -1758,31 +1768,38 @@ def test_compact_simhash_index(spark, sf_dir, tmp_path_factory):
     # the cycle continues: append after compact is visible
     n_docs_before = len({r[0] for r in after_rows})
     write_simhash_index(spark, probe, path, mode="append")
-    n_docs = spark.read.parquet(path).select("doc_id").distinct().count()
-    assert n_docs == n_docs_before + probe.count()
-    assert data_file_count(spark, path) > rep["files_after"]
-    grown_rows = sorted(
-        (r.doc_id, r.sig, r.band, r.val)
-        for r in spark.read.parquet(path).collect()
+    n_docs = (
+        spark.read.parquet(resolve_data_dir(spark, path))
+        .select("doc_id")
+        .distinct()
+        .count()
     )
+    assert n_docs == n_docs_before + probe.count()
+    assert (
+        data_file_count(spark, resolve_data_dir(spark, path))
+        > rep["files_after"]
+    )
+    grown_rows = idx_rows(path)
 
     # salted variant: files_per_band > 1 spreads each band over <= k files
     rep2 = compact_band_rows(spark, path, files_per_band=2)
     assert rep2["files_after"] <= 8
-    assert sorted(
-        (r.doc_id, r.sig, r.band, r.val)
-        for r in spark.read.parquet(path).collect()
-    ) == grown_rows
+    assert idx_rows(path) == grown_rows
 
 
-def test_compact_ivf_cells(spark, sf_dir, tmp_path_factory):
+@pytest.mark.parametrize("pointer", [False, True], ids=["rename", "pointer"])
+def test_compact_ivf_cells(spark, sf_dir, tmp_path_factory, pointer):
     """r9 — X119 compaction for the appended IVF index: rewrite the cell
     partitions to one file per cell; probe results must be bit-identical,
     occupancy stats unchanged, centroids untouched, and the index still
-    appendable afterwards."""
+    appendable afterwards. Parameterized over both publish mechanisms
+    (r11): rename swap and pointer-versioned layout."""
     from pyspark.sql import functions as F
 
-    from twitter_event_stream_spark.fsio import data_file_count
+    from twitter_event_stream_spark.fsio import (
+        data_file_count,
+        resolve_data_dir,
+    )
     from twitter_event_stream_spark.operators.vector_search import (
         append_ivf_index,
         compact_ivf_cells,
@@ -1792,9 +1809,18 @@ def test_compact_ivf_cells(spark, sf_dir, tmp_path_factory):
     )
     from twitter_event_stream_spark.tables import table
 
+    def centroids(path):
+        return (
+            spark.read.parquet(f"{resolve_data_dir(spark, path)}/centroids")
+            .orderBy("cell")
+            .collect()
+        )
+
     e = table(spark, sf_dir, "embeddings")
     base = str(tmp_path_factory.mktemp("ivfcompact")) + "/idx"
-    write_ivf_index(spark, e.filter(F.col("vec_id") % 3 == 0), base)
+    write_ivf_index(
+        spark, e.filter(F.col("vec_id") % 3 == 0), base, pointer=pointer
+    )
     for m in (1, 2):
         append_ivf_index(spark, e.filter(F.col("vec_id") % 3 == m), base)
 
@@ -1807,11 +1833,9 @@ def test_compact_ivf_cells(spark, sf_dir, tmp_path_factory):
         (r.cell, r.n_vectors, r.frac, r.skew)
         for r in ivf_index_stats(spark, base).collect()
     ]
-    cent_before = spark.read.parquet(f"{base}/centroids").orderBy(
-        "cell"
-    ).collect()
+    cent_before = centroids(base)
     n_cells_trained = len(cent_before)
-    n_before = data_file_count(spark, f"{base}/cells")
+    n_before = data_file_count(spark, f"{resolve_data_dir(spark, base)}/cells")
 
     rep = compact_ivf_cells(spark, base)
     assert rep["files_before"] == n_before
@@ -1826,17 +1850,17 @@ def test_compact_ivf_cells(spark, sf_dir, tmp_path_factory):
         for r in ivf_index_stats(spark, base).collect()
     ]
     assert stats_after == stats_before
-    assert (
-        spark.read.parquet(f"{base}/centroids").orderBy("cell").collect()
-        == cent_before
-    )
+    assert centroids(base) == cent_before
 
     # still appendable: growth lands and is visible to probes
     extra = e.filter(F.col("vec_id") % 3 == 0).withColumn(
         "vec_id", F.col("vec_id") + 1_000_000
     )
     append_ivf_index(spark, extra, base)
-    assert data_file_count(spark, f"{base}/cells") > rep["files_after"]
+    assert (
+        data_file_count(spark, f"{resolve_data_dir(spark, base)}/cells")
+        > rep["files_after"]
+    )
     res = ivf_topk_indexed(spark, base, probes, k=5).collect()
     assert any(r.cand_id >= 1_000_000 for r in res)
 
@@ -1870,18 +1894,24 @@ def test_index_gate_rejects_unexact_radius(spark, tmp_path_factory):
     assert len(ok) == 1
 
 
-def test_rebuild_ivf_index(spark, sf_dir, tmp_path_factory):
+@pytest.mark.parametrize("pointer", [False, True], ids=["rename", "pointer"])
+def test_rebuild_ivf_index(spark, sf_dir, tmp_path_factory, pointer):
     """r9 — the drift rebuild made executable: retraining over every
     VISIBLE vector (absorbed + committed streaming-ingest batches) must
     consume the spill, swap in a coherent whole index, and reproduce
     BIT-IDENTICALLY the index a fresh build over the same vector set
     produces (the quantizer sample is a TakeOrdered pure function of the
-    data)."""
+    data). Parameterized over both publish mechanisms (r11): in pointer
+    mode the spill batches are retired explicitly after the flip instead
+    of vanishing with the swapped-away directory."""
     import os
 
     from pyspark.sql import functions as F
 
-    from twitter_event_stream_spark.fsio import manifested_batch_ids
+    from twitter_event_stream_spark.fsio import (
+        manifested_batch_ids,
+        resolve_data_dir,
+    )
     from twitter_event_stream_spark.operators.vector_search import (
         ivf_index_stats,
         ivf_topk_indexed,
@@ -1896,7 +1926,9 @@ def test_rebuild_ivf_index(spark, sf_dir, tmp_path_factory):
     e = table(spark, sf_dir, "embeddings")
     root = str(tmp_path_factory.mktemp("ivfrebuild"))
     base = f"{root}/live"
-    write_ivf_index(spark, e.filter(F.col("vec_id") % 2 == 0), base)
+    write_ivf_index(
+        spark, e.filter(F.col("vec_id") % 2 == 0), base, pointer=pointer
+    )
     vector_ingest_batch(base)(
         e.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"), 0
     )
@@ -1906,9 +1938,14 @@ def test_rebuild_ivf_index(spark, sf_dir, tmp_path_factory):
     n_all = e.filter(F.col("embedding").isNotNull()).count()
     assert rep["n_vectors"] == n_all
     assert rep["pending_batches_consumed"] == 1
-    # spill consumed: nothing pending, no ingest dir in the fresh index
+    # spill consumed: nothing pending; the rename swap drops the whole
+    # ingest dir with the old directory, the pointer path retires batches
+    # explicitly (the empty spill skeleton may remain)
     assert manifested_batch_ids(spark, f"{base}/ingest") == []
-    assert not os.path.exists(f"{base}/ingest")
+    if not pointer:
+        assert not os.path.exists(f"{base}/ingest")
+    else:
+        assert not os.path.exists(f"{base}/ingest/batch=0")
     stats = ivf_index_stats(spark, base).collect()
     assert sum(r.n_vectors for r in stats) == n_all
 
@@ -1920,7 +1957,12 @@ def test_rebuild_ivf_index(spark, sf_dir, tmp_path_factory):
     want = sorted(map(tuple, ivf_topk_indexed(spark, fresh, probes, k=5).collect()))
     assert got == want and len(got) > 0
     cent_got = sorted(
-        map(tuple, spark.read.parquet(f"{base}/centroids").collect())
+        map(
+            tuple,
+            spark.read.parquet(
+                f"{resolve_data_dir(spark, base)}/centroids"
+            ).collect(),
+        )
     )
     cent_want = sorted(
         map(tuple, spark.read.parquet(f"{fresh}/centroids").collect())
@@ -2016,3 +2058,431 @@ def test_maintenance_lease_mechanism(spark, sf_dir, tmp_path_factory):
             assert read_maintenance_lease(spark, ivf)["owner"] == "failing-op"
             raise RuntimeError("boom")
     assert read_maintenance_lease(spark, ivf) is None
+
+
+def test_maintenance_lease_heartbeat(spark, tmp_path_factory):
+    """r11 — a LIVE maintenance op past its TTL is not breakable: the
+    context manager heartbeats the lease file's mtime, so staleness can
+    only mean the holder's process died (r10 verdict "What's missing" #1).
+    A genuinely dead holder (bare acquire, no heartbeat) is still broken."""
+    import time
+
+    import pytest
+
+    from twitter_event_stream_spark.fsio import (
+        MaintenanceLeaseHeld,
+        acquire_maintenance_lease,
+        assert_no_maintenance,
+        maintenance_lease,
+        read_maintenance_lease,
+        release_maintenance_lease,
+    )
+
+    root = str(tmp_path_factory.mktemp("hb"))
+    idx = f"{root}/index"
+
+    # live holder, TTL 1s, body runs 1.6s (> TTL): heartbeat (interval
+    # ttl/4 = 0.25s) keeps the mtime fresh, so neither ingest nor a second
+    # maintenance op treats the lease as stale mid-run
+    with maintenance_lease(spark, idx, owner="long-run", ttl_sec=1):
+        time.sleep(1.6)
+        with pytest.raises(MaintenanceLeaseHeld, match="long-run"):
+            assert_no_maintenance(spark, idx)
+        with pytest.raises(MaintenanceLeaseHeld, match="long-run"):
+            acquire_maintenance_lease(spark, idx, owner="usurper", ttl_sec=1)
+        assert read_maintenance_lease(spark, idx)["owner"] == "long-run"
+    assert read_maintenance_lease(spark, idx) is None
+
+    # dead holder (no heartbeat — bare acquire simulates a crashed
+    # process) past TTL: still broken and re-taken
+    acquire_maintenance_lease(spark, idx, owner="crashed", ttl_sec=0)
+    time.sleep(0.2)
+    assert_no_maintenance(spark, idx)  # stale does not block ingest
+    acquire_maintenance_lease(spark, idx, owner="successor", ttl_sec=60)
+    assert read_maintenance_lease(spark, idx)["owner"] == "successor"
+    release_maintenance_lease(spark, idx)
+
+
+def test_stale_lease_break_single_winner(spark, tmp_path_factory):
+    """r11 (r10 ADVICE) — breaking a stale lease is an atomic RENAME, so of
+    N contenders that all observe the same stale lease exactly ONE
+    acquires; no loser deletes the winner's fresh lease out from under it
+    (the old check-then-delete let two maintenance ops run concurrently)."""
+    import threading
+    import time
+
+    from twitter_event_stream_spark.fsio import (
+        MaintenanceLeaseHeld,
+        acquire_maintenance_lease,
+        read_maintenance_lease,
+        release_maintenance_lease,
+    )
+
+    root = str(tmp_path_factory.mktemp("race"))
+    idx = f"{root}/index"
+    acquire_maintenance_lease(spark, idx, owner="crashed", ttl_sec=0)
+    time.sleep(0.2)  # everyone sees it stale
+
+    results: list[str] = []
+    lock = threading.Lock()
+    barrier = threading.Barrier(8)
+
+    def contend(i: int) -> None:
+        barrier.wait()
+        try:
+            acquire_maintenance_lease(spark, idx, owner=f"t{i}", ttl_sec=60)
+            with lock:
+                results.append(f"t{i}")
+        except MaintenanceLeaseHeld:
+            pass
+
+    threads = [threading.Thread(target=contend, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert len(results) == 1, f"expected one winner, got {results}"
+    assert read_maintenance_lease(spark, idx)["owner"] == results[0]
+    release_maintenance_lease(spark, idx)
+
+
+def test_maintenance_generation_counter(spark, tmp_path_factory):
+    """r11 — the generation counter moves exactly once per completed
+    maintenance scope (success OR failure), and the generation-aware
+    assert_no_maintenance raises on a moved counter even with no lease
+    left to see."""
+    import pytest
+
+    from twitter_event_stream_spark.fsio import (
+        MaintenanceLeaseHeld,
+        assert_no_maintenance,
+        maintenance_generation,
+        maintenance_lease,
+    )
+
+    root = str(tmp_path_factory.mktemp("gen"))
+    idx = f"{root}/index"
+    assert maintenance_generation(spark, idx) == 0
+    g0 = maintenance_generation(spark, idx)
+    with maintenance_lease(spark, idx, owner="op-1"):
+        pass
+    assert maintenance_generation(spark, idx) == g0 + 1
+    with pytest.raises(MaintenanceLeaseHeld, match="generation moved"):
+        assert_no_maintenance(spark, idx, generation=g0)
+    # a RAISED maintenance scope still bumps (it may have part-mutated)
+    with pytest.raises(RuntimeError, match="boom"):
+        with maintenance_lease(spark, idx, owner="op-2"):
+            raise RuntimeError("boom")
+    assert maintenance_generation(spark, idx) == g0 + 2
+    # unchanged counter + no lease: the fence passes
+    assert_no_maintenance(spark, idx, generation=g0 + 2)
+
+
+def test_commit_time_fence_text_gate(spark, tmp_path_factory, monkeypatch):
+    """r11 (r10 verdict "What's missing" #3) — maintenance that runs
+    BETWEEN the gate's publish and its manifest write aborts the batch's
+    commit (generation fence) instead of certifying a publish the swap may
+    have deleted; the replayed batch converges to the crash-free state."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import twitter_event_stream_spark.streaming.pipelines as pl
+    from twitter_event_stream_spark.fsio import (
+        MaintenanceLeaseHeld,
+        maintenance_lease,
+        manifested_batch_ids,
+    )
+    from twitter_event_stream_spark.operators.corpus_full import (
+        write_simhash_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("fence"))
+    sidx = f"{root}/simhash"
+    out = f"{root}/corpus"
+    seed = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    write_simhash_index(spark, seed, sidx)
+    batch = spark.createDataFrame(
+        [(2, "an entirely different document about spark shuffles")],
+        "doc_id long, text string",
+    )
+
+    real_publish = pl._publish_atomic
+    fired = {"n": 0}
+
+    def publish_then_maintain(df, final_dir, partition_by=None):
+        real_publish(df, final_dir, partition_by)
+        if fired["n"] == 0 and final_dir.startswith(f"{out}/batch="):
+            fired["n"] = 1
+            # maintenance acquires, completes and releases mid-batch:
+            # no lease remains at fence time — only the counter moved
+            with maintenance_lease(df.sparkSession, sidx, "mid-batch-op"):
+                pass
+
+    monkeypatch.setattr(pl, "_publish_atomic", publish_then_maintain)
+    with pytest.raises(MaintenanceLeaseHeld, match="generation moved"):
+        pl.dedup_ingest_batch(sidx, out)(batch, 0)
+    # the aborted commit left no manifest, so readers see nothing of it
+    assert manifested_batch_ids(spark, out) == []
+
+    # replay (same batch id, maintenance window over) converges
+    monkeypatch.setattr(pl, "_publish_atomic", real_publish)
+    pl.dedup_ingest_batch(sidx, out)(batch, 0)
+    assert manifested_batch_ids(spark, out) == [0]
+    got = pl.read_ingested(spark, out)
+    assert got.count() == 1 and got.filter(F.col("doc_id") == 2).count() == 1
+    # index holds doc 2's band rows exactly once (4 bands -> 4 rows)
+    idx_rows = spark.read.parquet(sidx).filter(F.col("doc_id") == 2)
+    assert idx_rows.count() == 4
+
+
+def test_commit_time_fence_vector_ingest(spark, sf_dir, tmp_path_factory, monkeypatch):
+    """r11 — the vector twin: maintenance completing between the spill
+    publish and the manifest aborts the commit; the replay converges with
+    no duplicate vectors visible to probes."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import twitter_event_stream_spark.streaming.pipelines as pl
+    from twitter_event_stream_spark.fsio import (
+        MaintenanceLeaseHeld,
+        maintenance_lease,
+        manifested_batch_ids,
+    )
+    from twitter_event_stream_spark.operators.vector_search import (
+        read_ivf_cells,
+        write_ivf_index,
+    )
+    from twitter_event_stream_spark.tables import table
+
+    root = str(tmp_path_factory.mktemp("vfence"))
+    ivf = f"{root}/ivf"
+    e = table(spark, sf_dir, "embeddings")
+    write_ivf_index(spark, e.filter(F.col("vec_id") % 2 == 0), ivf)
+    batch = e.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    n_batch = batch.count()
+    n_base = read_ivf_cells(spark, ivf).count()
+
+    real_publish = pl._publish_atomic
+    fired = {"n": 0}
+
+    def publish_then_maintain(df, final_dir, partition_by=None):
+        real_publish(df, final_dir, partition_by)
+        if fired["n"] == 0 and final_dir.startswith(f"{ivf}/ingest/batch="):
+            fired["n"] = 1
+            with maintenance_lease(df.sparkSession, ivf, "mid-batch-op"):
+                pass
+
+    monkeypatch.setattr(pl, "_publish_atomic", publish_then_maintain)
+    with pytest.raises(MaintenanceLeaseHeld, match="generation moved"):
+        pl.vector_ingest_batch(ivf)(batch, 0)
+    assert manifested_batch_ids(spark, f"{ivf}/ingest") == []
+    # unmanifested spill is invisible: probes still see only the base tree
+    assert read_ivf_cells(spark, ivf).count() == n_base
+
+    monkeypatch.setattr(pl, "_publish_atomic", real_publish)
+    pl.vector_ingest_batch(ivf)(batch, 0)
+    assert manifested_batch_ids(spark, f"{ivf}/ingest") == [0]
+    vis = read_ivf_cells(spark, ivf)
+    assert vis.count() == n_base + n_batch
+    assert vis.groupBy("vec_id").count().filter("count > 1").count() == 0
+
+
+def test_consolidate_manifests_rerun_preserves_committed_file(
+    spark, tmp_path_factory
+):
+    """r11 (r10 ADVICE) — a crash-recovery re-run that folds to the SAME
+    `through` keeps the already-committed consolidated file (it never
+    deletes it before a rename), so a crash mid-re-run can no longer lose
+    the folded batch ids; the re-run just finishes the per-batch deletes."""
+    import os
+
+    import twitter_event_stream_spark.streaming.pipelines as pl
+    from twitter_event_stream_spark.fsio import (
+        consolidate_manifests,
+        manifested_batch_ids,
+    )
+
+    root = str(tmp_path_factory.mktemp("remani"))
+    out = f"{root}/sink"
+    for bid in range(10):
+        d = f"{out}/batch={bid}"
+        os.makedirs(d)
+        with open(f"{d}/part-0.parquet", "w") as f:
+            f.write("x")
+        pl._write_fs_manifest(spark, out, bid, d)
+
+    rep = consolidate_manifests(spark, out, keep_last=2)
+    assert rep["folded"] == 8 and rep["through"] == 7
+    cons = f"{out}/_manifests/consolidated-{7:09d}.json"
+    mtime0 = os.stat(cons).st_mtime_ns
+
+    # simulate the crash window: a prior run committed consolidated-7 but
+    # died before deleting some folded per-batch manifests — recreate them
+    for bid in (0, 1, 2):
+        pl._write_fs_manifest(spark, out, bid, f"{out}/batch={bid}")
+    assert manifested_batch_ids(spark, out) == list(range(10))
+
+    rep2 = consolidate_manifests(spark, out, keep_last=2)
+    assert rep2["through"] == 7
+    # the committed file was left untouched (not deleted + re-renamed) ...
+    assert os.stat(cons).st_mtime_ns == mtime0
+    # ... the stragglers were deleted, and no reader lost a batch id
+    assert manifested_batch_ids(spark, out) == list(range(10))
+    assert not any(
+        n.startswith("batch-00000000") and n.endswith(".json")
+        and int(n[len("batch-"):-len(".json")]) in (0, 1, 2)
+        for n in os.listdir(f"{out}/_manifests")
+    )
+
+
+def test_retention_passes_hold_the_lease(spark, tmp_path_factory):
+    """r11 — consolidate_manifests and compact_rejects are maintenance ops
+    and now run under the sink dir's lease: a held lease on the SINK
+    refuses them (serializing retention passes), while ingest handlers —
+    which check the INDEX path, not the sink — remain unblocked by
+    retention, as before."""
+    import os
+
+    import pytest
+
+    import twitter_event_stream_spark.streaming.pipelines as pl
+    from twitter_event_stream_spark.fsio import (
+        MaintenanceLeaseHeld,
+        acquire_maintenance_lease,
+        consolidate_manifests,
+        release_maintenance_lease,
+    )
+
+    root = str(tmp_path_factory.mktemp("retlease"))
+    out = f"{root}/sink"
+    for bid in range(4):
+        d = f"{out}/batch={bid}"
+        os.makedirs(d)
+        with open(f"{d}/part-0.parquet", "w") as f:
+            f.write("x")
+        pl._write_fs_manifest(spark, out, bid, d)
+
+    acquire_maintenance_lease(spark, out, owner="other-retention")
+    with pytest.raises(MaintenanceLeaseHeld, match="other-retention"):
+        consolidate_manifests(spark, out, keep_last=1)
+    with pytest.raises(MaintenanceLeaseHeld, match="other-retention"):
+        pl.compact_rejects(spark, out, keep_last=1)
+    release_maintenance_lease(spark, out)
+    rep = consolidate_manifests(spark, out, keep_last=1)
+    assert rep["folded"] == 3
+
+
+def test_pointer_layout_migration_and_streaming(spark, sf_dir, tmp_path_factory):
+    """r11 — the S3A-safe pointer-versioned layout end to end: a LEGACY
+    index is migrated in place by a `pointer_swap=True` compaction (same
+    rows, same verdicts, root path unchanged), streaming ingest keeps
+    composing with it (gate appends land in the current version), the
+    layout is forward-only, and the IVF twin migrates the same way with
+    absorb/rebuild staying pointer-published."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import twitter_event_stream_spark.streaming.pipelines as pl
+    from twitter_event_stream_spark.fsio import resolve_data_dir
+    from twitter_event_stream_spark.operators.corpus_full import (
+        compact_band_rows,
+        dedup_against_index,
+        write_simhash_index,
+    )
+    from twitter_event_stream_spark.operators.vector_search import (
+        absorb_ingested,
+        compact_ivf_cells,
+        ivf_topk_indexed,
+        read_ivf_cells,
+        rebuild_ivf_index,
+        write_ivf_index,
+    )
+    from twitter_event_stream_spark.tables import table
+
+    root = str(tmp_path_factory.mktemp("ptrmig"))
+
+    # --- text index: legacy build + one gate batch, then migrate ---
+    sidx = f"{root}/simhash"
+    out = f"{root}/corpus"
+    d = table(spark, sf_dir, "documents")
+    write_simhash_index(spark, d.filter(F.col("doc_id") % 3 == 0), sidx)
+    probe = d.filter(F.col("doc_id") % 3 == 1).limit(100)
+    before = sorted(
+        map(tuple, dedup_against_index(spark, probe, sidx).collect())
+    )
+    assert resolve_data_dir(spark, sidx) == sidx  # legacy resolves to root
+
+    rep = compact_band_rows(spark, sidx, pointer_swap=True)
+    assert rep["files_after"] == 4
+    cur = resolve_data_dir(spark, sidx)
+    assert cur != sidx and "/_v-" in cur
+    # legacy band dirs are gone from root level; only _-prefixed remain
+    assert not any(
+        n.startswith("band=") for n in os.listdir(sidx)
+    )
+    assert sorted(
+        map(tuple, dedup_against_index(spark, probe, sidx).collect())
+    ) == before
+
+    # gate batch against the MIGRATED index: appends land in the current
+    # version, replay protocol intact
+    batch = d.filter(F.col("doc_id") % 3 == 2).limit(50)
+    pl.dedup_ingest_batch(sidx, out)(batch, 0)
+    assert pl.read_ingested(spark, out).count() > 0
+    appended = (
+        spark.read.parquet(resolve_data_dir(spark, sidx))
+        .join(batch.select("doc_id"), "doc_id")
+        .count()
+    )
+    assert appended > 0  # survivors' band rows are in the live version
+
+    # a second compaction stays pointer-published (auto-detect) and the
+    # layout cannot be forced back
+    rep2 = compact_band_rows(spark, sidx)
+    assert resolve_data_dir(spark, sidx) != cur  # new version dir
+    assert rep2["files_after"] == 4
+    with pytest.raises(ValueError, match="pointer-versioned"):
+        compact_band_rows(spark, sidx, pointer_swap=False)
+
+    # --- IVF twin: legacy build -> migrate -> stream -> absorb -> rebuild ---
+    ivf = f"{root}/ivf"
+    e = table(spark, sf_dir, "embeddings")
+    write_ivf_index(spark, e.filter(F.col("vec_id") % 2 == 0), ivf)
+    probes = e.filter(F.col("vec_id") < 20)
+    want = sorted(
+        map(tuple, ivf_topk_indexed(spark, ivf, probes, k=5).collect())
+    )
+    compact_ivf_cells(spark, ivf, pointer_swap=True)
+    vcur = resolve_data_dir(spark, ivf)
+    assert vcur != ivf and "/_v-" in vcur
+    assert not os.path.exists(f"{ivf}/cells")  # legacy tree cleaned
+    assert sorted(
+        map(tuple, ivf_topk_indexed(spark, ivf, probes, k=5).collect())
+    ) == want
+
+    vbatch = e.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    pl.vector_ingest_batch(ivf)(vbatch, 0)
+    n_all = e.filter(F.col("embedding").isNotNull()).count()
+    assert read_ivf_cells(spark, ivf).count() == n_all
+    rep3 = absorb_ingested(spark, ivf)
+    assert rep3["batches_absorbed"] == 1
+    assert read_ivf_cells(spark, ivf).count() == n_all
+
+    rep4 = rebuild_ivf_index(spark, ivf)  # auto-detects pointer layout
+    assert rep4["n_vectors"] == n_all
+    assert resolve_data_dir(spark, ivf) != vcur
+    # bit-identity with a fresh legacy build over the same visible set
+    fresh = f"{root}/fresh"
+    write_ivf_index(spark, e, fresh)
+    got = sorted(
+        map(tuple, ivf_topk_indexed(spark, ivf, probes, k=5).collect())
+    )
+    assert got == sorted(
+        map(tuple, ivf_topk_indexed(spark, fresh, probes, k=5).collect())
+    )
+    with pytest.raises(ValueError, match="pointer-versioned"):
+        rebuild_ivf_index(spark, ivf, pointer_swap=False)

@@ -427,9 +427,13 @@ def index_maintenance_probe(spark, sf_dir: str) -> tuple[float, dict]:
     one clustered shuffle of the whole band-row table, the corpus-sized
     term — so the timed op is ``compact_band_rows`` over a full-corpus
     index fragmented by three appends (the build/append passes are setup,
-    untimed). Expected shape: ~linear in the corpus with a columnar
-    shuffle constant; the returned report also shows the reclaim
-    (files_before → 4)."""
+    untimed). r11: the compaction publishes through the POINTER-VERSIONED
+    path (``pointer_swap=True``, the X128 S3A-safe seam, migrating the
+    legacy fixture in the same pass) so the new swap mechanism's overhead
+    — one staged version dir + a pointer-file create + root cleanup — is
+    measured at 10× too; it is metadata-scale, so the lane's ~linear
+    corpus shape must not move. The returned report also shows the
+    reclaim (files_before → 4)."""
     import tempfile
 
     from twitter_event_stream_spark.operators.corpus_full import (
@@ -452,7 +456,7 @@ def index_maintenance_probe(spark, sf_dir: str) -> tuple[float, dict]:
                 mode="append",
             )
         t = time.perf_counter()
-        rep = compact_band_rows(spark, f"{base}/idx")
+        rep = compact_band_rows(spark, f"{base}/idx", pointer_swap=True)
         return time.perf_counter() - t, rep
     finally:
         shutil.rmtree(base, ignore_errors=True)

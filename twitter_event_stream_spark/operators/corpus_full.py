@@ -338,8 +338,15 @@ def write_band_rows(rows: DataFrame, path: str, mode: str = "overwrite") -> None
     :func:`write_simhash_index` so callers that already hold a batch's band
     rows (the X116 ingest gate) can append them WITHOUT re-tokenizing and
     re-voting the text — keeping the 'signatures compute once per document
-    ever' claim literally true."""
-    rows.write.mode(mode).partitionBy("band").parquet(path)
+    ever' claim literally true. Resolves through the index's pointer when
+    it uses the versioned layout (r11) — appends land in the CURRENT
+    version dir, so the pointer-swap maintenance path and streaming ingest
+    compose exactly like the legacy rename-swap path did."""
+    from twitter_event_stream_spark.fsio import resolve_data_dir
+
+    rows.write.mode(mode).partitionBy("band").parquet(
+        resolve_data_dir(rows.sparkSession, path)
+    )
 
 
 def write_simhash_index(
@@ -348,6 +355,7 @@ def write_simhash_index(
     path: str,
     text_col: str = "text",
     mode: str = "overwrite",
+    pointer: bool = False,
 ) -> None:
     """Persist the corpus's SimHash dedup index (X115): 64-bit signatures
     pre-exploded into the Manku WWW'07 4x16-bit band keys, parquet
@@ -357,8 +365,27 @@ def write_simhash_index(
     expensive tokenize + 64-vote aggregation runs exactly once per
     document over the corpus's lifetime (``mode="append"`` grows the
     index with a batch's survivors). The text-dedup twin of the persisted
-    IVF index (X114, vector_search.write_ivf_index)."""
-    write_band_rows(_simhash_band_rows(simhash64(docs, text_col)), path, mode)
+    IVF index (X114, vector_search.write_ivf_index).
+
+    ``pointer=True`` creates the index in the POINTER-VERSIONED layout
+    (r11, fsio.resolve_data_dir): data lives in ``<path>/_v-*`` named by a
+    ``_current-<n>`` pointer file, and every later maintenance swap is a
+    single pointer-file create instead of a directory rename — the layout
+    to use on object stores (S3A), where directory renames are neither
+    atomic nor cheap. All readers/appenders resolve automatically, so the
+    two layouts are call-compatible everywhere."""
+    rows = _simhash_band_rows(simhash64(docs, text_col))
+    if pointer and mode == "overwrite":
+        from twitter_event_stream_spark.fsio import (
+            pointer_swap_dir,
+            stage_version_dir,
+        )
+
+        staged = stage_version_dir(path)
+        rows.write.partitionBy("band").parquet(staged)
+        pointer_swap_dir(spark, path, staged)
+        return
+    write_band_rows(rows, path, mode)
 
 
 def dedup_against_index(
@@ -418,7 +445,9 @@ def dedup_against_index(
             "index uses 4 bands: exact recall needs max_hamming < 4 "
             f"(got {max_hamming})"
         )
-    idx = spark.read.parquet(path)
+    from twitter_event_stream_spark.fsio import resolve_data_dir
+
+    idx = spark.read.parquet(resolve_data_dir(spark, path))
     if band_rows is None:
         band_rows = _simhash_band_rows(simhash64(new_docs, text_col))
     nb = band_rows.select(
@@ -463,7 +492,10 @@ def dedup_against_index(
 
 
 def compact_band_rows(
-    spark: SparkSession, path: str, files_per_band: int = 1
+    spark: SparkSession,
+    path: str,
+    files_per_band: int = 1,
+    pointer_swap: bool | None = None,
 ) -> dict:
     """Compact the persisted SimHash dedup index (X115) down to
     ``files_per_band`` parquet files per band partition — the maintenance
@@ -482,14 +514,37 @@ def compact_band_rows(
     (``fsio.assert_no_maintenance``) instead of landing its append in the
     doomed directory, and a second concurrent maintenance op is refused.
 
+    ``pointer_swap`` picks the publish mechanism (r11): ``None`` keeps the
+    index's current layout (pointer-versioned dirs stay pointer-versioned,
+    legacy dirs use the rename swap); ``True`` publishes through a
+    ``_current-<n>`` pointer flip (:func:`fsio.pointer_swap_dir`) —
+    MIGRATING a legacy index to the versioned layout in the same pass,
+    which is the S3A-safe form (single small-file create, no directory
+    rename); ``False`` on a pointer-versioned index raises — the layouts
+    are forward-only.
+
     Returns ``{"files_before", "files_after"}`` for the caller's log;
     trigger compaction on :func:`fsio.data_file_count` (say, > 64 files
     per band), not on row count — rows never change."""
-    from twitter_event_stream_spark.fsio import maintenance_lease
+    from twitter_event_stream_spark.fsio import (
+        maintenance_lease,
+        pointer_swap_dir,
+        resolve_data_dir,
+        stage_version_dir,
+    )
 
     with maintenance_lease(spark, path, "compact_band_rows"):
-        before = data_file_count(spark, path)
-        idx = spark.read.parquet(path)
+        cur = resolve_data_dir(spark, path)
+        is_pointer = cur != path
+        if pointer_swap is None:
+            pointer_swap = is_pointer
+        if is_pointer and not pointer_swap:
+            raise ValueError(
+                f"{path} uses the pointer-versioned layout; it cannot be "
+                "compacted back to the legacy rename-swap layout"
+            )
+        before = data_file_count(spark, cur)
+        idx = spark.read.parquet(cur)
         if files_per_band <= 1:
             df = idx.repartition("band")
         else:
@@ -501,10 +556,15 @@ def compact_band_rows(
                 .repartition("band", "_salt")
                 .drop("_salt")
             )
-        tmp = f"{path}.compact-{uuid.uuid4().hex}"
-        df.write.partitionBy("band").parquet(tmp)
-        atomic_swap_dir(spark, path, tmp)
+        if pointer_swap:
+            staged = stage_version_dir(path)
+            df.write.partitionBy("band").parquet(staged)
+            pointer_swap_dir(spark, path, staged)
+        else:
+            tmp = f"{path}.compact-{uuid.uuid4().hex}"
+            df.write.partitionBy("band").parquet(tmp)
+            atomic_swap_dir(spark, path, tmp)
         return {
             "files_before": before,
-            "files_after": data_file_count(spark, path),
+            "files_after": data_file_count(spark, resolve_data_dir(spark, path)),
         }

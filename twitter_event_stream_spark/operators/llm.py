@@ -339,6 +339,13 @@ def q_llm_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set is 1,776 of 90,100 pairs (2.0%) at planted near-dup
     recall 1.0 (pinned by
     tests/test_infra.py::test_minhash_banding_prunes_on_realistic_vocab).
+
+    This query demonstrates the Spark ML library operator (and re-fits the
+    LSH model per invocation). For PRODUCTION whole-corpus near-dup, use
+    the deterministic X6/X105 machinery instead — ``q_llm_minhash_det``
+    (llm_extra) and ``corpus_full.q_corpus_curation_full`` /
+    ``q_simhash_dedup_full`` (signatures computed once, star-edge
+    connected components, no model fit per run).
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
@@ -369,7 +376,13 @@ def q_llm_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5 (ROWS) — approximate nearest neighbors via random-hyperplane /
     bucketed random projection LSH over embeddings; the scale path for K4
-    (probe joins only its hash bucket instead of the whole corpus)."""
+    (probe joins only its hash bucket instead of the whole corpus).
+
+    Demonstrates the Spark ML library operator (model re-fit per
+    invocation). For PRODUCTION ANN, use the IVF machinery instead —
+    ``q_llm_ann_ivf`` / X114's persisted build-once/probe-many index
+    (``vector_search.write_ivf_index`` + ``ivf_topk_indexed``, partition-
+    pruned probes, no per-run fit)."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 

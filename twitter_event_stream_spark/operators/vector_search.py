@@ -450,6 +450,7 @@ def write_ivf_index(
     n_cells: int | None = None,
     seed: int = 42,
     distributed: bool | None = None,
+    pointer: bool = False,
 ) -> None:
     """Persist an IVF index: train the coarse quantizer once, then write
     ``<path>/centroids`` (cell id + centroid vector) and ``<path>/cells``
@@ -459,18 +460,36 @@ def write_ivf_index(
     served index. Partitioning the corpus by cell turns every later probe
     into a pruned scan: only the probed cells' files are read (dynamic
     partition pruning through the cell join; pinned by test). Same seeded
-    trainer as ivf_topk, so a rebuilt index reproduces bit-identically."""
+    trainer as ivf_topk, so a rebuilt index reproduces bit-identically.
+
+    ``pointer=True`` creates the index in the POINTER-VERSIONED layout
+    (r11, fsio.resolve_data_dir): the centroid+cells tree lives in
+    ``<path>/_v-*`` named by a ``_current-<n>`` pointer file, the
+    streaming-ingest spill stays beside it at ``<path>/ingest``, and every
+    later maintenance swap (rebuild, cell compaction) is a single
+    pointer-file create instead of a directory rename — the S3A-safe
+    layout. Readers resolve automatically, so both layouts are
+    call-compatible everywhere."""
     bc = _train_quantizer(spark, vectors, n_cells, seed, distributed)
     if bc is None:
         raise ValueError("cannot index an empty corpus")
+    target = path
+    if pointer:
+        from twitter_event_stream_spark.fsio import stage_version_dir
+
+        target = stage_version_dir(path)
     cm = bc.value
     spark.createDataFrame(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(cm)],
         "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{target}/centroids")
     _cell_assign(vectors, bc, 1).write.mode("overwrite").partitionBy(
         "cell"
-    ).parquet(f"{path}/cells")
+    ).parquet(f"{target}/cells")
+    if pointer:
+        from twitter_event_stream_spark.fsio import pointer_swap_dir
+
+        pointer_swap_dir(spark, path, target, keep=("ingest",))
 
 
 def ivf_topk_indexed(
@@ -516,9 +535,14 @@ def ivf_topk_indexed(
 
 def _stored_centroid_bc(spark: SparkSession, path: str):
     """Broadcast of a persisted index's centroid matrix (cell-ordered) —
-    the one tiny read every stored-quantizer operation shares."""
+    the one tiny read every stored-quantizer operation shares. Resolves
+    the root's pointer (r11) so both index layouts serve identically."""
+    from twitter_event_stream_spark.fsio import resolve_data_dir
+
     cent_pdf = (
-        spark.read.parquet(f"{path}/centroids").orderBy("cell").toPandas()
+        spark.read.parquet(f"{resolve_data_dir(spark, path)}/centroids")
+        .orderBy("cell")
+        .toPandas()
     )
     cm = np.asarray(cent_pdf["centroid"].tolist(), dtype=np.float64)
     return spark.sparkContext.broadcast(cm)
@@ -545,9 +569,12 @@ def read_ivf_cells(spark: SparkSession, path: str) -> DataFrame:
     relation via ``basePath``), so a probe's cell join prunes their files
     the same way; the spill stays small because :func:`absorb_ingested`
     folds it into the main tree on the maintenance cadence."""
-    from twitter_event_stream_spark.fsio import manifested_batch_ids
+    from twitter_event_stream_spark.fsio import (
+        manifested_batch_ids,
+        resolve_data_dir,
+    )
 
-    cells = spark.read.parquet(f"{path}/cells")
+    cells = spark.read.parquet(f"{resolve_data_dir(spark, path)}/cells")
     ids = manifested_batch_ids(spark, f"{path}/ingest")
     if not ids:
         return cells
@@ -593,9 +620,11 @@ def absorb_ingested(spark: SparkSession, path: str) -> dict:
         _fs,
         maintenance_lease,
         manifested_batch_ids,
+        resolve_data_dir,
     )
 
     with maintenance_lease(spark, path, "absorb_ingested"):
+        cur = resolve_data_dir(spark, path)  # pointer layout (r11) or root
         ids = manifested_batch_ids(spark, f"{path}/ingest")
         if not ids:
             return {"batches_absorbed": 0, "vectors_absorbed": 0}
@@ -606,7 +635,7 @@ def absorb_ingested(spark: SparkSession, path: str) -> dict:
         pending = _read_pending(spark, path, ids).dropDuplicates(["vec_id"])
         touched = [r.cell for r in pending.select("cell").distinct().collect()]
         already = (
-            spark.read.parquet(f"{path}/cells")
+            spark.read.parquet(f"{cur}/cells")
             .filter(F.col("cell").isin(touched))
             .select("vec_id")
         )
@@ -614,7 +643,7 @@ def absorb_ingested(spark: SparkSession, path: str) -> dict:
         n = new.count()
         if n:
             new.write.mode("append").partitionBy("cell").parquet(
-                f"{path}/cells"
+                f"{cur}/cells"
             )
         fs, hpath = _fs(spark, path)
         for i in ids:
@@ -643,10 +672,12 @@ def append_ivf_index(spark: SparkSession, new_vectors: DataFrame, path: str) -> 
     (``write_ivf_index``, a full retrain + rewrite) when occupancy skew
     exceeds ~4× the mean or any probed cell outgrows executor memory —
     the same re-train rule of thumb FAISS documents for IVF lists."""
+    from twitter_event_stream_spark.fsio import resolve_data_dir
+
     bc = _stored_centroid_bc(spark, path)
     _cell_assign(new_vectors, bc, 1).write.mode("append").partitionBy(
         "cell"
-    ).parquet(f"{path}/cells")
+    ).parquet(f"{resolve_data_dir(spark, path)}/cells")
 
 
 def rebuild_ivf_index(
@@ -655,6 +686,7 @@ def rebuild_ivf_index(
     n_cells: int | None = None,
     seed: int = 42,
     distributed: bool | None = None,
+    pointer_swap: bool | None = None,
 ) -> dict:
     """The drift rebuild that :func:`ivf_index_stats` skew points at, made
     executable: retrain the quantizer over every VISIBLE vector (absorbed
@@ -681,27 +713,68 @@ def rebuild_ivf_index(
     the same index as a fresh :func:`write_ivf_index` build (pinned by
     test).
 
+    ``pointer_swap`` picks the publish mechanism (r11): ``None`` keeps the
+    index's current layout; ``True`` publishes the fresh tree as a new
+    ``<path>/_v-*`` version named by a pointer-file flip
+    (:func:`fsio.pointer_swap_dir`) — the S3A-safe form, migrating a
+    legacy index in the same pass — and then retires the consumed ingest
+    batches explicitly (manifest first, data second; the rename swap
+    removed the whole spill implicitly). A crash between the flip and the
+    retire leaves the consumed batches transiently visible TWICE through
+    :func:`read_ivf_cells` (fresh cells already hold their vectors) —
+    the same bounded at-least-once window :func:`absorb_ingested`
+    documents for its own crash, and the next absorb/rebuild converges it
+    to exactly-once. ``False`` on a pointer-versioned index raises.
+
     Returns ``{"n_vectors", "n_cells_before", "n_cells_after",
     "pending_batches_consumed"}``."""
     from twitter_event_stream_spark.fsio import (
+        _fs,
         atomic_swap_dir,
         maintenance_lease,
         manifested_batch_ids,
+        pointer_swap_dir,
+        resolve_data_dir,
+        stage_version_dir,
     )
 
     with maintenance_lease(spark, path, "rebuild_ivf_index"):
+        cur = resolve_data_dir(spark, path)
+        is_pointer = cur != path
+        if pointer_swap is None:
+            pointer_swap = is_pointer
+        if is_pointer and not pointer_swap:
+            raise ValueError(
+                f"{path} uses the pointer-versioned layout; it cannot be "
+                "rebuilt back to the legacy rename-swap layout"
+            )
         vectors = read_ivf_cells(spark, path).select("vec_id", "embedding")
         n = vectors.count()
-        n_before = spark.read.parquet(f"{path}/centroids").count()
-        n_pending = len(manifested_batch_ids(spark, f"{path}/ingest"))
-        tmp = f"{path}.rebuild-{uuid.uuid4().hex}"
-        write_ivf_index(spark, vectors, tmp, n_cells, seed, distributed)
-        atomic_swap_dir(spark, path, tmp)
+        n_before = spark.read.parquet(f"{cur}/centroids").count()
+        pending_ids = manifested_batch_ids(spark, f"{path}/ingest")
+        if pointer_swap:
+            staged = stage_version_dir(path)
+            write_ivf_index(spark, vectors, staged, n_cells, seed, distributed)
+            pointer_swap_dir(spark, path, staged, keep=("ingest",))
+            fs, hpath = _fs(spark, path)
+            for i in pending_ids:
+                fs.delete(
+                    hpath(f"{path}/ingest/_manifests/batch-{i:09d}.json"),
+                    False,
+                )
+                fs.delete(hpath(f"{path}/ingest/batch={i}"), True)
+        else:
+            tmp = f"{path}.rebuild-{uuid.uuid4().hex}"
+            write_ivf_index(spark, vectors, tmp, n_cells, seed, distributed)
+            atomic_swap_dir(spark, path, tmp)
+        after_dir = resolve_data_dir(spark, path)
         return {
             "n_vectors": n,
             "n_cells_before": n_before,
-            "n_cells_after": spark.read.parquet(f"{path}/centroids").count(),
-            "pending_batches_consumed": n_pending,
+            "n_cells_after": spark.read.parquet(
+                f"{after_dir}/centroids"
+            ).count(),
+            "pending_batches_consumed": len(pending_ids),
         }
 
 
@@ -716,8 +789,12 @@ def ivf_index_stats(spark: SparkSession, path: str) -> DataFrame:
     cell partitioning. Counts every VISIBLE vector — committed
     streaming-ingest batches included — so the rebuild signal can't lag
     behind a continuously-ingesting deployment."""
+    from twitter_event_stream_spark.fsio import resolve_data_dir
+
     cells = read_ivf_cells(spark, path)
-    trained = spark.read.parquet(f"{path}/centroids").select("cell")
+    trained = spark.read.parquet(
+        f"{resolve_data_dir(spark, path)}/centroids"
+    ).select("cell")
     occ = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
     full = (
         trained.join(occ, "cell", "left")
@@ -739,7 +816,10 @@ def ivf_index_stats(spark: SparkSession, path: str) -> DataFrame:
 
 
 def compact_ivf_cells(
-    spark: SparkSession, path: str, files_per_cell: int = 1
+    spark: SparkSession,
+    path: str,
+    files_per_cell: int = 1,
+    pointer_swap: bool | None = None,
 ) -> dict:
     """Compact a persisted IVF index's cell partitions (X114) down to
     ``files_per_cell`` parquet files per cell — the maintenance half of
@@ -757,14 +837,36 @@ def compact_ivf_cells(
     fast at its next batch instead of landing files in the doomed
     directory, and a concurrent maintenance op is refused.
 
+    ``pointer_swap`` picks the publish mechanism (r11): ``None`` keeps the
+    index's current layout; ``True`` publishes a whole fresh version dir —
+    compacted cells plus a byte-exact COPY of the untouched centroids
+    file — through a pointer flip (:func:`fsio.pointer_swap_dir`), the
+    S3A-safe form, migrating a legacy index in the same pass; ``False``
+    on a pointer-versioned index raises.
+
     Returns ``{"files_before", "files_after"}``; trigger on
     :func:`fsio.data_file_count` growth, and note compaction is NOT the
     drift rebuild — occupancy skew still calls for
     :func:`write_ivf_index` (full retrain) per :func:`ivf_index_stats`."""
-    from twitter_event_stream_spark.fsio import maintenance_lease
+    from twitter_event_stream_spark.fsio import (
+        copy_dir,
+        maintenance_lease,
+        pointer_swap_dir,
+        resolve_data_dir,
+        stage_version_dir,
+    )
 
     with maintenance_lease(spark, path, "compact_ivf_cells"):
-        cells_dir = f"{path}/cells"
+        cur = resolve_data_dir(spark, path)
+        is_pointer = cur != path
+        if pointer_swap is None:
+            pointer_swap = is_pointer
+        if is_pointer and not pointer_swap:
+            raise ValueError(
+                f"{path} uses the pointer-versioned layout; it cannot be "
+                "compacted back to the legacy rename-swap layout"
+            )
+        cells_dir = f"{cur}/cells"
         before = data_file_count(spark, cells_dir)
         cells = spark.read.parquet(cells_dir)
         if files_per_cell <= 1:
@@ -778,10 +880,18 @@ def compact_ivf_cells(
                 .repartition("cell", "_salt")
                 .drop("_salt")
             )
-        tmp = f"{cells_dir}.compact-{uuid.uuid4().hex}"
-        df.write.partitionBy("cell").parquet(tmp)
-        atomic_swap_dir(spark, cells_dir, tmp)
+        if pointer_swap:
+            staged = stage_version_dir(path)
+            df.write.partitionBy("cell").parquet(f"{staged}/cells")
+            copy_dir(spark, f"{cur}/centroids", f"{staged}/centroids")
+            pointer_swap_dir(spark, path, staged, keep=("ingest",))
+        else:
+            tmp = f"{cells_dir}.compact-{uuid.uuid4().hex}"
+            df.write.partitionBy("cell").parquet(tmp)
+            atomic_swap_dir(spark, cells_dir, tmp)
         return {
             "files_before": before,
-            "files_after": data_file_count(spark, cells_dir),
+            "files_after": data_file_count(
+                spark, f"{resolve_data_dir(spark, path)}/cells"
+            ),
         }

@@ -680,13 +680,20 @@ def dedup_ingest_batch(
         )
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        from twitter_event_stream_spark.fsio import assert_no_maintenance
+        from twitter_event_stream_spark.fsio import (
+            assert_no_maintenance,
+            maintenance_generation,
+        )
 
         spark = batch_df.sparkSession
         # fail FAST while index maintenance (compaction) holds the lease —
         # an append racing the atomic swap would land in the doomed dir and
         # silently lose this batch's band rows; foreachBatch retries the
-        # refused batch after the maintenance window (r10)
+        # refused batch after the maintenance window (r10). The generation
+        # snapshot backs the COMMIT-TIME fence below (r11): maintenance
+        # that starts AND finishes inside this batch's compute window
+        # leaves no lease to see, but moves the counter.
+        gen0 = maintenance_generation(spark, index_path)
         assert_no_maintenance(spark, index_path)
         batch_df.persist()
         rows = _simhash_band_rows(simhash64(batch_df))
@@ -741,11 +748,14 @@ def dedup_ingest_batch(
                 .select("doc_id", "already_indexed")
                 .join(suppressed, "doc_id", "left_anti")
             )
-            survivors.persist()
-            uniq_ids = survivors.select("doc_id")
-            uniq = batch_df.join(uniq_ids, "doc_id")
-            uniq.persist()
+            uniq = batch_df.join(survivors.select("doc_id"), "doc_id")
             try:
+                # persists INSIDE the try whose finally unpersists them —
+                # an exception between persist and the try body must not
+                # leak the cached frames for the session (r10 ADVICE);
+                # unpersist on a never-persisted frame is a no-op
+                survivors.persist()
+                uniq.persist()
                 # audit trail: one minimal (hamming, dup_of) verdict per
                 # rejected doc across BOTH gates; reason by batch
                 # membership of the survivor, so replays relabel nothing
@@ -799,6 +809,16 @@ def dedup_ingest_batch(
                     index_path,
                     mode="append",
                 )
+                # COMMIT-TIME FENCE (r11, closing the r10 "residual race"):
+                # re-check immediately before the manifest write, with the
+                # batch-start generation snapshot. Maintenance that
+                # acquired mid-batch (lease visible) or ran to completion
+                # mid-batch (generation moved) may have swapped away the
+                # band-row append above — abort BEFORE certifying the
+                # commit; the retried batch republishes atomically and the
+                # X126 already_indexed protocol re-appends only what the
+                # index actually lacks, so the replay converges either way.
+                assert_no_maintenance(spark, index_path, generation=gen0)
                 # manifest LAST: its presence certifies publish + append
                 # both committed — read_ingested skips unmanifested batches
                 _write_fs_manifest(
@@ -958,15 +978,27 @@ def compact_rejects(spark, out_dir: str, keep_last: int = 8) -> dict:
     manifests themselves stay per-batch unless that pass also runs — the
     two are independent).
 
+    Runs under ``out_dir``'s maintenance lease (r11) — same rule as
+    :func:`fsio.consolidate_manifests`: blocks no ingest (handlers check
+    the INDEX path's lease), serializes retention passes against each
+    other mechanically.
+
     Returns ``{"folded", "through", "files_before", "files_after"}``."""
+    from twitter_event_stream_spark.fsio import maintenance_lease
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    with maintenance_lease(spark, out_dir, "compact_rejects"):
+        return _compact_rejects_locked(spark, out_dir, keep_last)
+
+
+def _compact_rejects_locked(spark, out_dir: str, keep_last: int) -> dict:
     from twitter_event_stream_spark.fsio import (
         _fs,
         data_file_count,
         manifested_batch_ids,
     )
 
-    if keep_last < 1:
-        raise ValueError("keep_last must be >= 1")
     rej = f"{out_dir}/_rejects"
     fs0, hpath0 = _fs(spark, rej)
     if not fs0.exists(hpath0(rej)):
@@ -1076,13 +1108,18 @@ def vector_ingest_batch(index_path: str) -> Callable[[DataFrame, int], None]:
     )
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        from twitter_event_stream_spark.fsio import assert_no_maintenance
+        from twitter_event_stream_spark.fsio import (
+            assert_no_maintenance,
+            maintenance_generation,
+        )
 
         spark = batch_df.sparkSession
         # fail FAST while maintenance (absorb/rebuild/compact) holds the
         # index lease: a rebuild's whole-dir swap would delete a batch
         # published after its visible-set snapshot (r10); the refused
-        # batch is retried by foreachBatch after the lease is released
+        # batch is retried by foreachBatch after the lease is released.
+        # gen0 backs the commit-time fence before the manifest (r11).
+        gen0 = maintenance_generation(spark, index_path)
         assert_no_maintenance(spark, index_path)
         bc = _stored_centroid_bc(spark, index_path)
         assigned = _cell_assign(batch_df, bc, 1)
@@ -1100,8 +1137,12 @@ def vector_ingest_batch(index_path: str) -> Callable[[DataFrame, int], None]:
             touched = [
                 r.cell for r in assigned.select("cell").distinct().collect()
             ]
+            from twitter_event_stream_spark.fsio import resolve_data_dir
+
             already = (
-                spark.read.parquet(f"{index_path}/cells")
+                spark.read.parquet(
+                    f"{resolve_data_dir(spark, index_path)}/cells"
+                )
                 .filter(F.col("cell").isin(touched))
                 .select("vec_id")
             )
@@ -1113,6 +1154,13 @@ def vector_ingest_batch(index_path: str) -> Callable[[DataFrame, int], None]:
                 out_dir = f"{index_path}/ingest"
                 batch_dir = f"{out_dir}/batch={batch_id}"
                 _publish_atomic(fresh, batch_dir, partition_by="cell")
+                # COMMIT-TIME FENCE (r11): a rebuild that acquired (lease)
+                # or completed (generation moved) while this batch computed
+                # may have swapped the whole index away — including the
+                # just-published unmanifested dir. Abort before the
+                # manifest certifies it; the retry re-anti-joins against
+                # the (possibly rebuilt) tree and converges.
+                assert_no_maintenance(spark, index_path, generation=gen0)
                 _write_fs_manifest(spark, out_dir, batch_id, batch_dir)
             finally:
                 fresh.unpersist()
