@@ -2486,3 +2486,66 @@ def test_pointer_layout_migration_and_streaming(spark, sf_dir, tmp_path_factory)
     )
     with pytest.raises(ValueError, match="pointer-versioned"):
         rebuild_ivf_index(spark, ivf, pointer_swap=False)
+
+
+def test_index_overwrite_autodetects_pointer_layout(
+    spark, sf_dir, tmp_path_factory
+):
+    """r11 — a full rebuild (`write_*_index(mode="overwrite")`) over an
+    existing pointer-versioned index must publish a fresh VERSION, not
+    write data to the legacy root position that resolving readers no
+    longer look at; forcing `pointer=False` onto a pointer layout raises."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from twitter_event_stream_spark.fsio import resolve_data_dir
+    from twitter_event_stream_spark.operators.corpus_full import (
+        dedup_against_index,
+        write_simhash_index,
+    )
+    from twitter_event_stream_spark.operators.vector_search import (
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+    from twitter_event_stream_spark.tables import table
+
+    root = str(tmp_path_factory.mktemp("autoptr"))
+
+    # text index
+    sidx = f"{root}/simhash"
+    d = table(spark, sf_dir, "documents")
+    write_simhash_index(spark, d.filter(F.col("doc_id") % 2 == 0), sidx,
+                        pointer=True)
+    v1 = resolve_data_dir(spark, sidx)
+    assert "/_v-" in v1
+    # overwrite with DIFFERENT content, no flags: auto-publishes a version
+    write_simhash_index(spark, d.filter(F.col("doc_id") % 2 == 1), sidx)
+    v2 = resolve_data_dir(spark, sidx)
+    assert "/_v-" in v2 and v2 != v1
+    assert not any(n.startswith("band=") for n in os.listdir(sidx))
+    probe = d.filter(F.col("doc_id") % 2 == 1).limit(20)
+    got = dedup_against_index(
+        spark, probe, sidx, include_already_indexed=True
+    )
+    # the probe docs ARE the new index content: all flagged already-indexed
+    assert got.filter(~F.col("already_indexed")).count() == 0
+    with pytest.raises(ValueError, match="pointer-versioned"):
+        write_simhash_index(spark, probe, sidx, pointer=False)
+
+    # vector twin
+    ivf = f"{root}/ivf"
+    e = table(spark, sf_dir, "embeddings")
+    write_ivf_index(spark, e.filter(F.col("vec_id") % 2 == 0), ivf,
+                    pointer=True)
+    w1 = resolve_data_dir(spark, ivf)
+    write_ivf_index(spark, e, ivf)  # full rebuild, no flags
+    w2 = resolve_data_dir(spark, ivf)
+    assert "/_v-" in w2 and w2 != w1
+    assert not os.path.exists(f"{ivf}/cells")
+    probes = e.filter(F.col("vec_id") < 10)
+    res = ivf_topk_indexed(spark, ivf, probes, k=3)
+    # odd vec_ids (absent from the first build) are now candidates
+    assert res.filter(F.col("cand_id") % 2 == 1).count() > 0
+    with pytest.raises(ValueError, match="pointer-versioned"):
+        write_ivf_index(spark, e, ivf, pointer=False)

@@ -355,7 +355,7 @@ def write_simhash_index(
     path: str,
     text_col: str = "text",
     mode: str = "overwrite",
-    pointer: bool = False,
+    pointer: bool | None = None,
 ) -> None:
     """Persist the corpus's SimHash dedup index (X115): 64-bit signatures
     pre-exploded into the Manku WWW'07 4x16-bit band keys, parquet
@@ -373,18 +373,33 @@ def write_simhash_index(
     single pointer-file create instead of a directory rename — the layout
     to use on object stores (S3A), where directory renames are neither
     atomic nor cheap. All readers/appenders resolve automatically, so the
-    two layouts are call-compatible everywhere."""
+    two layouts are call-compatible everywhere. The default (``None``)
+    AUTO-DETECTS on overwrite: rebuilding over an existing
+    pointer-versioned index publishes a fresh version atomically instead
+    of writing data to the legacy position readers no longer look at;
+    ``False`` on a pointer-versioned index raises (forward-only, same rule
+    as the compactions)."""
     rows = _simhash_band_rows(simhash64(docs, text_col))
-    if pointer and mode == "overwrite":
+    if mode == "overwrite":
         from twitter_event_stream_spark.fsio import (
             pointer_swap_dir,
+            resolve_data_dir,
             stage_version_dir,
         )
 
-        staged = stage_version_dir(path)
-        rows.write.partitionBy("band").parquet(staged)
-        pointer_swap_dir(spark, path, staged)
-        return
+        is_pointer = resolve_data_dir(spark, path) != path
+        if pointer is None:
+            pointer = is_pointer
+        if is_pointer and not pointer:
+            raise ValueError(
+                f"{path} uses the pointer-versioned layout; it cannot be "
+                "rewritten in the legacy rename-swap layout"
+            )
+        if pointer:
+            staged = stage_version_dir(path)
+            rows.write.partitionBy("band").parquet(staged)
+            pointer_swap_dir(spark, path, staged)
+            return
     write_band_rows(rows, path, mode)
 
 

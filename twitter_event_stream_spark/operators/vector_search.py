@@ -450,7 +450,7 @@ def write_ivf_index(
     n_cells: int | None = None,
     seed: int = 42,
     distributed: bool | None = None,
-    pointer: bool = False,
+    pointer: bool | None = None,
 ) -> None:
     """Persist an IVF index: train the coarse quantizer once, then write
     ``<path>/centroids`` (cell id + centroid vector) and ``<path>/cells``
@@ -469,14 +469,29 @@ def write_ivf_index(
     later maintenance swap (rebuild, cell compaction) is a single
     pointer-file create instead of a directory rename — the S3A-safe
     layout. Readers resolve automatically, so both layouts are
-    call-compatible everywhere."""
+    call-compatible everywhere. The default (``None``) AUTO-DETECTS: a
+    full rebuild over an existing pointer-versioned root publishes a
+    fresh version atomically instead of writing to the legacy position
+    readers no longer look at; ``False`` on a pointer-versioned root
+    raises (forward-only, same rule as the compactions)."""
+    from twitter_event_stream_spark.fsio import (
+        resolve_data_dir,
+        stage_version_dir,
+    )
+
     bc = _train_quantizer(spark, vectors, n_cells, seed, distributed)
     if bc is None:
         raise ValueError("cannot index an empty corpus")
+    is_pointer = resolve_data_dir(spark, path) != path
+    if pointer is None:
+        pointer = is_pointer
+    if is_pointer and not pointer:
+        raise ValueError(
+            f"{path} uses the pointer-versioned layout; it cannot be "
+            "rewritten in the legacy rename-swap layout"
+        )
     target = path
     if pointer:
-        from twitter_event_stream_spark.fsio import stage_version_dir
-
         target = stage_version_dir(path)
     cm = bc.value
     spark.createDataFrame(
