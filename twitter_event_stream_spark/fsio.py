@@ -207,10 +207,13 @@ def acquire_maintenance_lease(
 ) -> None:
     """Take the index's maintenance lease via a create-EXCLUSIVE marker file
     (r9 verdict "What's missing" #1 — mechanical quiescing instead of
-    documented discipline). ``fs.create(path, overwrite=False)`` is atomic
-    on HDFS and local filesystems, so two maintenance ops racing for the
-    same index resolve to exactly one winner; the loser gets
-    :class:`MaintenanceLeaseHeld` naming the current holder. A lease whose
+    documented discipline). The create is genuinely atomic per scheme —
+    HDFS's ``create(overwrite=False)`` at the namenode, POSIX
+    ``O_CREAT|O_EXCL`` on local filesystems (RawLocalFileSystem's
+    "exclusive" create is only check-then-create, r11) — so two
+    maintenance ops racing for the same index resolve to exactly one
+    winner; the loser gets :class:`MaintenanceLeaseHeld` naming the
+    current holder. A lease whose
     file is older than its ``ttl_sec`` is STALE (its holder crashed without
     releasing — live holders under :func:`maintenance_lease` heartbeat the
     file's mtime, so a long run never looks stale, r11) and is broken and
@@ -225,10 +228,27 @@ def acquire_maintenance_lease(
     :func:`atomic_swap_dir`."""
     fs, hpath = _fs(spark, index_path)
     lease = hpath(_lease_path(index_path))
+
+    def _create_exclusive():
+        """Atomically create the (empty) lease file, or raise when it
+        already exists. Scheme-aware, because the Hadoop FileSystem
+        contract alone is not enough: HDFS makes ``create(overwrite=
+        False)`` atomic at the namenode, but RawLocalFileSystem implements
+        it as CHECK-then-create — two racing processes can both pass the
+        exists check (caught by the 8-thread race test at driver scale,
+        r11) — so on ``file://`` the POSIX ``O_CREAT|O_EXCL`` primitive
+        (``java.io.File.createNewFile``) is used instead."""
+        if fs.getScheme() == "file":
+            jf = spark._jvm.java.io.File(lease.toUri().getPath())
+            if not jf.createNewFile():
+                raise FileExistsError(str(lease))
+            return fs.create(lease, True)  # we own it: write the payload
+        return fs.create(lease, False)  # overwrite=False -> exclusive
+
     last_err: Exception | None = None
     for attempt in (0, 1):
         try:
-            out = fs.create(lease, False)  # overwrite=False -> exclusive
+            out = _create_exclusive()
         except Exception as e:
             # ONLY the exclusive create's failure means "held" — a write
             # failure after a successful create is handled below, so a
