@@ -2549,3 +2549,49 @@ def test_index_overwrite_autodetects_pointer_layout(
     assert res.filter(F.col("cand_id") % 2 == 1).count() > 0
     with pytest.raises(ValueError, match="pointer-versioned"):
         write_ivf_index(spark, e, ivf, pointer=False)
+
+
+def test_pointer_swap_retains_previous_version(spark, tmp_path_factory):
+    """r11 — one-cycle grace window for object stores: a pointer flip
+    keeps the immediately-previous version dir and pointer (an in-flight
+    probe that resolved just before the flip must not 404 mid-read on a
+    store without open-handle semantics) and deletes everything older at
+    the NEXT swap."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from twitter_event_stream_spark.fsio import resolve_data_dir
+    from twitter_event_stream_spark.operators.corpus_full import (
+        compact_band_rows,
+        write_simhash_index,
+    )
+    from twitter_event_stream_spark.tables import table
+
+    path = str(tmp_path_factory.mktemp("grace")) + "/idx"
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    write_simhash_index(spark, d.limit(50), path, pointer=True)
+
+    def versions():
+        return sorted(n for n in os.listdir(path) if n.startswith("_v-"))
+
+    def pointers():
+        return sorted(n for n in os.listdir(path) if n.startswith("_current-"))
+
+    v1 = versions()
+    assert len(v1) == 1
+    compact_band_rows(spark, path)  # swap 2
+    v2 = versions()
+    # previous version retained for one cycle alongside the live one
+    assert len(v2) == 2 and v1[0] in v2
+    assert len(pointers()) == 2
+    live2 = resolve_data_dir(spark, path)
+    compact_band_rows(spark, path)  # swap 3: evicts v1, retains swap-2's
+    v3 = versions()
+    assert len(v3) == 2 and v1[0] not in v3
+    assert live2.rsplit("/", 1)[1] in v3  # swap-2's live version retained
+    assert len(pointers()) == 2
+    # the live version is always the newest pointer's target and readable
+    live3 = resolve_data_dir(spark, path)
+    assert live3 != live2
+    assert spark.read.parquet(live3).count() == spark.read.parquet(live2).count()

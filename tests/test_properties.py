@@ -8,6 +8,7 @@ import math
 import os
 
 import pandas as pd
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -1234,22 +1235,30 @@ def _vector_crash_scenarios(draw):
     return crashes, maint, late_retry
 
 
+@pytest.mark.parametrize("pointer", [False, True], ids=["rename", "pointer"])
 @settings(**{**_SETTINGS, "max_examples": 4})
 @given(_vector_crash_scenarios())
-def test_vector_protocol_random_crash_interleavings(spark, sf_dir, scenario):
+def test_vector_protocol_random_crash_interleavings(
+    spark, sf_dir, pointer, scenario
+):
     """r10 — the X123 protocol as a functional spec over random
     compositions of publish/manifest crashes, replays, absorb, CRASHED
     absorb, and post-absorb retries, with OVERLAPPING batches (cross-batch
     redelivery): after every event the visible distinct vec_id set equals
     base ∪ committed batches; after every completed absorb the tree holds
     no duplicate; and the final probe results equal a fresh index built
-    over the same visible set."""
+    over the same visible set. r11: parameterized over BOTH index layouts
+    — the pointer-versioned (S3A-safe) variant must satisfy the identical
+    functional spec, since absorb/ingest resolve through the pointer."""
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
-    from twitter_event_stream_spark.fsio import manifested_batch_ids
+    from twitter_event_stream_spark.fsio import (
+        manifested_batch_ids,
+        resolve_data_dir,
+    )
     from twitter_event_stream_spark.operators.vector_search import (
         _read_pending,
         absorb_ingested,
@@ -1278,8 +1287,11 @@ def test_vector_protocol_random_crash_interleavings(spark, sf_dir, scenario):
     root = tempfile.mkdtemp(prefix="vecprop")
     idx = f"{root}/idx"
     try:
-        write_ivf_index(spark, base_df, idx)
+        write_ivf_index(spark, base_df, idx, pointer=pointer)
         committed: set[int] = set()
+
+        def cells_dir():
+            return f"{resolve_data_dir(spark, idx)}/cells"
 
         def visible_ok():
             want = base_ids.union(*(ids_of[b] for b in committed)) if committed else base_ids
@@ -1295,7 +1307,7 @@ def test_vector_protocol_random_crash_interleavings(spark, sf_dir, scenario):
                 _read_pending(spark, idx, ids).dropDuplicates(
                     ["vec_id"]
                 ).write.mode("append").partitionBy("cell").parquet(
-                    f"{idx}/cells"
+                    cells_dir()
                 )
 
         for b in range(2):
@@ -1313,7 +1325,7 @@ def test_vector_protocol_random_crash_interleavings(spark, sf_dir, scenario):
             if maint[b] in ("absorb", "crash_absorb"):
                 absorb_ingested(spark, idx)
                 visible_ok()
-                cells = spark.read.parquet(f"{idx}/cells")
+                cells = spark.read.parquet(cells_dir())
                 assert cells.count() == cells.select("vec_id").distinct().count()
 
         if late_retry:
@@ -1330,7 +1342,7 @@ def test_vector_protocol_random_crash_interleavings(spark, sf_dir, scenario):
         # equality: identical candidates, identical ranking arithmetic)
         absorb_ingested(spark, idx)
         visible_ok()
-        cells = spark.read.parquet(f"{idx}/cells")
+        cells = spark.read.parquet(cells_dir())
         n_vis = cells.select("vec_id").distinct().count()
         assert cells.count() == n_vis
         from twitter_event_stream_spark.operators.vector_search import (

@@ -110,24 +110,29 @@ def resolve_data_dir(spark, root: str) -> str:
     the two layouts coexist: ``_``-prefixed version dirs and pointers are
     invisible to a plain recursive parquet scan of a legacy dir, and a
     migrated dir keeps its public path. Crash windows read consistently —
-    an extra not-yet-deleted pointer loses to the newest by max(), and a
-    pointer is only ever created AFTER its version dir is fully written."""
+    an extra not-yet-deleted pointer loses to the newest by max(), a
+    pointer is only ever created AFTER its version dir is fully written,
+    and a pointer deleted by swap cleanup between our listing and our
+    read triggers ONE re-list (a newer pointer exists by construction)
+    before falling back to the legacy interpretation."""
     fs, hpath = _fs(spark, root)
-    best, best_ptr = -1, None
-    try:
-        for st in fs.listStatus(hpath(root)):
-            seq = _pointer_seq(st.getPath().getName())
-            if seq is not None and seq > best:
-                best, best_ptr = seq, st.getPath()
-    except Exception:
-        return root  # root missing entirely: caller's read will say so
-    if best_ptr is None:
-        return root
-    try:
-        version = _read_json_file(fs, best_ptr)["version"]
-    except Exception:
-        return root
-    return f"{root}/{version}"
+    for _ in (0, 1):
+        best, best_ptr = -1, None
+        try:
+            for st in fs.listStatus(hpath(root)):
+                seq = _pointer_seq(st.getPath().getName())
+                if seq is not None and seq > best:
+                    best, best_ptr = seq, st.getPath()
+        except Exception:
+            return root  # root missing entirely: caller's read will say so
+        if best_ptr is None:
+            return root
+        try:
+            version = _read_json_file(fs, best_ptr)["version"]
+        except Exception:
+            continue  # pointer cleaned up under us: re-list once
+        return f"{root}/{version}"
+    return root
 
 
 def stage_version_dir(root: str) -> str:
@@ -150,11 +155,20 @@ def pointer_swap_dir(spark, root: str, staged: str, keep: tuple = ()) -> None:
     object PUT on S3), never a delete-then-rename of a live name and never
     a directory rename, so readers resolving through
     :func:`resolve_data_dir` see the old coherent version or the new one
-    at every instant on local, HDFS AND S3A. Cleanup failures are
-    harmless: stragglers are invisible to resolution (older pointers lose
-    to max; version dirs are only reachable via pointers) and the next
-    swap retries the deletes. Callers run under the maintenance lease, so
-    pointer sequence numbers never race."""
+    at every instant on local, HDFS AND S3A.
+
+    Cleanup retains the IMMEDIATELY-PREVIOUS version (dir + pointer) for
+    one maintenance cycle and deletes everything older: object stores
+    have no open-handle semantics, so an in-flight probe that resolved
+    the old version just before the flip would 404 mid-read if its files
+    vanished instantly — the one-cycle grace window covers it (bounded
+    extra storage: one version, reclaimed by the next swap). Cleanup
+    failures are harmless: stragglers are invisible to resolution (older
+    pointers lose to max; version dirs are only reachable via pointers)
+    and the next swap retries the deletes. The MIGRATION cleanup (legacy
+    root-level data files) is immediate — run a legacy→pointer migration
+    quiesced on object stores. Callers run under the maintenance lease,
+    so pointer sequence numbers never race."""
     fs, hpath = _fs(spark, root)
     staged = staged.rstrip("/")
     parent, vname = staged.rsplit("/", 1)
@@ -164,11 +178,17 @@ def pointer_swap_dir(spark, root: str, staged: str, keep: tuple = ()) -> None:
         )
     if not fs.exists(hpath(staged)):
         raise IOError(f"staged version dir {staged} does not exist")
-    best = -1
+    best, best_ptr = -1, None
     for st in fs.listStatus(hpath(root)):
         seq = _pointer_seq(st.getPath().getName())
         if seq is not None and seq > best:
-            best = seq
+            best, best_ptr = seq, st.getPath()
+    prev_vname = None
+    if best_ptr is not None:
+        try:
+            prev_vname = _read_json_file(fs, best_ptr)["version"]
+        except Exception:
+            prev_vname = None
     nxt = best + 1
     final = hpath(f"{root}/_current-{nxt:09d}")
     tmp = hpath(f"{root}/._current-{nxt:09d}.tmp-{uuid.uuid4().hex}")
@@ -179,12 +199,16 @@ def pointer_swap_dir(spark, root: str, staged: str, keep: tuple = ()) -> None:
         raise IOError(f"could not commit pointer {final}")
     # cleanup AFTER the commit: all best-effort, all invisible to readers
     keep_names = set(keep) | {vname}
+    if prev_vname is not None:
+        keep_names.add(prev_vname)  # one-cycle grace for in-flight probes
     for st in fs.listStatus(hpath(root)):
         name = st.getPath().getName()
         seq = _pointer_seq(name)
-        if seq is not None and seq < nxt:
-            fs.delete(st.getPath(), False)
-        elif name.startswith("_v-") and name != vname:
+        if seq is not None and seq < best:
+            fs.delete(st.getPath(), False)  # keep prev + new pointers
+        elif seq is not None:
+            pass  # the previous and the just-committed pointer
+        elif name.startswith("_v-") and name not in keep_names:
             fs.delete(st.getPath(), True)
         elif (
             not name.startswith(("_", "."))
