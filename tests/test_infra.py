@@ -2595,3 +2595,71 @@ def test_pointer_swap_retains_previous_version(spark, tmp_path_factory):
     live3 = resolve_data_dir(spark, path)
     assert live3 != live2
     assert spark.read.parquet(live3).count() == spark.read.parquet(live2).count()
+
+
+def test_resolve_data_dir_strict_errors(spark, tmp_path_factory):
+    """r11 — resolve falls back to the legacy interpretation ONLY for a
+    genuinely missing root; a root that HAS pointers but whose newest is
+    unreadable raises instead of silently misdirecting reads and appends
+    to the root position (which the next swap's cleanup would delete)."""
+    import os
+
+    from twitter_event_stream_spark.fsio import resolve_data_dir
+
+    root = str(tmp_path_factory.mktemp("strict"))
+    missing = f"{root}/never-created"
+    assert resolve_data_dir(spark, missing) == missing  # legacy fallback
+
+    broken = f"{root}/broken"
+    os.makedirs(broken)
+    with open(f"{broken}/_current-000000007", "w") as f:
+        f.write("this is not json")
+    with pytest.raises(Exception, match="unreadable"):
+        resolve_data_dir(spark, broken)
+
+
+def test_probe_snapshot_coherence_across_rebuild(
+    spark, sf_dir, tmp_path_factory
+):
+    """r11 — pointer-layout probes are single-snapshot coherent: a probe
+    plan built before a rebuild executes entirely against the version it
+    resolved (centroids AND cells — never a mix), which the swap's grace
+    window keeps on disk; a probe built after the flip sees the rebuilt
+    index."""
+    from pyspark.sql import functions as F
+
+    import twitter_event_stream_spark.streaming.pipelines as pl
+    from twitter_event_stream_spark.operators.vector_search import (
+        ivf_topk_indexed,
+        rebuild_ivf_index,
+        write_ivf_index,
+    )
+    from twitter_event_stream_spark.tables import table
+
+    ivf = str(tmp_path_factory.mktemp("cohere")) + "/ivf"
+    e = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    write_ivf_index(spark, e.filter(F.col("vec_id") % 2 == 0), ivf,
+                    pointer=True)
+    probes = e.filter(F.col("vec_id") < 20)
+    want_old = sorted(
+        map(tuple, ivf_topk_indexed(spark, ivf, probes, k=5).collect())
+    )
+
+    # in-flight probe: plan constructed (pointer resolved, files listed)
+    # BEFORE the rebuild flips the pointer
+    inflight = ivf_topk_indexed(spark, ivf, probes, k=5)
+    pl.vector_ingest_batch(ivf)(
+        e.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"), 0
+    )
+    rebuild_ivf_index(spark, ivf)  # pointer flip; old version in grace
+
+    got_inflight = sorted(map(tuple, inflight.collect()))
+    assert got_inflight == want_old, "in-flight probe must see its snapshot"
+
+    fresh = sorted(
+        map(tuple, ivf_topk_indexed(spark, ivf, probes, k=5).collect())
+    )
+    assert any(r[1] % 2 == 1 for r in fresh)  # rebuilt index: odd cands
+    assert fresh != want_old

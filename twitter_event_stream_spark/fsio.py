@@ -113,26 +113,41 @@ def resolve_data_dir(spark, root: str) -> str:
     an extra not-yet-deleted pointer loses to the newest by max(), a
     pointer is only ever created AFTER its version dir is fully written,
     and a pointer deleted by swap cleanup between our listing and our
-    read triggers ONE re-list (a newer pointer exists by construction)
-    before falling back to the legacy interpretation."""
+    read triggers ONE re-list (a newer pointer exists by construction).
+
+    Only a genuinely MISSING root falls back to the legacy
+    interpretation; any other listing/read failure raises (r11). Mapping
+    transient IO errors to "legacy" would silently point an APPEND at the
+    root position — invisible to pointer-resolving readers and deleted by
+    the next swap's legacy cleanup — i.e. a lost write; loud beats
+    lossy."""
     fs, hpath = _fs(spark, root)
+    last_err: Exception | None = None
     for _ in (0, 1):
         best, best_ptr = -1, None
         try:
-            for st in fs.listStatus(hpath(root)):
-                seq = _pointer_seq(st.getPath().getName())
-                if seq is not None and seq > best:
-                    best, best_ptr = seq, st.getPath()
-        except Exception:
-            return root  # root missing entirely: caller's read will say so
+            statuses = fs.listStatus(hpath(root))
+        except Exception as e:
+            if "FileNotFoundException" in str(e):
+                return root  # no root yet: legacy (or first build) — fine
+            raise
+        for st in statuses:
+            seq = _pointer_seq(st.getPath().getName())
+            if seq is not None and seq > best:
+                best, best_ptr = seq, st.getPath()
         if best_ptr is None:
             return root
         try:
             version = _read_json_file(fs, best_ptr)["version"]
-        except Exception:
+        except Exception as e:
+            last_err = e
             continue  # pointer cleaned up under us: re-list once
         return f"{root}/{version}"
-    return root
+    raise IOError(
+        f"{root} has _current-* pointers but the newest is unreadable "
+        "twice in a row — refusing the legacy fallback, which would "
+        "misdirect reads and appends"
+    ) from last_err
 
 
 def stage_version_dir(root: str) -> str:

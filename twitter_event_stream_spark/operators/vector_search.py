@@ -522,10 +522,21 @@ def ivf_topk_indexed(
     cells' parquet files are scanned. Identical ranking arithmetic to
     :func:`ivf_topk` (same JVM-side cosine, same tiebreak), so a fresh
     build probed with the same parameters returns the identical result —
-    pinned by test."""
-    bc = _stored_centroid_bc(spark, path)
+    pinned by test.
+
+    The pointer is resolved ONCE per probe (r11): centroids and cells
+    come from the same version directory, so on the pointer layout a
+    rebuild flipping mid-probe can no longer pair old centroids with new
+    cell assignments (the legacy rename layout keeps its documented
+    residual race — two reads of a directory a swap replaces between
+    them); the swap's one-cycle grace window keeps the resolved version
+    readable for the probe's whole lifetime."""
+    from twitter_event_stream_spark.fsio import resolve_data_dir
+
+    cur = resolve_data_dir(spark, path)
+    bc = _stored_centroid_bc(spark, cur)
     probe_cells = _cell_assign(probes, bc, n_probe_cells)
-    corpus = read_ivf_cells(spark, path)
+    corpus = read_ivf_cells(spark, path, data_dir=cur)
     p = probe_cells.select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv"), "cell"
     )
@@ -573,7 +584,9 @@ def _read_pending(spark: SparkSession, path: str, ids: list[int]) -> DataFrame:
     )
 
 
-def read_ivf_cells(spark: SparkSession, path: str) -> DataFrame:
+def read_ivf_cells(
+    spark: SparkSession, path: str, data_dir: str | None = None
+) -> DataFrame:
     """Every VISIBLE vector of a persisted IVF index: the absorbed cell
     tree plus all COMMITTED streaming-ingest batches (X123 spill area,
     ``<path>/ingest/batch=<id>`` — only manifested batches, same X117
@@ -583,13 +596,21 @@ def read_ivf_cells(spark: SparkSession, path: str) -> DataFrame:
     streaming seam. Pending batches are cell-partitioned too (one scan
     relation via ``basePath``), so a probe's cell join prunes their files
     the same way; the spill stays small because :func:`absorb_ingested`
-    folds it into the main tree on the maintenance cadence."""
+    folds it into the main tree on the maintenance cadence.
+
+    ``data_dir`` lets a caller pin the RESOLVED version directory it
+    already holds (r11 snapshot coherence): a probe that resolved the
+    pointer once reads centroids AND cells from that same version even if
+    a rebuild flips the pointer mid-probe. The ingest spill is always
+    read from the ROOT — it lives beside the versions."""
     from twitter_event_stream_spark.fsio import (
         manifested_batch_ids,
         resolve_data_dir,
     )
 
-    cells = spark.read.parquet(f"{resolve_data_dir(spark, path)}/cells")
+    if data_dir is None:
+        data_dir = resolve_data_dir(spark, path)
+    cells = spark.read.parquet(f"{data_dir}/cells")
     ids = manifested_batch_ids(spark, f"{path}/ingest")
     if not ids:
         return cells
@@ -718,10 +739,13 @@ def rebuild_ivf_index(
     publishing between the visible-set snapshot and the swap would be
     deleted with the old directory — ingest handlers now FAIL FAST while
     the lease is held instead (fsio.assert_no_maintenance), and a second
-    concurrent maintenance op is refused. A probe racing the swap itself
-    could still read old centroids against new cells on a
-    non-atomic-rename FS (S3A caveat in
-    :func:`~twitter_event_stream_spark.fsio.atomic_swap_dir`).
+    concurrent maintenance op is refused. On the POINTER layout a probe
+    racing the swap is fully coherent (r11): :func:`ivf_topk_indexed`
+    resolves the pointer once and reads centroids and cells from that
+    single version, which the swap's grace window keeps readable; the
+    legacy rename layout keeps its residual race (old centroids against
+    new cells between a probe's two directory reads) — the documented
+    reason to prefer the pointer layout on non-atomic-rename filesystems.
     A crash BEFORE the swap leaves the live index untouched plus a stray
     ``<path>.rebuild-*`` staging dir to clean; a crash after it leaves the
     new index live. Deterministic: same visible vectors + seed reproduce
@@ -806,10 +830,9 @@ def ivf_index_stats(spark: SparkSession, path: str) -> DataFrame:
     behind a continuously-ingesting deployment."""
     from twitter_event_stream_spark.fsio import resolve_data_dir
 
-    cells = read_ivf_cells(spark, path)
-    trained = spark.read.parquet(
-        f"{resolve_data_dir(spark, path)}/centroids"
-    ).select("cell")
+    cur = resolve_data_dir(spark, path)  # one resolve: coherent snapshot
+    cells = read_ivf_cells(spark, path, data_dir=cur)
+    trained = spark.read.parquet(f"{cur}/centroids").select("cell")
     occ = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
     full = (
         trained.join(occ, "cell", "left")
