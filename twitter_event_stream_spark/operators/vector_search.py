@@ -710,10 +710,13 @@ def append_ivf_index(spark: SparkSession, new_vectors: DataFrame, path: str) -> 
     the same re-train rule of thumb FAISS documents for IVF lists."""
     from twitter_event_stream_spark.fsio import resolve_data_dir
 
-    bc = _stored_centroid_bc(spark, path)
+    # one resolve (r11): assign against the SAME version's centroids the
+    # append lands in — two separate resolves could span a rebuild flip
+    cur = resolve_data_dir(spark, path)
+    bc = _stored_centroid_bc(spark, cur)
     _cell_assign(new_vectors, bc, 1).write.mode("append").partitionBy(
         "cell"
-    ).parquet(f"{resolve_data_dir(spark, path)}/cells")
+    ).parquet(f"{cur}/cells")
 
 
 def rebuild_ivf_index(
