@@ -2104,10 +2104,14 @@ def test_maintenance_lease_heartbeat(spark, tmp_path_factory):
 
 
 def test_stale_lease_break_single_winner(spark, tmp_path_factory):
-    """r11 (r10 ADVICE) — breaking a stale lease is an atomic RENAME, so of
-    N contenders that all observe the same stale lease exactly ONE
-    acquires; no loser deletes the winner's fresh lease out from under it
-    (the old check-then-delete let two maintenance ops run concurrently)."""
+    """r11 (r10 ADVICE) — of N contenders that all observe the same stale
+    lease exactly ONE acquires. This test caught two real unserialized
+    shapes in earlier drafts: (a) RawLocalFileSystem's "exclusive" create
+    is check-then-create, letting two creators through; (b) a slower
+    breaker's rename firing AFTER the faster one re-created a fresh lease
+    stole that fresh lease. The fix is an atomic per-scheme create plus a
+    break MARKER serializing read-stale→remove; repeated rounds keep the
+    interleaving pressure on."""
     import threading
     import time
 
@@ -2119,31 +2123,38 @@ def test_stale_lease_break_single_winner(spark, tmp_path_factory):
     )
 
     root = str(tmp_path_factory.mktemp("race"))
-    idx = f"{root}/index"
-    acquire_maintenance_lease(spark, idx, owner="crashed", ttl_sec=0)
-    time.sleep(0.2)  # everyone sees it stale
+    for rnd in range(3):
+        idx = f"{root}/index-{rnd}"
+        acquire_maintenance_lease(spark, idx, owner="crashed", ttl_sec=0)
+        time.sleep(0.2)  # everyone sees it stale
 
-    results: list[str] = []
-    lock = threading.Lock()
-    barrier = threading.Barrier(8)
+        results: list[str] = []
+        lock = threading.Lock()
+        barrier = threading.Barrier(8)
 
-    def contend(i: int) -> None:
-        barrier.wait()
-        try:
-            acquire_maintenance_lease(spark, idx, owner=f"t{i}", ttl_sec=60)
-            with lock:
-                results.append(f"t{i}")
-        except MaintenanceLeaseHeld:
-            pass
+        def contend(i: int) -> None:
+            barrier.wait()
+            try:
+                acquire_maintenance_lease(
+                    spark, idx, owner=f"t{i}", ttl_sec=60
+                )
+                with lock:
+                    results.append(f"t{i}")
+            except MaintenanceLeaseHeld:
+                pass
 
-    threads = [threading.Thread(target=contend, args=(i,)) for i in range(8)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join(timeout=30)
-    assert len(results) == 1, f"expected one winner, got {results}"
-    assert read_maintenance_lease(spark, idx)["owner"] == results[0]
-    release_maintenance_lease(spark, idx)
+        threads = [
+            threading.Thread(target=contend, args=(i,)) for i in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert len(results) == 1, (
+            f"round {rnd}: expected one winner, got {results}"
+        )
+        assert read_maintenance_lease(spark, idx)["owner"] == results[0]
+        release_maintenance_lease(spark, idx)
 
 
 def test_maintenance_generation_counter(spark, tmp_path_factory):

@@ -241,6 +241,96 @@ def _lease_path(index_path: str) -> str:
     return index_path.rstrip("/") + "._maintenance.lock"
 
 
+#: Crashed-breaker detection horizon for the stale-break marker: breaking a
+#: lease is a sub-second sequence (re-read, rename, delete), so a marker
+#: this old can only belong to a breaker that died mid-break.
+BREAK_MARKER_TTL_MS = 30_000
+
+
+def _exclusive_create(spark, fs, hp):
+    """Atomically create ``hp`` and return a writable stream, or raise
+    when it already exists. Scheme-aware, because the Hadoop FileSystem
+    contract alone is not enough: HDFS makes ``create(overwrite=False)``
+    atomic at the namenode, but RawLocalFileSystem implements it as
+    CHECK-then-create — two racing processes can both pass the exists
+    check (caught by the 8-thread race test at driver scale, r11) — so on
+    ``file://`` the POSIX ``O_CREAT|O_EXCL`` primitive
+    (``java.io.File.createNewFile``) decides the winner."""
+    if fs.getScheme() == "file":
+        jf = spark._jvm.java.io.File(hp.toUri().getPath())
+        if not jf.createNewFile():
+            raise FileExistsError(str(hp))
+        return fs.create(hp, True)  # we own it: write the payload
+    return fs.create(hp, False)  # overwrite=False -> exclusive
+
+
+def _break_stale_lease(spark, fs, hpath, index_path: str, ttl_sec: int) -> None:
+    """Remove a stale lease under an exclusive BREAK MARKER, so at most one
+    contender is ever mid-break (r11, closing the second two-winner race
+    the thread test caught: an unserialized breaker that read "stale" could
+    rename away the FRESH lease another breaker had just installed — the
+    read and the rename are not one atomic step). The marker makes the
+    dangerous sequence single-writer: while the stale file still occupies
+    the lease path nobody can create over it, and only the marker holder
+    removes it — so what the holder renames is provably the file it
+    re-validated. Contenders that fail the marker raise
+    :class:`MaintenanceLeaseHeld` ("break in progress"); a marker older
+    than :data:`BREAK_MARKER_TTL_MS` belonged to a breaker that crashed
+    mid-break and is cleaned up. Returns normally when the stale lease is
+    gone (broken by us, or already replaced/removed by events that make a
+    retry of the exclusive create the right next step)."""
+    marker = hpath(_lease_path(index_path) + ".break")
+    got_marker = False
+    for _ in (0, 1):
+        try:
+            out = _exclusive_create(spark, fs, marker)
+            out.close()
+            got_marker = True
+            break
+        except Exception:
+            try:
+                st = fs.getFileStatus(marker)
+                if (
+                    int(time.time() * 1000) - st.getModificationTime()
+                    > BREAK_MARKER_TTL_MS
+                ):
+                    fs.delete(marker, False)  # breaker crashed mid-break
+                    continue
+            except Exception:
+                continue  # marker vanished under us: retry its create
+            raise MaintenanceLeaseHeld(
+                f"stale maintenance lease on {index_path} is being broken "
+                "by another contender — retry shortly"
+            ) from None
+    if not got_marker:
+        raise MaintenanceLeaseHeld(
+            f"could not serialize the stale-lease break on {index_path}"
+        )
+    try:
+        lease = hpath(_lease_path(index_path))
+        holder = read_maintenance_lease(spark, index_path)
+        if holder is None:
+            return  # already gone: retry the create
+        age_ms = int(time.time() * 1000) - holder["mtime_ms"]
+        if age_ms <= holder.get("ttl_sec", ttl_sec) * 1000:
+            # replaced by a FRESH lease before we got the marker — the
+            # exact file the unserialized breaker used to steal; leave it
+            raise MaintenanceLeaseHeld(
+                f"maintenance lease on {index_path} was re-taken by "
+                f"{holder.get('owner', '?')} while breaking the stale one"
+            )
+        broken = hpath(
+            _lease_path(index_path) + f".broken-{uuid.uuid4().hex}"
+        )
+        try:
+            if fs.rename(lease, broken):
+                fs.delete(broken, False)
+        except Exception:
+            pass  # vanished mid-rename: it is gone either way
+    finally:
+        fs.delete(marker, False)
+
+
 def acquire_maintenance_lease(
     spark, index_path: str, owner: str, ttl_sec: int = 3600
 ) -> None:
@@ -256,38 +346,21 @@ def acquire_maintenance_lease(
     file is older than its ``ttl_sec`` is STALE (its holder crashed without
     releasing — live holders under :func:`maintenance_lease` heartbeat the
     file's mtime, so a long run never looks stale, r11) and is broken and
-    re-taken. Breaking is itself atomic: the breaker RENAMES the stale file
-    to a unique name before retrying the exclusive create, so of two
-    contenders that both read the same stale lease exactly one wins the
-    rename — the loser's rename fails (source gone) and it re-resolves
-    against the winner's FRESH lease instead of deleting it out from under
-    the winner (r10 ADVICE check-then-delete race). On S3A object-store
-    semantics make create-exclusive best-effort (no atomic
-    create-if-absent below S3 conditional writes) — same caveat as
-    :func:`atomic_swap_dir`."""
+    re-taken. Breaking is SERIALIZED behind an exclusive break marker and
+    re-validated under it (:func:`_break_stale_lease`, r11): the thread
+    race test caught both unserialized shapes — two breakers check-then-
+    deleting the same stale file, and a slower breaker whose rename fired
+    after the faster one had already installed a FRESH lease, stealing
+    it — and the marker forces read-stale→remove into a single-writer
+    critical section. On S3A object-store semantics make create-exclusive
+    best-effort (no atomic create-if-absent below S3 conditional writes)
+    — same caveat as :func:`atomic_swap_dir`."""
     fs, hpath = _fs(spark, index_path)
     lease = hpath(_lease_path(index_path))
-
-    def _create_exclusive():
-        """Atomically create the (empty) lease file, or raise when it
-        already exists. Scheme-aware, because the Hadoop FileSystem
-        contract alone is not enough: HDFS makes ``create(overwrite=
-        False)`` atomic at the namenode, but RawLocalFileSystem implements
-        it as CHECK-then-create — two racing processes can both pass the
-        exists check (caught by the 8-thread race test at driver scale,
-        r11) — so on ``file://`` the POSIX ``O_CREAT|O_EXCL`` primitive
-        (``java.io.File.createNewFile``) is used instead."""
-        if fs.getScheme() == "file":
-            jf = spark._jvm.java.io.File(lease.toUri().getPath())
-            if not jf.createNewFile():
-                raise FileExistsError(str(lease))
-            return fs.create(lease, True)  # we own it: write the payload
-        return fs.create(lease, False)  # overwrite=False -> exclusive
-
     last_err: Exception | None = None
     for attempt in (0, 1):
         try:
-            out = _create_exclusive()
+            out = _exclusive_create(spark, fs, lease)
         except Exception as e:
             # ONLY the exclusive create's failure means "held" — a write
             # failure after a successful create is handled below, so a
@@ -299,20 +372,8 @@ def acquire_maintenance_lease(
                 continue  # holder released between create and read: retry
             age_ms = int(time.time() * 1000) - holder["mtime_ms"]
             if attempt == 0 and age_ms > holder.get("ttl_sec", ttl_sec) * 1000:
-                broken = hpath(
-                    _lease_path(index_path) + f".broken-{uuid.uuid4().hex}"
-                )
-                try:
-                    won_break = fs.rename(lease, broken)
-                except Exception:
-                    # local FS throws (not returns false) when the source
-                    # vanished mid-rename — same meaning: someone else won
-                    won_break = False
-                if won_break:  # we won the break
-                    fs.delete(broken, False)
-                # else another contender broke it first and may already
-                # hold a fresh lease; the retry's create resolves it
-                continue
+                _break_stale_lease(spark, fs, hpath, index_path, ttl_sec)
+                continue  # stale gone: retry the exclusive create
             raise MaintenanceLeaseHeld(
                 f"maintenance lease on {index_path} held by "
                 f"{holder.get('owner', '?')} ({age_ms / 1000:.0f}s old, "
