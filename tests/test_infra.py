@@ -2109,8 +2109,10 @@ def test_stale_lease_break_single_winner(spark, tmp_path_factory):
     shapes in earlier drafts: (a) RawLocalFileSystem's "exclusive" create
     is check-then-create, letting two creators through; (b) a slower
     breaker's rename firing AFTER the faster one re-created a fresh lease
-    stole that fresh lease. The fix is an atomic per-scheme create plus a
-    break MARKER serializing read-stale→remove; repeated rounds keep the
+    stole that fresh lease. The fix is an atomic per-scheme create plus
+    the self-validating single-winner rename (fsio._remove_if_stale:
+    rename-to-unique elects one remover, mtime re-validation restores a
+    mistakenly-grabbed fresh lease); repeated rounds keep the
     interleaving pressure on."""
     import threading
     import time
@@ -2187,6 +2189,164 @@ def test_maintenance_generation_counter(spark, tmp_path_factory):
     assert maintenance_generation(spark, idx) == g0 + 2
     # unchanged counter + no lease: the fence passes
     assert_no_maintenance(spark, idx, generation=g0 + 2)
+
+
+def test_remove_if_stale_semantics(spark, tmp_path_factory):
+    """r11 — the stale-removal primitive behind lease breaking
+    (fsio._remove_if_stale): a missing file reads "gone", a fresh file is
+    left in place ("fresh"), a stale file is removed exactly once
+    ("removed"), and — the branch that closes the steal race without a
+    serialization marker — a FRESH file that the by-path rename grabbed
+    by mistake (the path was re-occupied between the staleness read and
+    the rename) is RESTORED, not deleted."""
+    import time
+
+    from twitter_event_stream_spark.fsio import _fs, _remove_if_stale
+
+    root = str(tmp_path_factory.mktemp("ris"))
+    fs, hpath = _fs(spark, root)
+    p = f"{root}/victim"
+
+    assert _remove_if_stale(fs, hpath, p, 1000) == "gone"
+
+    fs.create(hpath(p), True).close()
+    assert _remove_if_stale(fs, hpath, p, 60_000) == "fresh"
+    assert fs.exists(hpath(p)), "a fresh file must be left in place"
+
+    time.sleep(0.15)
+    assert _remove_if_stale(fs, hpath, p, 100) == "removed"
+    assert not fs.exists(hpath(p))
+
+    # restore-on-mistake: the FIRST stat reports an ancient mtime (as if
+    # the contender validated a stale file that was then replaced), so the
+    # rename grabs the fresh replacement — the re-validation against the
+    # renamed file's TRUE mtime must put it back
+    fs.create(hpath(p), True).close()
+
+    class _ShimFS:
+        def __init__(self, real):
+            self._real = real
+            self._first = True
+
+        def getFileStatus(self, jp):
+            st = self._real.getFileStatus(jp)
+            if self._first:
+                self._first = False
+
+                class _Ancient:
+                    @staticmethod
+                    def getModificationTime():
+                        return 0
+
+                return _Ancient()
+            return st
+
+        def rename(self, a, b):
+            return self._real.rename(a, b)
+
+        def delete(self, jp, rec):
+            return self._real.delete(jp, rec)
+
+    assert _remove_if_stale(_ShimFS(fs), hpath, p, 60_000) == "fresh"
+    assert fs.exists(hpath(p)), (
+        "a mistakenly-grabbed fresh file must be restored to its path"
+    )
+    import glob
+
+    assert not glob.glob(f"{p}.stale-*"), "no tomb may be left behind"
+
+
+def test_batch_append_apis_fenced_and_idempotent(
+    spark, sf_dir, tmp_path_factory
+):
+    """r11 — the BATCH append APIs (append_ivf_index,
+    write_simhash_index(mode="append")) carry the same
+    ingest-vs-maintenance protocol as the streaming handlers: they fail
+    fast while the index's maintenance lease is held (an unfenced append
+    racing a swap is a silent loss), and a RETRIED append converges to
+    exactly-once through the anti-join — including healing a crashed
+    PARTIAL band append back to all 4 bands per document."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from twitter_event_stream_spark.fsio import (
+        MaintenanceLeaseHeld,
+        acquire_maintenance_lease,
+        release_maintenance_lease,
+    )
+    from twitter_event_stream_spark.operators.corpus_full import (
+        _simhash_band_rows,
+        simhash64,
+        write_band_rows,
+        write_simhash_index,
+    )
+    from twitter_event_stream_spark.operators.vector_search import (
+        append_ivf_index,
+        write_ivf_index,
+    )
+    from twitter_event_stream_spark.tables import table
+
+    root = str(tmp_path_factory.mktemp("batchappend"))
+
+    # --- IVF side ---
+    e = table(spark, sf_dir, "embeddings")
+    half = e.filter(F.col("vec_id") % 2 == 0)
+    rest = e.filter(F.col("vec_id") % 2 == 1)
+    ivf = f"{root}/ivf"
+    write_ivf_index(spark, half, ivf)
+
+    acquire_maintenance_lease(spark, ivf, owner="compact-op", ttl_sec=60)
+    with pytest.raises(MaintenanceLeaseHeld, match="compact-op"):
+        append_ivf_index(spark, rest, ivf)
+    release_maintenance_lease(spark, ivf)
+
+    append_ivf_index(spark, rest, ivf)
+    n_once = spark.read.parquet(f"{ivf}/cells").count()
+    append_ivf_index(spark, rest, ivf)  # the retry after an aborted commit
+    assert spark.read.parquet(f"{ivf}/cells").count() == n_once, (
+        "a retried append must not duplicate vectors"
+    )
+    assert (
+        spark.read.parquet(f"{ivf}/cells")
+        .groupBy("vec_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0
+    )
+
+    # --- SimHash side ---
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = d.filter(F.col("doc_id") % 3 == 0)
+    batch = d.filter(F.col("doc_id") % 3 == 1)
+    sidx = f"{root}/simhash"
+    write_simhash_index(spark, seed, sidx)
+
+    acquire_maintenance_lease(spark, sidx, owner="band-compact", ttl_sec=60)
+    with pytest.raises(MaintenanceLeaseHeld, match="band-compact"):
+        write_simhash_index(spark, batch, sidx, mode="append")
+    release_maintenance_lease(spark, sidx)
+
+    # crashed PARTIAL append: only bands 0-2 of the batch landed
+    partial = _simhash_band_rows(simhash64(batch)).filter(F.col("band") < 3)
+    write_band_rows(partial, sidx, mode="append")
+    # the retried append heals band 3 without duplicating bands 0-2
+    write_simhash_index(spark, batch, sidx, mode="append")
+    per_doc = (
+        spark.read.parquet(sidx)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("band").alias("bands"),
+        )
+    )
+    bad = per_doc.filter((F.col("n") != 4) | (F.col("bands") != 4)).count()
+    assert bad == 0, "every doc must hold exactly one row per band"
+    n_rows = spark.read.parquet(sidx).count()
+    write_simhash_index(spark, batch, sidx, mode="append")  # full retry
+    assert spark.read.parquet(sidx).count() == n_rows, (
+        "a retried append must not duplicate band rows"
+    )
 
 
 def test_commit_time_fence_text_gate(spark, tmp_path_factory, monkeypatch):

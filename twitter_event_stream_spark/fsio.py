@@ -241,12 +241,6 @@ def _lease_path(index_path: str) -> str:
     return index_path.rstrip("/") + "._maintenance.lock"
 
 
-#: Crashed-breaker detection horizon for the stale-break marker: breaking a
-#: lease is a sub-second sequence (re-read, rename, delete), so a marker
-#: this old can only belong to a breaker that died mid-break.
-BREAK_MARKER_TTL_MS = 30_000
-
-
 def _exclusive_create(spark, fs, hp):
     """Atomically create ``hp`` and return a writable stream, or raise
     when it already exists. Scheme-aware, because the Hadoop FileSystem
@@ -264,71 +258,83 @@ def _exclusive_create(spark, fs, hp):
     return fs.create(hp, False)  # overwrite=False -> exclusive
 
 
-def _break_stale_lease(spark, fs, hpath, index_path: str, ttl_sec: int) -> None:
-    """Remove a stale lease under an exclusive BREAK MARKER, so at most one
-    contender is ever mid-break (r11, closing the second two-winner race
-    the thread test caught: an unserialized breaker that read "stale" could
-    rename away the FRESH lease another breaker had just installed — the
-    read and the rename are not one atomic step). The marker makes the
-    dangerous sequence single-writer: while the stale file still occupies
-    the lease path nobody can create over it, and only the marker holder
-    removes it — so what the holder renames is provably the file it
-    re-validated. Contenders that fail the marker raise
-    :class:`MaintenanceLeaseHeld` ("break in progress"); a marker older
-    than :data:`BREAK_MARKER_TTL_MS` belonged to a breaker that crashed
-    mid-break and is cleaned up. Returns normally when the stale lease is
-    gone (broken by us, or already replaced/removed by events that make a
-    retry of the exclusive create the right next step)."""
-    marker = hpath(_lease_path(index_path) + ".break")
-    got_marker = False
-    for _ in (0, 1):
-        try:
-            out = _exclusive_create(spark, fs, marker)
-            out.close()
-            got_marker = True
-            break
-        except Exception:
-            try:
-                st = fs.getFileStatus(marker)
-                if (
-                    int(time.time() * 1000) - st.getModificationTime()
-                    > BREAK_MARKER_TTL_MS
-                ):
-                    fs.delete(marker, False)  # breaker crashed mid-break
-                    continue
-            except Exception:
-                continue  # marker vanished under us: retry its create
-            raise MaintenanceLeaseHeld(
-                f"stale maintenance lease on {index_path} is being broken "
-                "by another contender — retry shortly"
-            ) from None
-    if not got_marker:
-        raise MaintenanceLeaseHeld(
-            f"could not serialize the stale-lease break on {index_path}"
-        )
+def _remove_if_stale(fs, hpath, path_str: str, ttl_ms: int) -> str:
+    """Remove the file at ``path_str`` iff it is older than ``ttl_ms``,
+    correct under racing removers and re-creators. The primitive is a
+    SELF-VALIDATING rename (r11, superseding the break-marker draft whose
+    crashed-marker cleanup re-opened the same check-then-delete race one
+    level up): rename-to-unique picks exactly ONE winner among concurrent
+    removers, and — because a by-path rename moves whatever currently
+    occupies the path, not the file whose staleness was read — the winner
+    re-validates the renamed file's mtime (rename preserves it) and
+    RESTORES a fresh file it grabbed by mistake, so a replacement
+    installed between the staleness read and the rename survives the
+    race. Returns ``"removed"`` (stale file gone, by us), ``"gone"``
+    (another remover won, or it vanished), or ``"fresh"`` (younger than
+    ``ttl_ms`` — left in place, restored if briefly displaced).
+
+    Residual, documented: restoring a mistakenly-grabbed fresh file can
+    lose to a third contender's create landing inside the displacement
+    blip — the displaced file is then deleted and its holder silently
+    loses the path. That window needs a true compare-and-swap to close,
+    which the portable Hadoop FileSystem API lacks (S3 conditional writes
+    / HDFS namenode CAS would); it requires THREE contenders interleaving
+    inside a microsecond blip that itself only opens on a double race."""
+    src = hpath(path_str)
     try:
-        lease = hpath(_lease_path(index_path))
-        holder = read_maintenance_lease(spark, index_path)
-        if holder is None:
-            return  # already gone: retry the create
-        age_ms = int(time.time() * 1000) - holder["mtime_ms"]
-        if age_ms <= holder.get("ttl_sec", ttl_sec) * 1000:
-            # replaced by a FRESH lease before we got the marker — the
-            # exact file the unserialized breaker used to steal; leave it
-            raise MaintenanceLeaseHeld(
-                f"maintenance lease on {index_path} was re-taken by "
-                f"{holder.get('owner', '?')} while breaking the stale one"
-            )
-        broken = hpath(
-            _lease_path(index_path) + f".broken-{uuid.uuid4().hex}"
-        )
+        st = fs.getFileStatus(src)
+    except Exception:
+        return "gone"
+    if int(time.time() * 1000) - st.getModificationTime() <= ttl_ms:
+        return "fresh"
+    tomb = hpath(path_str + f".stale-{uuid.uuid4().hex}")
+    try:
+        won = fs.rename(src, tomb)
+    except Exception:
+        won = False  # local FS throws (not returns false) on missing src
+    if not won:
+        return "gone"
+    try:
+        age_ms = int(time.time() * 1000) - fs.getFileStatus(
+            tomb
+        ).getModificationTime()
+    except Exception:
+        return "removed"  # tomb unreadable: the path is clear either way
+    if age_ms <= ttl_ms:
+        # the path held a FRESH replacement by the time we renamed: put it
+        # back (rename refuses an occupied target, catching re-creation)
         try:
-            if fs.rename(lease, broken):
-                fs.delete(broken, False)
+            if fs.rename(tomb, src):
+                return "fresh"
         except Exception:
-            pass  # vanished mid-rename: it is gone either way
-    finally:
-        fs.delete(marker, False)
+            pass
+        fs.delete(tomb, False)  # path re-occupied meanwhile: see residual
+        return "fresh"
+    fs.delete(tomb, False)
+    return "removed"
+
+
+def _break_stale_lease(spark, fs, hpath, index_path: str, ttl_sec: int) -> None:
+    """Remove a stale lease via :func:`_remove_if_stale` (r11): the
+    staleness re-read, single-winner rename, and restore-on-mistake live
+    in that primitive, so of N contenders that all observed the same
+    stale lease at most one removes it, none can steal a FRESH lease
+    another contender just installed (the r10 ADVICE race and the steal
+    shape the thread test caught), and every loser either retries the
+    exclusive create or raises :class:`MaintenanceLeaseHeld`. Returns
+    normally when the stale lease is gone — broken by us or by events
+    that make retrying the create the right next step."""
+    ttl_ms = ttl_sec * 1000
+    holder = read_maintenance_lease(spark, index_path)
+    if holder is not None:
+        # honor the holder's self-declared TTL when it has one
+        ttl_ms = holder.get("ttl_sec", ttl_sec) * 1000
+    verdict = _remove_if_stale(fs, hpath, _lease_path(index_path), ttl_ms)
+    if verdict == "fresh":
+        raise MaintenanceLeaseHeld(
+            f"maintenance lease on {index_path} was re-taken while "
+            "breaking the stale one"
+        )
 
 
 def acquire_maintenance_lease(
@@ -346,15 +352,16 @@ def acquire_maintenance_lease(
     file is older than its ``ttl_sec`` is STALE (its holder crashed without
     releasing — live holders under :func:`maintenance_lease` heartbeat the
     file's mtime, so a long run never looks stale, r11) and is broken and
-    re-taken. Breaking is SERIALIZED behind an exclusive break marker and
-    re-validated under it (:func:`_break_stale_lease`, r11): the thread
-    race test caught both unserialized shapes — two breakers check-then-
-    deleting the same stale file, and a slower breaker whose rename fired
-    after the faster one had already installed a FRESH lease, stealing
-    it — and the marker forces read-stale→remove into a single-writer
-    critical section. On S3A object-store semantics make create-exclusive
-    best-effort (no atomic create-if-absent below S3 conditional writes)
-    — same caveat as :func:`atomic_swap_dir`."""
+    re-taken. Breaking is a SELF-VALIDATING single-winner rename
+    (:func:`_remove_if_stale`, r11): the thread race test caught both
+    unserialized shapes — two breakers check-then-deleting the same stale
+    file, and a slower breaker whose rename fired after the faster one
+    had already installed a FRESH lease, stealing it — and the primitive
+    closes both by electing one remover per race (rename-to-unique) and
+    restoring any fresh file a by-path rename grabbed by mistake. On S3A
+    object-store semantics make create-exclusive best-effort (no atomic
+    create-if-absent below S3 conditional writes) — same caveat as
+    :func:`atomic_swap_dir`."""
     fs, hpath = _fs(spark, index_path)
     lease = hpath(_lease_path(index_path))
     last_err: Exception | None = None

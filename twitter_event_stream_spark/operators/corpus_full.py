@@ -364,8 +364,12 @@ def write_simhash_index(
     re-reading corpus TEXT or recomputing a single signature — the
     expensive tokenize + 64-vote aggregation runs exactly once per
     document over the corpus's lifetime (``mode="append"`` grows the
-    index with a batch's survivors). The text-dedup twin of the persisted
-    IVF index (X114, vector_search.write_ivf_index).
+    index with a batch's survivors — FENCED against concurrent index
+    maintenance and IDEMPOTENT under retry as of r11, the direct-call
+    twin of the streaming gate's protocol; an overlapped maintenance op
+    raises ``fsio.MaintenanceLeaseHeld`` and the retried append re-adds
+    only the (band, doc_id) rows the index lacks). The text-dedup twin of
+    the persisted IVF index (X114, vector_search.write_ivf_index).
 
     ``pointer=True`` creates the index in the POINTER-VERSIONED layout
     (r11, fsio.resolve_data_dir): data lives in ``<path>/_v-*`` named by a
@@ -400,6 +404,33 @@ def write_simhash_index(
             rows.write.partitionBy("band").parquet(staged)
             pointer_swap_dir(spark, path, staged)
             return
+    if mode == "append":
+        # FENCED and IDEMPOTENT batch append (r11) — the direct-call twin
+        # of the streaming ingest gate's fences, because an unfenced
+        # append racing a maintenance swap silently loses the batch's
+        # band rows. Fail fast under a held lease; anti-join on
+        # (band, doc_id) so a retried append only re-adds what the index
+        # lacks (per-band, so a crashed partial append heals to all 4
+        # bands); re-check the maintenance generation after the append so
+        # overlapped maintenance raises instead of returning as durable.
+        from twitter_event_stream_spark.fsio import (
+            assert_no_maintenance,
+            maintenance_generation,
+            resolve_data_dir,
+        )
+
+        gen0 = maintenance_generation(spark, path)
+        assert_no_maintenance(spark, path)
+        cur = resolve_data_dir(spark, path)
+        try:
+            existing = spark.read.parquet(cur).select("band", "doc_id")
+        except Exception:
+            existing = None  # first append creates the index
+        if existing is not None:
+            rows = rows.join(existing, ["band", "doc_id"], "left_anti")
+        rows.write.mode("append").partitionBy("band").parquet(cur)
+        assert_no_maintenance(spark, path, generation=gen0)
+        return
     write_band_rows(rows, path, mode)
 
 

@@ -707,16 +707,50 @@ def append_ivf_index(spark: SparkSession, new_vectors: DataFrame, path: str) -> 
     piles into few cells. Monitor with :func:`ivf_index_stats` and rebuild
     (``write_ivf_index``, a full retrain + rewrite) when occupancy skew
     exceeds ~4× the mean or any probed cell outgrows executor memory —
-    the same re-train rule of thumb FAISS documents for IVF lists."""
-    from twitter_event_stream_spark.fsio import resolve_data_dir
+    the same re-train rule of thumb FAISS documents for IVF lists.
 
+    FENCED and IDEMPOTENT (r11) — the batch-append twin of the streaming
+    ingest protocol (X126), because an unfenced append racing a
+    maintenance swap is a silent loss in BOTH directions: the appended
+    files land in a version directory the swap retires (rows gone), and a
+    mid-rebuild append tears the rebuild's input between its two actions.
+    So: fail fast while the maintenance lease is held; anti-join the
+    assignment against the vec_ids already present in the touched cells
+    (partition-pruned), so only missing vectors append; and re-check the
+    maintenance GENERATION after the append — maintenance that overlapped
+    this call raises :class:`fsio.MaintenanceLeaseHeld` instead of
+    returning as if the rows were durable, and the caller's retry
+    converges to exactly-once through the same anti-join."""
+    from twitter_event_stream_spark.fsio import (
+        assert_no_maintenance,
+        maintenance_generation,
+        resolve_data_dir,
+    )
+
+    gen0 = maintenance_generation(spark, path)
+    assert_no_maintenance(spark, path)
     # one resolve (r11): assign against the SAME version's centroids the
     # append lands in — two separate resolves could span a rebuild flip
     cur = resolve_data_dir(spark, path)
     bc = _stored_centroid_bc(spark, cur)
-    _cell_assign(new_vectors, bc, 1).write.mode("append").partitionBy(
-        "cell"
-    ).parquet(f"{cur}/cells")
+    assigned = _cell_assign(new_vectors.dropDuplicates(["vec_id"]), bc, 1)
+    assigned.persist()
+    try:
+        touched = [
+            r.cell for r in assigned.select("cell").distinct().collect()
+        ]
+        already = (
+            spark.read.parquet(f"{cur}/cells")
+            .filter(F.col("cell").isin(touched))
+            .select("vec_id")
+        )
+        fresh = assigned.join(already, "vec_id", "left_anti")
+        fresh.write.mode("append").partitionBy("cell").parquet(
+            f"{cur}/cells"
+        )
+    finally:
+        assigned.unpersist()
+    assert_no_maintenance(spark, path, generation=gen0)
 
 
 def rebuild_ivf_index(
