@@ -1753,10 +1753,19 @@ def test_compact_simhash_index(spark, sf_dir, tmp_path_factory, pointer):
     )
     n_before = data_file_count(spark, resolve_data_dir(spark, path))
     assert n_before > 4, "fixture must start fragmented"
+    # r11: the count resolves the pointer itself, so the documented
+    # trigger ("watch data_file_count on the index") is layout-correct —
+    # the root count must equal the resolved count, never sweep up a
+    # grace-retained previous version
+    assert data_file_count(spark, path) == n_before
 
     rep = compact_band_rows(spark, path)
     assert rep["files_before"] == n_before
     assert rep["files_after"] == 4  # one file per band partition
+    # after the compaction published (pointer layout: a new version with
+    # the previous retained for grace), the root count still reports only
+    # the LIVE version's files
+    assert data_file_count(spark, path) == rep["files_after"]
     after_rows = idx_rows(path)
     assert after_rows == before_rows, "compaction changed index content"
     after_verdict = sorted(
@@ -2298,7 +2307,17 @@ def test_batch_append_apis_fenced_and_idempotent(
     acquire_maintenance_lease(spark, ivf, owner="compact-op", ttl_sec=60)
     with pytest.raises(MaintenanceLeaseHeld, match="compact-op"):
         append_ivf_index(spark, rest, ivf)
+    with pytest.raises(MaintenanceLeaseHeld, match="compact-op"):
+        write_ivf_index(spark, half, ivf)  # retrain of EXISTING = maint.
     release_maintenance_lease(spark, ivf)
+
+    # a retrain over an existing index takes the lease itself and bumps
+    # the generation on exit, so in-flight batches abort at their fence
+    from twitter_event_stream_spark.fsio import maintenance_generation
+
+    g0 = maintenance_generation(spark, ivf)
+    write_ivf_index(spark, half, ivf)
+    assert maintenance_generation(spark, ivf) == g0 + 1
 
     append_ivf_index(spark, rest, ivf)
     n_once = spark.read.parquet(f"{ivf}/cells").count()
@@ -2325,6 +2344,8 @@ def test_batch_append_apis_fenced_and_idempotent(
     acquire_maintenance_lease(spark, sidx, owner="band-compact", ttl_sec=60)
     with pytest.raises(MaintenanceLeaseHeld, match="band-compact"):
         write_simhash_index(spark, batch, sidx, mode="append")
+    with pytest.raises(MaintenanceLeaseHeld, match="band-compact"):
+        write_simhash_index(spark, seed, sidx)  # rewrite of EXISTING
     release_maintenance_lease(spark, sidx)
 
     # crashed PARTIAL append: only bands 0-2 of the batch landed

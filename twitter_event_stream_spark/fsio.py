@@ -37,7 +37,15 @@ def data_file_count(spark, path: str) -> int:
     the observability number behind the compaction trigger: an
     append-grown index's probe cost drifts with FILE count (listing,
     parquet footer reads, task scheduling), not byte count, so the
-    maintenance decision watches files, not rows."""
+    maintenance decision watches files, not rows.
+
+    Resolves a pointer-versioned root (r11) to its CURRENT version first:
+    the recursive listing checks only file NAMES against the ``_``/``.``
+    exclusion, so counting the root directly would also sweep up the
+    grace-retained previous version's files inside ``_v-*`` dirs and
+    overstate the live index — the compaction trigger must watch what
+    probes actually read."""
+    path = resolve_data_dir(spark, path)
     fs, hpath = _fs(spark, path)
     it = fs.listFiles(hpath(path), True)
     n = 0

@@ -382,28 +382,46 @@ def write_simhash_index(
     pointer-versioned index publishes a fresh version atomically instead
     of writing data to the legacy position readers no longer look at;
     ``False`` on a pointer-versioned index raises (forward-only, same rule
-    as the compactions)."""
+    as the compactions). Rewriting an EXISTING index runs under the
+    maintenance lease (r11): live ingest fails fast, concurrent
+    maintenance is refused, in-flight batches abort at their commit
+    fence; a fresh build stays lease-free."""
     rows = _simhash_band_rows(simhash64(docs, text_col))
     if mode == "overwrite":
         from twitter_event_stream_spark.fsio import (
+            _fs,
+            maintenance_lease,
             pointer_swap_dir,
             resolve_data_dir,
             stage_version_dir,
         )
 
-        is_pointer = resolve_data_dir(spark, path) != path
-        if pointer is None:
-            pointer = is_pointer
-        if is_pointer and not pointer:
-            raise ValueError(
-                f"{path} uses the pointer-versioned layout; it cannot be "
-                "rewritten in the legacy rename-swap layout"
-            )
-        if pointer:
-            staged = stage_version_dir(path)
-            rows.write.partitionBy("band").parquet(staged)
-            pointer_swap_dir(spark, path, staged)
-            return
+        def _publish() -> None:
+            is_pointer = resolve_data_dir(spark, path) != path
+            ptr = is_pointer if pointer is None else pointer
+            if is_pointer and not ptr:
+                raise ValueError(
+                    f"{path} uses the pointer-versioned layout; it cannot "
+                    "be rewritten in the legacy rename-swap layout"
+                )
+            if ptr:
+                staged = stage_version_dir(path)
+                rows.write.partitionBy("band").parquet(staged)
+                pointer_swap_dir(spark, path, staged)
+            else:
+                write_band_rows(rows, path, "overwrite")
+
+        # rewriting an EXISTING index is maintenance: hold the lease (r11)
+        # so live ingest fails fast, concurrent maintenance is refused,
+        # and the pointer flip keeps pointer_swap_dir's single-sequencer
+        # invariant; a fresh build (target absent) stays lease-free
+        fs, hpath = _fs(spark, path)
+        if fs.exists(hpath(path)):
+            with maintenance_lease(spark, path, "write_simhash_index"):
+                _publish()
+        else:
+            _publish()
+        return
     if mode == "append":
         # FENCED and IDEMPOTENT batch append (r11) — the direct-call twin
         # of the streaming ingest gate's fences, because an unfenced

@@ -473,8 +473,17 @@ def write_ivf_index(
     full rebuild over an existing pointer-versioned root publishes a
     fresh version atomically instead of writing to the legacy position
     readers no longer look at; ``False`` on a pointer-versioned root
-    raises (forward-only, same rule as the compactions)."""
+    raises (forward-only, same rule as the compactions).
+
+    Retraining over an EXISTING index runs under the maintenance lease
+    (r11) — it IS maintenance, and the drift-rebuild guidance points here
+    — so live ingest fails fast, a concurrent maintenance op is refused,
+    and in-flight batches abort at their commit fence via the generation
+    bump; a fresh build stays lease-free."""
     from twitter_event_stream_spark.fsio import (
+        _fs,
+        maintenance_lease,
+        pointer_swap_dir,
         resolve_data_dir,
         stage_version_dir,
     )
@@ -482,29 +491,42 @@ def write_ivf_index(
     bc = _train_quantizer(spark, vectors, n_cells, seed, distributed)
     if bc is None:
         raise ValueError("cannot index an empty corpus")
-    is_pointer = resolve_data_dir(spark, path) != path
-    if pointer is None:
-        pointer = is_pointer
-    if is_pointer and not pointer:
-        raise ValueError(
-            f"{path} uses the pointer-versioned layout; it cannot be "
-            "rewritten in the legacy rename-swap layout"
-        )
-    target = path
-    if pointer:
-        target = stage_version_dir(path)
-    cm = bc.value
-    spark.createDataFrame(
-        [(int(i), [float(x) for x in row]) for i, row in enumerate(cm)],
-        "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{target}/centroids")
-    _cell_assign(vectors, bc, 1).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(f"{target}/cells")
-    if pointer:
-        from twitter_event_stream_spark.fsio import pointer_swap_dir
 
-        pointer_swap_dir(spark, path, target, keep=("ingest",))
+    def _publish() -> None:
+        is_pointer = resolve_data_dir(spark, path) != path
+        ptr = is_pointer if pointer is None else pointer
+        if is_pointer and not ptr:
+            raise ValueError(
+                f"{path} uses the pointer-versioned layout; it cannot be "
+                "rewritten in the legacy rename-swap layout"
+            )
+        target = stage_version_dir(path) if ptr else path
+        cm = bc.value
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in row]) for i, row in enumerate(cm)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{target}/centroids")
+        _cell_assign(vectors, bc, 1).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(f"{target}/cells")
+        if ptr:
+            pointer_swap_dir(spark, path, target, keep=("ingest",))
+
+    # a full retrain over an EXISTING index is maintenance: hold the lease
+    # (r11) so live ingest fails fast instead of appending into a tree the
+    # rewrite replaces, a concurrent maintenance op is refused, and the
+    # pointer flip keeps pointer_swap_dir's single-sequencer invariant;
+    # the generation bump on exit aborts in-flight batches at their
+    # commit fence. A FRESH build (target absent — including the staged
+    # `_v-*`/`.rebuild-*` dirs rebuild_ivf_index, itself already holding
+    # this lease, writes through here) has nothing to protect and stays
+    # lease-free.
+    fs, hpath = _fs(spark, path)
+    if fs.exists(hpath(path)):
+        with maintenance_lease(spark, path, "write_ivf_index"):
+            _publish()
+    else:
+        _publish()
 
 
 def ivf_topk_indexed(

@@ -695,10 +695,14 @@ def dedup_ingest_batch(
         # leaves no lease to see, but moves the counter.
         gen0 = maintenance_generation(spark, index_path)
         assert_no_maintenance(spark, index_path)
-        batch_df.persist()
+        # construct the plan BEFORE caching anything: simhash64's analysis
+        # can raise (e.g. schema drift), and a persist taken outside the
+        # try/finally that unpersists it would leak the cached frame for
+        # the session (the same r10 ADVICE shape fixed for survivors/uniq)
         rows = _simhash_band_rows(simhash64(batch_df))
-        rows.persist()
         try:
+            batch_df.persist()
+            rows.persist()
             # broadcastability contract (r9 verdict nit): the batch side of
             # both gates ships to every executor — guard on the band-row
             # count (materializes the persist we need anyway) and fall back
