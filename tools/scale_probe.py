@@ -457,9 +457,64 @@ def index_maintenance_probe(spark, sf_dir: str) -> tuple[float, dict]:
             )
         t = time.perf_counter()
         rep = compact_band_rows(spark, f"{base}/idx", pointer_swap=True)
-        return time.perf_counter() - t, rep
+        dt = time.perf_counter() - t
+        rep = dict(rep)
+        rep.update(_heartbeat_under_inert_settimes(spark, f"{base}/idx"))
+        return dt, rep
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _heartbeat_under_inert_settimes(spark, idx: str) -> dict:
+    """r12: exercise the OBJECT-STORE heartbeat seam at probe scale — hold
+    the maintenance lease (2s TTL) for ~3.2s while ``FileSystem.setTimes``
+    is stubbed inert (the S3A shape: mtime is PUT time, setTimes is a
+    documented no-op), and check that (a) the verified-beat payload-rewrite
+    fallback keeps the lease unbreakable by a contender past TTL, (b) no
+    heartbeat failure is recorded, (c) the lease releases clean. The beat
+    is metadata-scale by design — one stat + one small rewrite per TTL/4,
+    independent of index size — which is exactly what running it against
+    the 10x-compacted index certifies."""
+    import twitter_event_stream_spark.fsio as fsio
+
+    real_fs = fsio._fs
+
+    class _NoSetTimes:
+        def __init__(self, real):
+            self._real = real
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+        def setTimes(self, p, mtime, atime):
+            return None
+
+    def shim(spark_, path):
+        fs, hp = real_fs(spark_, path)
+        return _NoSetTimes(fs), hp
+
+    fsio._fs = shim
+    try:
+        refused = False
+        with fsio.maintenance_lease(
+            spark, idx, "probe-hb", ttl_sec=2
+        ) as status:
+            time.sleep(3.2)  # past TTL: only the rewrite fallback keeps it
+            try:
+                fsio.acquire_maintenance_lease(
+                    spark, idx, "probe-usurper", ttl_sec=2
+                )
+            except fsio.MaintenanceLeaseHeld:
+                refused = True
+            hb_failures = status["heartbeat_failures_total"]
+        return {
+            "hb_failures": hb_failures,
+            "hb_refused_contender": refused,
+            "hb_lease_clear": fsio.read_maintenance_lease(spark, idx)
+            is None,
+        }
+    finally:
+        fsio._fs = real_fs
 
 
 def time_probe(spark, fn, sf_dir: str, scale: int):
@@ -618,6 +673,30 @@ def main() -> int:
             f" / {rep_big['files_before']}->{rep_big['files_after']})",
             flush=True,
         )
+        # r12: the object-store heartbeat seam, exercised inside the same
+        # lane at both scales (inert setTimes -> verified-beat rewrite
+        # fallback must hold the lease past TTL with zero failures)
+        for tag, rep in (("small", rep_small), ("10x", rep_big)):
+            hb_ok = (
+                rep.get("hb_failures", 1) == 0
+                and rep.get("hb_refused_contender")
+                and rep.get("hb_lease_clear")
+            )
+            if not hb_ok:
+                failures.append(
+                    f"lease_heartbeat[{tag}]: failures="
+                    f"{rep.get('hb_failures')} refused="
+                    f"{rep.get('hb_refused_contender')} clear="
+                    f"{rep.get('hb_lease_clear')}"
+                )
+            print(
+                f"{'lease_heartbeat':20s} [{tag}] inert-setTimes: "
+                f"failures={rep.get('hb_failures')} "
+                f"contender_refused={rep.get('hb_refused_contender')} "
+                f"lease_clear={rep.get('hb_lease_clear')} "
+                f"{'OK' if hb_ok else 'FAIL'}",
+                flush=True,
+            )
 
         print("\n=== SCALE PROBE SUMMARY ===")
         print(f"copies={args.copies} src={SRC} fixture={dst}")

@@ -341,12 +341,26 @@ def write_band_rows(rows: DataFrame, path: str, mode: str = "overwrite") -> None
     ever' claim literally true. Resolves through the index's pointer when
     it uses the versioned layout (r11) — appends land in the CURRENT
     version dir, so the pointer-swap maintenance path and streaming ingest
-    compose exactly like the legacy rename-swap path did."""
+    compose exactly like the legacy rename-swap path did.
+
+    ``mode="overwrite"`` on a POINTER-VERSIONED index raises (r12): it
+    would rewrite the LIVE ``_v-*`` dir in place — no lease, no staged
+    swap — bypassing the atomic-publish protocol and breaking snapshot
+    isolation for concurrent probes (forward-only, the compactions'
+    rule). Rewrites of a pointer index go through
+    :func:`write_simhash_index`, which stages a fresh version under the
+    maintenance lease and flips the pointer."""
     from twitter_event_stream_spark.fsio import resolve_data_dir
 
-    rows.write.mode(mode).partitionBy("band").parquet(
-        resolve_data_dir(rows.sparkSession, path)
-    )
+    cur = resolve_data_dir(rows.sparkSession, path)
+    if mode == "overwrite" and cur != path:
+        raise ValueError(
+            f"{path} uses the pointer-versioned layout; overwriting the "
+            "live version dir in place would bypass the staged "
+            "atomic-publish protocol — use write_simhash_index for "
+            "rewrites"
+        )
+    rows.write.mode(mode).partitionBy("band").parquet(cur)
 
 
 def write_simhash_index(
@@ -442,8 +456,18 @@ def write_simhash_index(
         cur = resolve_data_dir(spark, path)
         try:
             existing = spark.read.parquet(cur).select("band", "doc_id")
-        except Exception:
-            existing = None  # first append creates the index
+        except Exception as e:
+            # ONLY a missing path means "first append creates the index":
+            # a transient read failure on an EXISTING index must raise,
+            # not silently skip the idempotency anti-join — a retried
+            # append would then write duplicate band rows as durable,
+            # re-opening the unbounded-growth shape X126 closed (r11
+            # ADVICE). Same path-missing test resolve_data_dir uses.
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "FileNotFoundException" in msg:
+                existing = None
+            else:
+                raise
         if existing is not None:
             rows = rows.join(existing, ["band", "doc_id"], "left_anti")
         rows.write.mode("append").partitionBy("band").parquet(cur)

@@ -551,8 +551,12 @@ def ivf_topk_indexed(
     rebuild flipping mid-probe can no longer pair old centroids with new
     cell assignments (the legacy rename layout keeps its documented
     residual race — two reads of a directory a swap replaces between
-    them); the swap's one-cycle grace window keeps the resolved version
-    readable for the probe's whole lifetime."""
+    them); the swap's grace window keeps the resolved version readable
+    for ONE maintenance cycle — a probe outliving two back-to-back swaps
+    (e.g. rebuild then compact) can have its resolved version evicted
+    mid-read and fails LOUDLY (FileNotFoundException), never silently;
+    schedule maintenance passes apart by more than the longest probe, or
+    re-run the evicted probe."""
     from twitter_event_stream_spark.fsio import resolve_data_dir
 
     cur = resolve_data_dir(spark, path)
