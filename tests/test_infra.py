@@ -3206,3 +3206,41 @@ def test_simhash_append_raises_on_unreadable_index(spark, tmp_path_factory):
     fresh = f"{root}/fresh"
     write_simhash_index(spark, batch, fresh, mode="append")
     assert spark.read.parquet(fresh).count() == 4
+
+
+def test_heartbeat_is_ownership_probe(spark, tmp_path_factory):
+    """r12 — a holder whose lease was broken and RE-TAKEN (stall past TTL:
+    GC pause, suspended VM) must not keep refreshing the SUCCESSOR's
+    lease mtime and believe itself covered: each beat reads the payload
+    first, a lease_id mismatch counts as a failure without touching
+    anything, and the holder's exit leaves the successor's lease intact."""
+    import time
+
+    import twitter_event_stream_spark.fsio as fsio
+
+    idx = f"{tmp_path_factory.mktemp('hb-own')}/index"
+    with fsio.maintenance_lease(
+        spark, idx, owner="stalled", ttl_sec=1
+    ) as status:
+        # simulate the break+retake while the original holder still runs
+        fsio.release_maintenance_lease(spark, idx)  # operator override
+        succ = fsio.acquire_maintenance_lease(
+            spark, idx, owner="successor", ttl_sec=60
+        )
+        mt0 = fsio.read_maintenance_lease(spark, idx)["mtime_ms"]
+        time.sleep(0.8)  # >= 3 beats at ttl/4 = 0.25s
+        info = fsio.read_maintenance_lease(spark, idx)
+        assert info["owner"] == "successor"
+        assert info["lease_id"] == succ["lease_id"]
+        assert info["mtime_ms"] == mt0, (
+            "the stalled holder's beats must not refresh the successor's "
+            "staleness clock"
+        )
+        assert "heartbeat_unix_ms" not in info, (
+            "the rewrite fallback must never run on a successor's lease"
+        )
+        assert status["heartbeat_failures"] >= 2
+    # the stalled holder's exit (owner-checked release) left it intact
+    assert fsio.read_maintenance_lease(spark, idx)["owner"] == "successor"
+    fsio.release_maintenance_lease(spark, idx, lease_id=succ["lease_id"])
+    assert fsio.read_maintenance_lease(spark, idx) is None

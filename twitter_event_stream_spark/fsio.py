@@ -29,6 +29,9 @@ Breaker's rename grabs a FRESH         mtime re-validation + no-clobber    test_
   replacement lease                    restore (_rename_no_clobber)
 Broken holder's exit deletes the       owner-checked release (lease_id     test_release_owner_checked
   successor's lease                    token)
+Stalled holder (paused past TTL)       per-beat OWNERSHIP probe:           test_heartbeat_is_ownership_probe
+  keeps refreshing the successor's     payload read first, id mismatch
+  lease after break+retake             = counted failure, no touch
 Pointer commit clobbers a racing       no-clobber commit + sequence        test_pointer_commit_no_clobber
   commit (rename(2) replaces)          renumber retry
 Swap cleanup sweeps the version an     one-cycle grace retention of the    test_pointer_layout_*
@@ -603,26 +606,34 @@ def release_maintenance_lease(
 
 def _touch_lease(spark, index_path: str, lease_id: str | None = None) -> bool:
     """Refresh the lease file's mtime (the staleness clock) to now; return
-    whether the lease is verifiably fresh afterwards. A missing lease
+    whether OUR lease is verifiably fresh afterwards. A missing lease
     (broken externally) returns ``False`` — the holder's heartbeat
     surfaces it and the commit fence catches it mechanically.
+
+    Every beat is an OWNERSHIP probe (r12): the payload is read first and
+    a ``lease_id`` mismatch returns ``False`` without touching anything —
+    a holder that stalled past its TTL (GC pause, suspended VM) and was
+    legitimately broken would otherwise keep refreshing the SUCCESSOR's
+    mtime and believe itself still covered; this way the loss is counted
+    and logged within one beat.
 
     ``FileSystem.setTimes`` is a documented NO-OP on stores that don't
     support it (S3A: mtime is PUT time), so the refresh is VERIFIED by
     re-reading the status (r11 verdict "What's missing" #1 — a silently
     inert heartbeat reopened break-a-live-holder there): when the mtime
     neither moved nor is recent, fall back to REWRITING the lease payload
-    in place — a fresh PUT bumps the mtime on every store. The rewrite
-    first re-reads the payload and refuses when the ``lease_id`` is not
-    ours: if the lease was broken and re-taken between beats, rewriting
-    would resurrect our payload over the successor's lease."""
+    in place — a fresh PUT bumps the mtime on every store (the ownership
+    check above makes the rewrite safe: it can never resurrect our
+    payload over a successor's lease)."""
     fs, hpath = _fs(spark, index_path)
     lp = hpath(_lease_path(index_path))
-    now = int(time.time() * 1000)
-    try:
-        before = fs.getFileStatus(lp).getModificationTime()
-    except Exception:
+    info = read_maintenance_lease(spark, index_path)
+    if info is None:
         return False  # lease gone: broken externally
+    if lease_id is not None and info.get("lease_id") not in (None, lease_id):
+        return False  # broken + re-taken: not ours to refresh
+    before = info["mtime_ms"]
+    now = int(time.time() * 1000)
     try:
         fs.setTimes(lp, now, -1)
         after = fs.getFileStatus(lp).getModificationTime()
@@ -634,14 +645,6 @@ def _touch_lease(spark, index_path: str, lease_id: str | None = None) -> bool:
         return True
     # setTimes is inert here (object store): rewrite the payload instead
     try:
-        info = read_maintenance_lease(spark, index_path)
-        if info is None:
-            return False
-        if lease_id is not None and info.get("lease_id") not in (
-            None,
-            lease_id,
-        ):
-            return False  # broken + re-taken: never clobber the successor
         payload = {
             k: info[k]
             for k in ("owner", "ttl_sec", "acquired_unix_ms", "lease_id")
