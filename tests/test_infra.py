@@ -2969,6 +2969,54 @@ def test_release_owner_checked(spark, tmp_path_factory):
     )
 
 
+def test_release_displacement_verified(spark, tmp_path_factory, monkeypatch):
+    """r12 — release's owner check is displace-verify-delete, not
+    read-then-delete: a break+retake landing BETWEEN the matching owner
+    read and the delete must not hand the delete the successor's lease.
+    Simulated by pinning the read to the old holder's payload (the race's
+    timeline: the read matched OURS, then the break+retake landed) while
+    the on-disk lease already belongs to the successor — the displacement
+    rename grabs the successor's lease, the re-verify catches the id
+    mismatch, and the no-clobber restore puts it back intact."""
+    import time
+
+    import twitter_event_stream_spark.fsio as fsio
+
+    idx = f"{tmp_path_factory.mktemp('disprel')}/index"
+    token_a = fsio.acquire_maintenance_lease(spark, idx, owner="a", ttl_sec=0)
+    time.sleep(0.2)
+    token_b = fsio.acquire_maintenance_lease(spark, idx, owner="b", ttl_sec=60)
+    assert token_b["lease_id"] != token_a["lease_id"]
+
+    stale_read = dict(token_a)  # what a's release read just before the race
+    stale_read["mtime_ms"] = 0
+    monkeypatch.setattr(
+        fsio, "read_maintenance_lease", lambda *_a, **_k: stale_read
+    )
+    assert (
+        fsio.release_maintenance_lease(spark, idx, lease_id=token_a["lease_id"])
+        is False
+    )
+    monkeypatch.undo()
+
+    after = fsio.read_maintenance_lease(spark, idx)
+    assert after is not None, "successor's lease must survive the release"
+    assert after["lease_id"] == token_b["lease_id"]
+    assert after["owner"] == "b"
+    # no displacement tombs left behind
+    import glob
+
+    assert glob.glob(f"{idx}._maintenance.lock.rel-*") == []
+
+    # and the normal path still releases cleanly through the displacement
+    assert (
+        fsio.release_maintenance_lease(spark, idx, lease_id=token_b["lease_id"])
+        is True
+    )
+    assert fsio.read_maintenance_lease(spark, idx) is None
+    assert glob.glob(f"{idx}._maintenance.lock.rel-*") == []
+
+
 def _stage_version(spark, root: str, tag: str) -> str:
     from twitter_event_stream_spark.fsio import stage_version_dir
 

@@ -29,6 +29,9 @@ Breaker's rename grabs a FRESH         mtime re-validation + no-clobber    test_
   replacement lease                    restore (_rename_no_clobber)
 Broken holder's exit deletes the       owner-checked release (lease_id     test_release_owner_checked
   successor's lease                    token)
+Break+retake lands BETWEEN release's   displace-verify-delete: rename to   test_release_displacement_verified
+  matching owner read and its delete   unique, re-verify id, restore a
+                                       successor grabbed by mistake
 Stalled holder (paused past TTL)       per-beat OWNERSHIP probe:           test_heartbeat_is_ownership_probe
   keeps refreshing the successor's     payload read first, id mismatch
   lease after break+retake             = counted failure, no touch
@@ -38,17 +41,19 @@ Swap cleanup sweeps the version an     one-cycle grace retention of the    test_
   in-flight probe resolved             previous version
 Unreadable previous pointer defeats    retain ALL version dirs that        test_pointer_swap_retains_*
   the grace window                     cycle; reclaim next healthy swap
-Consolidation crash loses folded       write-new-first, keep identical     test_manifest_consolidation*
-  manifests                            existing file, delete-after
+Consolidation crash loses folded       write-new-first, keep identical     test_consolidate_manifests_* /
+  manifests                            existing file, delete-after         test_retention_consolidation_*
 =====================================  ==================================  =================================
 
 Residual (documented, needs a true CAS the portable FileSystem API lacks;
 S3 conditional writes / HDFS namenode CAS would close them — see README
-deployer notes): lease acquire on S3A is best-effort; the owner-checked
-release and the stale-break restore are read-then-act, so a THREE-way
-interleaving inside a microsecond displacement blip can still displace a
-fresh lease — callers survive it because every ingest commit re-checks
-the generation fence.
+deployer notes): lease acquire on S3A is best-effort; the stale-break
+restore and the owner-checked release close their TWO-party races via
+the displacement primitive, but a THREE-way interleaving inside a
+microsecond displacement blip can still displace a fresh lease; the
+heartbeat's payload-rewrite fallback is read-then-PUT within one beat —
+callers survive all of these because every ingest commit re-checks the
+generation fence.
 """
 
 from __future__ import annotations
@@ -582,26 +587,70 @@ def release_maintenance_lease(
     successor's lease is left intact and ``False`` is returned, instead
     of the original holder's exit deleting the new holder's mutual
     exclusion out from under it. Without ``lease_id`` the delete is
-    unconditional (the operator-override / cleanup form). The check is
-    read-then-delete, not CAS (the portable FileSystem API has none):
-    the residual — a break+retake landing between our matching read and
-    the delete — requires the caller to already look stale, which a live
-    heartbeating holder never does."""
+    unconditional (the operator-override / cleanup form).
+
+    The owner check is not read-then-delete (r12): a break+retake landing
+    between a matching read and the delete would hand the delete the
+    SUCCESSOR's lease. Instead the delete goes through the same
+    displacement primitive :func:`_remove_if_stale` uses — rename the
+    lease to a unique name (atomically grabbing whatever currently
+    occupies the path), RE-verify the grabbed payload is ours, and only
+    then delete; a successor's lease grabbed by mistake is restored via
+    the no-clobber move. The two-party race is closed; the residual is
+    the same three-contender displacement-blip shape
+    :func:`_remove_if_stale` documents (and it still requires our lease
+    to already look stale, which a live heartbeating holder never
+    does)."""
     fs, hpath = _fs(spark, index_path)
-    if lease_id is not None:
-        info = read_maintenance_lease(spark, index_path)
-        if info is None:
-            return True  # already gone (broken externally): nothing to do
-        if info.get("lease_id") not in (None, lease_id):
+    lp = _lease_path(index_path)
+    if lease_id is None:
+        fs.delete(hpath(lp), False)
+        return True
+    info = read_maintenance_lease(spark, index_path)
+    if info is None:
+        return True  # already gone (broken externally): nothing to do
+    if info.get("lease_id") not in (None, lease_id):
+        _LOG.warning(
+            "maintenance lease on %s now belongs to %s (ours was "
+            "broken as stale) — leaving it in place",
+            index_path,
+            info.get("owner", "?"),
+        )
+        return False
+    src = hpath(lp)
+    tomb = hpath(lp + f".rel-{uuid.uuid4().hex}")
+    try:
+        won = fs.rename(src, tomb)
+    except Exception:
+        won = False  # local FS throws (not returns false) on missing src
+    if not won:
+        return True  # vanished since the read: broken externally, clear
+    try:
+        grabbed = _read_json_file(fs, tomb)
+    except Exception:
+        # unreadable tomb: the path is clear either way (the same
+        # direction _remove_if_stale takes) — finish the delete
+        fs.delete(tomb, False)
+        return True
+    if grabbed.get("lease_id") in (None, lease_id):
+        fs.delete(tomb, False)
+        return True
+    # the rename grabbed a SUCCESSOR's lease installed between our
+    # matching read and the rename: put it back without clobbering a
+    # third contender's (the _remove_if_stale restore discipline)
+    try:
+        if _rename_no_clobber(spark, fs, tomb, src):
             _LOG.warning(
-                "maintenance lease on %s now belongs to %s (ours was "
-                "broken as stale) — leaving it in place",
+                "maintenance lease on %s was re-taken by %s during "
+                "release — successor's lease restored intact",
                 index_path,
-                info.get("owner", "?"),
+                grabbed.get("owner", "?"),
             )
             return False
-    fs.delete(hpath(_lease_path(index_path)), False)
-    return True
+    except Exception:
+        pass
+    fs.delete(tomb, False)  # path re-occupied meanwhile: see the
+    return False  # _remove_if_stale residual note
 
 
 def _touch_lease(spark, index_path: str, lease_id: str | None = None) -> bool:
@@ -622,9 +671,13 @@ def _touch_lease(spark, index_path: str, lease_id: str | None = None) -> bool:
     re-reading the status (r11 verdict "What's missing" #1 — a silently
     inert heartbeat reopened break-a-live-holder there): when the mtime
     neither moved nor is recent, fall back to REWRITING the lease payload
-    in place — a fresh PUT bumps the mtime on every store (the ownership
-    check above makes the rewrite safe: it can never resurrect our
-    payload over a successor's lease)."""
+    in place — a fresh PUT bumps the mtime on every store. The ownership
+    check above guards the rewrite, but it is read-then-PUT, not CAS:
+    resurrecting our payload over a successor's needs a break+retake
+    landing inside the single beat between the read and the PUT, which
+    requires this holder to ALREADY look stale — and a holder whose
+    beats are landing never does (a holder whose beats are failing
+    counts them and stops trusting the lease)."""
     fs, hpath = _fs(spark, index_path)
     lp = hpath(_lease_path(index_path))
     info = read_maintenance_lease(spark, index_path)
