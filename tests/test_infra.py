@@ -3292,3 +3292,264 @@ def test_heartbeat_is_ownership_probe(spark, tmp_path_factory):
     assert fsio.read_maintenance_lease(spark, idx)["owner"] == "successor"
     fsio.release_maintenance_lease(spark, idx, lease_id=succ["lease_id"])
     assert fsio.read_maintenance_lease(spark, idx) is None
+
+
+class _InertSetTimesFS:
+    """S3A shape: setTimes silently does nothing (mtime is PUT time)."""
+
+    def __init__(self, real):
+        self._real = real
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+    def setTimes(self, p, mtime, atime):
+        return None
+
+
+def _shim_inert_settimes(fsio, monkeypatch):
+    real_fs = fsio._fs
+
+    def shim(spark_, path):
+        fs, hpath = real_fs(spark_, path)
+        return _InertSetTimesFS(fs), hpath
+
+    monkeypatch.setattr(fsio, "_fs", shim)
+
+
+def test_restore_displaced_never_deletes_on_thrown_restore(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r12 — the shared restore discipline: a restore that merely THROWS
+    (transient IO, no third contender) must NOT delete the displaced
+    payload; the tomb is retried once and then left in place. Deleting it
+    would permanently destroy the successor's lease on an unrelated IO
+    error."""
+    import os
+
+    import twitter_event_stream_spark.fsio as fsio
+
+    root = str(tmp_path_factory.mktemp("resdisp"))
+    fs, hpath = fsio._fs(spark, root)
+    src, tomb = f"{root}/lease", f"{root}/lease.rel-x"
+    with open(tomb, "w") as f:
+        f.write("successor-payload")
+
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise IOError("degraded store")
+
+    monkeypatch.setattr(fsio, "_rename_no_clobber", boom)
+    assert (
+        fsio._restore_displaced(spark, fs, hpath(tomb), hpath(src)) is False
+    )
+    assert calls["n"] == 2, "the restore is retried once before giving up"
+    assert os.path.exists(tomb), (
+        "a thrown restore must leave the tomb in place, never delete it"
+    )
+    monkeypatch.undo()
+
+    # re-occupied target: tomb deleted, occupant intact (the residual)
+    with open(src, "w") as f:
+        f.write("third-contender")
+    assert (
+        fsio._restore_displaced(spark, fs, hpath(tomb), hpath(src)) is False
+    )
+    assert not os.path.exists(tomb)
+    assert open(src).read() == "third-contender"
+
+    # clear path: restored
+    tomb2 = f"{root}/lease.rel-y"
+    os.remove(src)
+    with open(tomb2, "w") as f:
+        f.write("mine")
+    assert fsio._restore_displaced(spark, fs, hpath(tomb2), hpath(src)) is True
+    assert open(src).read() == "mine"
+
+
+def test_touch_lease_aborts_on_stop(spark, tmp_path_factory, monkeypatch):
+    """r12 — a rewrite beat that observes the scope's stop signal must not
+    land (pre-PUT check), and one that lands AFTER the signal deletes its
+    own write (post-PUT check) — a beat stalled past the exit join can no
+    longer resurrect the lease release just deleted, wedging the index
+    until TTL."""
+    import os
+
+    import twitter_event_stream_spark.fsio as fsio
+
+    idx = f"{tmp_path_factory.mktemp('hb-stop')}/index"
+    lp = fsio._lease_path(idx)
+    _shim_inert_settimes(fsio, monkeypatch)
+
+    token = fsio.acquire_maintenance_lease(spark, idx, owner="op", ttl_sec=60)
+    # age the lease far past the rewrite grace so the fallback must fire
+    os.utime(lp, (0, 0))
+
+    # pre-PUT abort: stop already set -> no write, beat reports failure
+    before = open(lp).read()
+    assert (
+        fsio._touch_lease(
+            spark, idx, token["lease_id"], token=token,
+            should_abort=lambda: True,
+        )
+        is False
+    )
+    assert open(lp).read() == before, "aborted beat must not touch the lease"
+
+    # post-PUT abort: the stop lands while the PUT is in flight -> the
+    # beat deletes its own late write instead of resurrecting the lease
+    os.utime(lp, (0, 0))
+    flips = {"n": 0}
+
+    def stop_after_first_check():
+        flips["n"] += 1
+        return flips["n"] > 1  # False at the pre-PUT check, True after
+
+    assert (
+        fsio._touch_lease(
+            spark, idx, token["lease_id"], token=token,
+            should_abort=stop_after_first_check,
+        )
+        is False
+    )
+    assert not os.path.exists(lp), (
+        "a late-landing rewrite must delete its own write"
+    )
+
+
+def test_heartbeat_rewrite_heals_truncated_lease(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r12 — a crashed rewrite that truncated the lease file in place must
+    not degrade the NEXT rewrite: the payload is rebuilt from the acquire
+    TOKEN, so owner/ttl_sec/lease_id survive (a payload rebuilt from the
+    truncated file would be ownerless — any holder's tokened release
+    would match it and contenders would judge staleness by the wrong
+    TTL)."""
+    import json
+    import os
+
+    import twitter_event_stream_spark.fsio as fsio
+
+    idx = f"{tmp_path_factory.mktemp('hb-heal')}/index"
+    lp = fsio._lease_path(idx)
+    _shim_inert_settimes(fsio, monkeypatch)
+
+    token = fsio.acquire_maintenance_lease(spark, idx, owner="op", ttl_sec=60)
+    open(lp, "w").close()  # crashed rewrite: lease truncated to empty
+    os.utime(lp, (0, 0))  # and old enough that the rewrite must fire
+
+    assert (
+        fsio._touch_lease(spark, idx, token["lease_id"], token=token) is True
+    )
+    healed = json.loads(open(lp).read())
+    assert healed["owner"] == "op"
+    assert healed["ttl_sec"] == 60
+    assert healed["lease_id"] == token["lease_id"]
+    assert "heartbeat_unix_ms" in healed
+    fsio.release_maintenance_lease(spark, idx, lease_id=token["lease_id"])
+
+
+def test_heartbeat_fallback_short_ttl(spark, tmp_path_factory, monkeypatch):
+    """r12 — the rewrite fallback's still-fresh grace is bounded by TTL/4,
+    not a flat second: with ttl_sec=1 on an inert-setTimes store the
+    holder must start rewriting well before a contender could judge the
+    lease stale — previously the first rewrite fired only at age > 1s =
+    TTL, leaving a window where a LIVE beating holder was breakable."""
+    import time
+
+    import twitter_event_stream_spark.fsio as fsio
+
+    _shim_inert_settimes(fsio, monkeypatch)
+    idx = f"{tmp_path_factory.mktemp('hb-short')}/index"
+    with fsio.maintenance_lease(spark, idx, owner="short", ttl_sec=1) as st:
+        time.sleep(1.6)  # past TTL: only TTL/4-graced rewrites keep it live
+        with pytest.raises(fsio.MaintenanceLeaseHeld, match="short"):
+            fsio.acquire_maintenance_lease(spark, idx, owner="u", ttl_sec=1)
+        assert st["heartbeat_failures"] == 0
+        info = fsio.read_maintenance_lease(spark, idx)
+        assert info["owner"] == "short"
+        assert "heartbeat_unix_ms" in info, "the rewrite fallback must run"
+    assert fsio.read_maintenance_lease(spark, idx) is None
+
+
+def test_fresh_pointer_build_leased(spark, sf_dir, tmp_path_factory):
+    """r12 — fresh POINTER builds take the maintenance lease too: a
+    staged-but-uncommitted `_v-*` dir is visible to a racing swap's
+    cleanup sweep, so two lease-free fresh builds racing could publish a
+    dangling pointer; under the lease one publishes and the other fails
+    fast. Fresh LEGACY builds (plain write, no swap) stay lease-free."""
+    from pyspark.sql import functions as F
+
+    import twitter_event_stream_spark.fsio as fsio
+    from twitter_event_stream_spark.operators.corpus_full import (
+        write_simhash_index,
+    )
+    from twitter_event_stream_spark.operators.vector_search import (
+        write_ivf_index,
+    )
+    from twitter_event_stream_spark.tables import table
+
+    root = str(tmp_path_factory.mktemp("freshlease"))
+    docs = table(spark, sf_dir, "documents").limit(40)
+    vecs = table(spark, sf_dir, "embeddings").limit(40)
+
+    # under a held lease, a fresh pointer build refuses instead of staging
+    sidx = f"{root}/simhash"
+    tok = fsio.acquire_maintenance_lease(spark, sidx, owner="rival")
+    with pytest.raises(fsio.MaintenanceLeaseHeld, match="rival"):
+        write_simhash_index(spark, docs, sidx, pointer=True)
+    fsio.release_maintenance_lease(spark, sidx, lease_id=tok["lease_id"])
+
+    ivf = f"{root}/ivf"
+    tok = fsio.acquire_maintenance_lease(spark, ivf, owner="rival")
+    with pytest.raises(fsio.MaintenanceLeaseHeld, match="rival"):
+        write_ivf_index(spark, vecs, ivf, pointer=True)
+    fsio.release_maintenance_lease(spark, ivf, lease_id=tok["lease_id"])
+
+    # without a rival the fresh pointer builds succeed and release clean
+    write_simhash_index(spark, docs, sidx, pointer=True)
+    assert "/_v-" in fsio.resolve_data_dir(spark, sidx)
+    assert fsio.read_maintenance_lease(spark, sidx) is None
+    write_ivf_index(spark, vecs, ivf, pointer=True)
+    assert "/_v-" in fsio.resolve_data_dir(spark, ivf)
+    assert fsio.read_maintenance_lease(spark, ivf) is None
+
+    # fresh LEGACY builds never touch the lease even when one is held
+    lidx = f"{root}/legacy"
+    tok = fsio.acquire_maintenance_lease(spark, lidx, owner="rival")
+    write_simhash_index(spark, docs, lidx)  # lease-free by design
+    assert fsio.read_maintenance_lease(spark, lidx)["owner"] == "rival"
+    fsio.release_maintenance_lease(spark, lidx, lease_id=tok["lease_id"])
+
+
+def test_pointer_swap_detects_swept_stage(spark, tmp_path_factory, monkeypatch):
+    """r12 — pointer_swap_dir's post-commit detection net for OFF-LEASE
+    racers: when the staged dir was swept between the exists-check and
+    the pointer commit (a racing swap's cleanup), the swap retracts its
+    just-committed pointer and raises instead of leaving a dangling
+    pointer readers would 404 on."""
+    import shutil
+
+    import twitter_event_stream_spark.fsio as fsio
+
+    root = f"{tmp_path_factory.mktemp('sweep')}/idx"
+    v1 = _stage_version(spark, root, "v1")
+    fsio.pointer_swap_dir(spark, root, v1)
+
+    v2 = _stage_version(spark, root, "v2")
+    real_move = fsio._rename_no_clobber
+
+    def sweep_then_move(spark_, fs, src, dst):
+        shutil.rmtree(v2, ignore_errors=True)  # the racer's cleanup lands
+        return real_move(spark_, fs, src, dst)
+
+    monkeypatch.setattr(fsio, "_rename_no_clobber", sweep_then_move)
+    with pytest.raises(IOError, match="swept"):
+        fsio.pointer_swap_dir(spark, root, v2)
+    monkeypatch.undo()
+
+    # the dangling pointer was retracted: readers still resolve v1
+    assert fsio.resolve_data_dir(spark, root) == v1

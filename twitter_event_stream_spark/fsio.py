@@ -37,6 +37,21 @@ Stalled holder (paused past TTL)       per-beat OWNERSHIP probe:           test_
   lease after break+retake             = counted failure, no touch
 Pointer commit clobbers a racing       no-clobber commit + sequence        test_pointer_commit_no_clobber
   commit (rename(2) replaces)          renumber retry
+Racing swap's cleanup sweeps a         ALL stage+swap paths hold the       test_fresh_pointer_build_leased
+  staged-but-uncommitted _v-* dir,     lease, incl. fresh pointer builds
+  committing a dangling pointer        (r12); post-commit staged-exists
+                                       re-check retracts + raises
+Restore of a displaced fresh lease     shared restore helper retries,      test_restore_displaced_*
+  THROWS (transient IO) and the tomb   then LEAVES the tomb — never
+  delete destroys the payload          deletes on a thrown restore
+Beat stalled past scope exit lands     stop signal re-checked before AND   test_touch_lease_aborts_on_stop
+  its rewrite PUT after release,       after the rewrite PUT; a late
+  resurrecting the lease until TTL     landing deletes its own write
+Crashed rewrite truncates the lease;   rewrite payload rebuilt from the    test_heartbeat_rewrite_heals_*
+  next rewrite drops owner/ttl/id      acquire TOKEN, not file content
+Flat 1s still-fresh grace defers the   grace bounded by min(1s, TTL/4)     test_heartbeat_fallback_short_ttl
+  rewrite past short TTLs (inert
+  setTimes: breakable while live)
 Swap cleanup sweeps the version an     one-cycle grace retention of the    test_pointer_layout_*
   in-flight probe resolved             previous version
 Unreadable previous pointer defeats    retain ALL version dirs that        test_pointer_swap_retains_*
@@ -241,14 +256,17 @@ def pointer_swap_dir(spark, root: str, staged: str, keep: tuple = ()) -> None:
     pointers lose to max; version dirs are only reachable via pointers)
     and the next swap retries the deletes. The MIGRATION cleanup (legacy
     root-level data files) is immediate — run a legacy→pointer migration
-    quiesced on object stores. Callers normally run under the maintenance
-    lease, so pointer sequence numbers never race; the commit itself
-    still refuses to clobber an existing pointer name
-    (:func:`_rename_no_clobber`, r12 — plain rename silently replaces on
-    local FS) and retries at the next sequence number, so even LEASE-FREE
-    fresh builds racing each other both publish: the later commit wins
-    the live position and the earlier one becomes the grace-retained
-    previous version instead of a silently-orphaned "success"."""
+    quiesced on object stores. Callers MUST hold the maintenance lease
+    around stage+swap — every engine caller does, INCLUDING fresh pointer
+    builds (r12): a staged-but-uncommitted ``_v-*`` dir is visible to a
+    racing swap's cleanup sweep, and only the lease keeps stage+commit
+    single-sequencer. The commit itself still refuses to clobber an
+    existing pointer name (:func:`_rename_no_clobber`, r12 — plain
+    rename silently replaces on local FS) and retries at the next
+    sequence number, and a post-commit re-check retracts the pointer and
+    raises when the staged dir was swept from under an off-lease racer —
+    mechanical backstops that turn an unsupported lease-free race into a
+    loud failure instead of a silently-dangling pointer."""
     fs, hpath = _fs(spark, root)
     staged = staged.rstrip("/")
     parent, vname = staged.rsplit("/", 1)
@@ -290,6 +308,23 @@ def pointer_swap_dir(spark, root: str, staged: str, keep: tuple = ()) -> None:
         raise IOError(
             f"could not commit a pointer under {root}: lost the sequence "
             "race 5 times in a row"
+        )
+    if not fs.exists(hpath(staged)):
+        # an OFF-LEASE racer's cleanup swept our staged dir between our
+        # exists-check and the pointer commit, so the pointer we just
+        # committed dangles. Best-effort retract it (readers fall back to
+        # the racer's live pointer instead of 404ing) and fail LOUD —
+        # engine callers hold the maintenance lease around stage+swap
+        # (r12, including fresh pointer builds), which prevents this;
+        # the check is a detection net for direct off-lease callers.
+        try:
+            fs.delete(final, False)
+        except Exception:
+            pass
+        raise IOError(
+            f"staged version dir {staged} was swept by a concurrent "
+            "swap's cleanup before the pointer commit — hold the "
+            "maintenance lease around stage+swap"
         )
     # cleanup AFTER the commit: all best-effort, all invisible to readers
     keep_names = set(keep) | {vname}
@@ -369,6 +404,40 @@ def _rename_no_clobber(spark, fs, src, dst) -> bool:
     return fs.rename(src, dst)
 
 
+def _restore_displaced(spark, fs, tomb, src) -> bool:
+    """Put a mistakenly-displaced FRESH file back at ``src`` after a
+    rename-to-unique grabbed it (the shared restore discipline of
+    :func:`_remove_if_stale` and :func:`release_maintenance_lease`).
+    Returns True when restored. The restore is a no-clobber move; when
+    the path was RE-OCCUPIED meanwhile (a third contender's create
+    landing inside the displacement blip) the tomb is deleted and the
+    occupant survives intact — the documented three-way residual. A
+    restore that merely THROWS (transient IO, degraded store — no third
+    contender involved) is retried once and then the tomb is LEFT IN
+    PLACE with a warning, never deleted: deleting the displaced payload
+    on an unrelated IO error would permanently destroy the holder's
+    lease when simply leaving the tomb (a uniquely-named sibling, not
+    the lease path) costs one orphaned metadata file (r12)."""
+    last_err = None
+    for _ in range(2):
+        try:
+            if _rename_no_clobber(spark, fs, tomb, src):
+                return True
+            fs.delete(tomb, False)  # re-occupied: residual, occupant wins
+            return False
+        except Exception as e:
+            last_err = e
+    _LOG.warning(
+        "could not restore displaced file %s back to %s (%s) — leaving "
+        "the tomb in place; the displaced holder's heartbeat/fence will "
+        "surface the loss",
+        tomb,
+        src,
+        last_err,
+    )
+    return False
+
+
 def _exclusive_create(spark, fs, hp):
     """Atomically create ``hp`` and return a writable stream, or raise
     when it already exists. Scheme-aware, because the Hadoop FileSystem
@@ -437,14 +506,10 @@ def _remove_if_stale(spark, fs, hpath, path_str: str, ttl_ms: int) -> str:
     if age_ms <= ttl_ms:
         # the path held a FRESH replacement by the time we renamed: put it
         # back. The restore must refuse an occupied target (a third
-        # contender's create landing inside the blip) — plain rename
-        # clobbers on local FS, so use the no-clobber primitive (r12)
-        try:
-            if _rename_no_clobber(spark, fs, tomb, src):
-                return "fresh"
-        except Exception:
-            pass
-        fs.delete(tomb, False)  # path re-occupied meanwhile: see residual
+        # contender's create landing inside the blip) and must not delete
+        # the displaced payload on a merely-THROWN restore — both live in
+        # the shared restore discipline (r12)
+        _restore_displaced(spark, fs, tomb, src)
         return "fresh"
     fs.delete(tomb, False)
     return "removed"
@@ -636,24 +701,26 @@ def release_maintenance_lease(
         fs.delete(tomb, False)
         return True
     # the rename grabbed a SUCCESSOR's lease installed between our
-    # matching read and the rename: put it back without clobbering a
-    # third contender's (the _remove_if_stale restore discipline)
-    try:
-        if _rename_no_clobber(spark, fs, tomb, src):
-            _LOG.warning(
-                "maintenance lease on %s was re-taken by %s during "
-                "release — successor's lease restored intact",
-                index_path,
-                grabbed.get("owner", "?"),
-            )
-            return False
-    except Exception:
-        pass
-    fs.delete(tomb, False)  # path re-occupied meanwhile: see the
-    return False  # _remove_if_stale residual note
+    # matching read and the rename: put it back via the shared restore
+    # discipline — no-clobber against a third contender, and never
+    # deleted on a merely-thrown restore error (r12)
+    if _restore_displaced(spark, fs, tomb, src):
+        _LOG.warning(
+            "maintenance lease on %s was re-taken by %s during "
+            "release — successor's lease restored intact",
+            index_path,
+            grabbed.get("owner", "?"),
+        )
+    return False
 
 
-def _touch_lease(spark, index_path: str, lease_id: str | None = None) -> bool:
+def _touch_lease(
+    spark,
+    index_path: str,
+    lease_id: str | None = None,
+    token: dict | None = None,
+    should_abort=None,
+) -> bool:
     """Refresh the lease file's mtime (the staleness clock) to now; return
     whether OUR lease is verifiably fresh afterwards. A missing lease
     (broken externally) returns ``False`` — the holder's heartbeat
@@ -664,20 +731,33 @@ def _touch_lease(spark, index_path: str, lease_id: str | None = None) -> bool:
     a holder that stalled past its TTL (GC pause, suspended VM) and was
     legitimately broken would otherwise keep refreshing the SUCCESSOR's
     mtime and believe itself still covered; this way the loss is counted
-    and logged within one beat.
+    and logged within one beat. An EMPTY payload (a crashed rewrite
+    truncated the file in place) reads as ours-to-heal: the next rewrite
+    restores the full acquire payload from ``token``, not from whatever
+    survives in the file, so owner/ttl_sec/lease_id are never silently
+    dropped (r12).
 
     ``FileSystem.setTimes`` is a documented NO-OP on stores that don't
     support it (S3A: mtime is PUT time), so the refresh is VERIFIED by
     re-reading the status (r11 verdict "What's missing" #1 — a silently
     inert heartbeat reopened break-a-live-holder there): when the mtime
-    neither moved nor is recent, fall back to REWRITING the lease payload
-    in place — a fresh PUT bumps the mtime on every store. The ownership
-    check above guards the rewrite, but it is read-then-PUT, not CAS:
-    resurrecting our payload over a successor's needs a break+retake
-    landing inside the single beat between the read and the PUT, which
-    requires this holder to ALREADY look stale — and a holder whose
-    beats are landing never does (a holder whose beats are failing
-    counts them and stops trusting the lease)."""
+    neither moved nor is STILL-FRESH — the still-fresh grace is bounded
+    by ``min(1s, TTL/4)``, never a flat second, so a short-TTL lease on
+    an inert-setTimes store starts rewriting well before a contender
+    could judge it stale (r12) — fall back to REWRITING the lease
+    payload in place: a fresh PUT bumps the mtime on every store. The
+    ownership check above guards the rewrite, but it is read-then-PUT,
+    not CAS: resurrecting our payload over a successor's needs a
+    break+retake landing inside the single beat between the read and the
+    PUT, which requires this holder to ALREADY look stale — and a holder
+    whose beats are landing never does (a holder whose beats are failing
+    counts them and stops trusting the lease). ``should_abort`` (the
+    scope's stop signal) is re-checked immediately before the rewrite's
+    PUT and again after it lands: a beat that stalled across the scope's
+    exit must not RESURRECT the lease release just deleted (pre-r12 the
+    late setTimes on a missing path failed harmlessly; a late PUT would
+    wedge the index until TTL) — a late-landing rewrite detected by the
+    post-PUT check deletes what it just wrote and reports failure."""
     fs, hpath = _fs(spark, index_path)
     lp = hpath(_lease_path(index_path))
     info = read_maintenance_lease(spark, index_path)
@@ -692,13 +772,17 @@ def _touch_lease(spark, index_path: str, lease_id: str | None = None) -> bool:
         after = fs.getFileStatus(lp).getModificationTime()
     except Exception:
         after = before
-    if after != before or now - after <= 1000:
+    ttl_sec = (token or info).get("ttl_sec", 3600)
+    grace_ms = min(1000, max(int(ttl_sec * 1000) // 4, 50))
+    if after != before or now - after <= grace_ms:
         # observably moved, or still demonstrably fresh (coarse-granularity
-        # filesystems can floor `now` back onto `before` within one second)
+        # filesystems can floor `now` back onto `before` within the grace)
         return True
     # setTimes is inert here (object store): rewrite the payload instead
+    if should_abort is not None and should_abort():
+        return False  # scope is exiting: never race our own release
     try:
-        payload = {
+        payload = dict(token) if token else {
             k: info[k]
             for k in ("owner", "ttl_sec", "acquired_unix_ms", "lease_id")
             if k in info
@@ -707,6 +791,12 @@ def _touch_lease(spark, index_path: str, lease_id: str | None = None) -> bool:
         out = fs.create(lp, True)
         out.write(json.dumps(payload, sort_keys=True).encode("utf-8"))
         out.close()
+        if should_abort is not None and should_abort():
+            # the PUT landed while (or after) the scope exited — it may
+            # have resurrected the lease release just deleted; undo our
+            # own write and report the beat as failed
+            fs.delete(lp, False)
+            return False
         return True
     except Exception:
         return False
@@ -750,7 +840,13 @@ def maintenance_lease(spark, index_path: str, owner: str, ttl_sec: int = 3600):
 
     def _beat() -> None:
         while not stop.wait(interval):
-            if _touch_lease(spark, index_path, lease_id):
+            if _touch_lease(
+                spark,
+                index_path,
+                lease_id,
+                token=token,
+                should_abort=stop.is_set,
+            ):
                 status["heartbeat_failures"] = 0
             else:
                 status["heartbeat_failures"] += 1
@@ -775,6 +871,18 @@ def maintenance_lease(spark, index_path: str, owner: str, ttl_sec: int = 3600):
     finally:
         stop.set()
         hb.join(timeout=5)
+        if hb.is_alive():
+            # a beat is stalled mid-IO past the join window; its rewrite
+            # fallback re-checks the stop signal before AND after its PUT
+            # and undoes a late landing, so it cannot silently resurrect
+            # the lease release is about to delete (r12)
+            _LOG.warning(
+                "maintenance-lease heartbeat on %s did not stop within "
+                "5s of scope exit (owner %s) — a stalled beat is still "
+                "in flight",
+                index_path,
+                owner,
+            )
         try:
             bump_maintenance_generation(spark, index_path)
         finally:

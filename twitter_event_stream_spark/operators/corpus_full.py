@@ -410,14 +410,15 @@ def write_simhash_index(
             stage_version_dir,
         )
 
+        is_pointer = resolve_data_dir(spark, path) != path
+        ptr = is_pointer if pointer is None else pointer
+        if is_pointer and not ptr:
+            raise ValueError(
+                f"{path} uses the pointer-versioned layout; it cannot "
+                "be rewritten in the legacy rename-swap layout"
+            )
+
         def _publish() -> None:
-            is_pointer = resolve_data_dir(spark, path) != path
-            ptr = is_pointer if pointer is None else pointer
-            if is_pointer and not ptr:
-                raise ValueError(
-                    f"{path} uses the pointer-versioned layout; it cannot "
-                    "be rewritten in the legacy rename-swap layout"
-                )
             if ptr:
                 staged = stage_version_dir(path)
                 rows.write.partitionBy("band").parquet(staged)
@@ -428,9 +429,16 @@ def write_simhash_index(
         # rewriting an EXISTING index is maintenance: hold the lease (r11)
         # so live ingest fails fast, concurrent maintenance is refused,
         # and the pointer flip keeps pointer_swap_dir's single-sequencer
-        # invariant; a fresh build (target absent) stays lease-free
+        # invariant. A fresh LEGACY build (target absent, plain write, no
+        # swap) stays lease-free; a fresh POINTER build takes the lease
+        # too (r12) — its staged-but-uncommitted `_v-*` dir is visible to
+        # a racing swap's cleanup sweep, and only the lease keeps
+        # stage+commit single-sequencer (two racing lease-free fresh
+        # builds: one publishes, the other fails fast with
+        # MaintenanceLeaseHeld instead of publishing a swept, dangling
+        # version)
         fs, hpath = _fs(spark, path)
-        if fs.exists(hpath(path)):
+        if ptr or fs.exists(hpath(path)):
             with maintenance_lease(spark, path, "write_simhash_index"):
                 _publish()
         else:
@@ -446,6 +454,7 @@ def write_simhash_index(
         # bands); re-check the maintenance generation after the append so
         # overlapped maintenance raises instead of returning as durable.
         from twitter_event_stream_spark.fsio import (
+            _fs,
             assert_no_maintenance,
             maintenance_generation,
             resolve_data_dir,
@@ -454,20 +463,20 @@ def write_simhash_index(
         gen0 = maintenance_generation(spark, path)
         assert_no_maintenance(spark, path)
         cur = resolve_data_dir(spark, path)
-        try:
+        # ONLY a missing index means "first append creates the index": a
+        # read failure on an EXISTING index must raise, not silently skip
+        # the idempotency anti-join — a retried append would then write
+        # duplicate band rows as durable, re-opening the unbounded-growth
+        # shape X126 closed (r11 ADVICE). Decided by an explicit
+        # existence probe (r12), not by substring-matching the exception:
+        # a vanished-file error DURING a read of an existing index also
+        # says "FileNotFoundException" and was misclassified as
+        # first-append by the string test.
+        fs, hp = _fs(spark, cur)
+        if fs.exists(hp(cur)):
             existing = spark.read.parquet(cur).select("band", "doc_id")
-        except Exception as e:
-            # ONLY a missing path means "first append creates the index":
-            # a transient read failure on an EXISTING index must raise,
-            # not silently skip the idempotency anti-join — a retried
-            # append would then write duplicate band rows as durable,
-            # re-opening the unbounded-growth shape X126 closed (r11
-            # ADVICE). Same path-missing test resolve_data_dir uses.
-            msg = str(e)
-            if "PATH_NOT_FOUND" in msg or "FileNotFoundException" in msg:
-                existing = None
-            else:
-                raise
+        else:
+            existing = None
         if existing is not None:
             rows = rows.join(existing, ["band", "doc_id"], "left_anti")
         rows.write.mode("append").partitionBy("band").parquet(cur)

@@ -492,14 +492,15 @@ def write_ivf_index(
     if bc is None:
         raise ValueError("cannot index an empty corpus")
 
+    is_pointer = resolve_data_dir(spark, path) != path
+    ptr = is_pointer if pointer is None else pointer
+    if is_pointer and not ptr:
+        raise ValueError(
+            f"{path} uses the pointer-versioned layout; it cannot be "
+            "rewritten in the legacy rename-swap layout"
+        )
+
     def _publish() -> None:
-        is_pointer = resolve_data_dir(spark, path) != path
-        ptr = is_pointer if pointer is None else pointer
-        if is_pointer and not ptr:
-            raise ValueError(
-                f"{path} uses the pointer-versioned layout; it cannot be "
-                "rewritten in the legacy rename-swap layout"
-            )
         target = stage_version_dir(path) if ptr else path
         cm = bc.value
         spark.createDataFrame(
@@ -517,12 +518,17 @@ def write_ivf_index(
     # rewrite replaces, a concurrent maintenance op is refused, and the
     # pointer flip keeps pointer_swap_dir's single-sequencer invariant;
     # the generation bump on exit aborts in-flight batches at their
-    # commit fence. A FRESH build (target absent — including the staged
-    # `_v-*`/`.rebuild-*` dirs rebuild_ivf_index, itself already holding
-    # this lease, writes through here) has nothing to protect and stays
-    # lease-free.
+    # commit fence. A fresh LEGACY build (target absent — including the
+    # staged `_v-*`/`.rebuild-*` dirs rebuild_ivf_index, itself already
+    # holding this lease, writes through here with ptr False) has nothing
+    # to protect and stays lease-free; a fresh POINTER build takes the
+    # lease too (r12) — its staged-but-uncommitted `_v-*` dir is visible
+    # to a racing swap's cleanup sweep, and only the lease keeps
+    # stage+commit single-sequencer (two racing lease-free fresh builds:
+    # one publishes, the other fails fast with MaintenanceLeaseHeld
+    # instead of publishing a swept, dangling version).
     fs, hpath = _fs(spark, path)
-    if fs.exists(hpath(path)):
+    if ptr or fs.exists(hpath(path)):
         with maintenance_lease(spark, path, "write_ivf_index"):
             _publish()
     else:
