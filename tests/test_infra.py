@@ -3418,38 +3418,73 @@ def test_touch_lease_aborts_on_stop(spark, tmp_path_factory, monkeypatch):
         "a late-landing rewrite must delete its own write"
     )
 
+    # ...but the undo is owner-VERIFIED: a successor acquiring between
+    # the late PUT and the post-PUT check must not have its lease
+    # deleted by the stalled beat's cleanup
+    import json
 
-def test_heartbeat_rewrite_heals_truncated_lease(
+    token2 = fsio.acquire_maintenance_lease(spark, idx, owner="op2",
+                                            ttl_sec=60)
+    os.utime(lp, (0, 0))
+    succ_payload = json.dumps({"owner": "succ", "ttl_sec": 60,
+                               "lease_id": "succ-id"})
+    calls = {"n": 0}
+
+    def abort_and_usurp():
+        calls["n"] += 1
+        if calls["n"] > 1:  # post-PUT: the successor's lease lands first
+            with open(lp, "w") as f:
+                f.write(succ_payload)
+            return True
+        return False
+
+    assert (
+        fsio._touch_lease(
+            spark, idx, token2["lease_id"], token=token2,
+            should_abort=abort_and_usurp,
+        )
+        is False
+    )
+    assert json.loads(open(lp).read())["lease_id"] == "succ-id", (
+        "the post-PUT undo must leave a successor's lease intact"
+    )
+    os.remove(lp)
+
+
+def test_touch_lease_refuses_unverifiable_payload(
     spark, tmp_path_factory, monkeypatch
 ):
-    """r12 — a crashed rewrite that truncated the lease file in place must
-    not degrade the NEXT rewrite: the payload is rebuilt from the acquire
-    TOKEN, so owner/ttl_sec/lease_id survive (a payload rebuilt from the
-    truncated file would be ownerless — any holder's tokened release
-    would match it and contenders would judge staleness by the wrong
-    TTL)."""
-    import json
+    """r12 — per-beat ownership is STRICT: a payload whose lease_id is not
+    an exact match (here: an empty file — a truncated lease whose owner
+    cannot be verified) is never touched and never "healed as ours". A
+    lenient heal would let a stale-broken holder resurrect its own lease
+    over a SUCCESSOR's truncated one; strictness fails toward losing our
+    own lease, which decays via TTL and is re-broken — the safe
+    direction. (On the stores where rewrites actually fire — object
+    stores — truncation is a non-event anyway: the rewrite is one PUT
+    that lands whole or not at all.)"""
     import os
 
     import twitter_event_stream_spark.fsio as fsio
 
-    idx = f"{tmp_path_factory.mktemp('hb-heal')}/index"
+    idx = f"{tmp_path_factory.mktemp('hb-strict')}/index"
     lp = fsio._lease_path(idx)
     _shim_inert_settimes(fsio, monkeypatch)
 
     token = fsio.acquire_maintenance_lease(spark, idx, owner="op", ttl_sec=60)
     open(lp, "w").close()  # crashed rewrite: lease truncated to empty
-    os.utime(lp, (0, 0))  # and old enough that the rewrite must fire
+    os.utime(lp, (0, 0))  # and old enough that a rewrite WOULD fire
 
     assert (
-        fsio._touch_lease(spark, idx, token["lease_id"], token=token) is True
+        fsio._touch_lease(spark, idx, token["lease_id"], token=token) is False
     )
-    healed = json.loads(open(lp).read())
-    assert healed["owner"] == "op"
-    assert healed["ttl_sec"] == 60
-    assert healed["lease_id"] == token["lease_id"]
-    assert "heartbeat_unix_ms" in healed
-    fsio.release_maintenance_lease(spark, idx, lease_id=token["lease_id"])
+    assert open(lp).read() == "", (
+        "an unverifiable payload must never be touched, let alone healed"
+    )
+    # the decayed file is breakable (mtime-old), so the index self-frees
+    succ = fsio.acquire_maintenance_lease(spark, idx, owner="next", ttl_sec=60)
+    assert fsio.read_maintenance_lease(spark, idx)["owner"] == "next"
+    fsio.release_maintenance_lease(spark, idx, lease_id=succ["lease_id"])
 
 
 def test_heartbeat_fallback_short_ttl(spark, tmp_path_factory, monkeypatch):
@@ -3553,3 +3588,55 @@ def test_pointer_swap_detects_swept_stage(spark, tmp_path_factory, monkeypatch):
 
     # the dangling pointer was retracted: readers still resolve v1
     assert fsio.resolve_data_dir(spark, root) == v1
+
+
+def test_release_unreadable_paths(spark, tmp_path_factory, monkeypatch):
+    """r12 — release's two unreadable-degradation directions: (a) a lease
+    whose initial read transiently fails but which EXISTS falls through
+    to the displacement (whose tomb read succeeds) instead of returning
+    'already gone' and wedging the index until TTL; (b) a tomb that stays
+    unreadable after the retry is RESTORED, never deleted — it may be a
+    successor's live lease caught in the displacement blip."""
+    import glob
+    import os
+
+    import twitter_event_stream_spark.fsio as fsio
+
+    # (a) transient initial-read failure, lease present and ours
+    idx = f"{tmp_path_factory.mktemp('rel-unread')}/index"
+    lp = fsio._lease_path(idx)
+    token = fsio.acquire_maintenance_lease(spark, idx, owner="op", ttl_sec=60)
+    monkeypatch.setattr(fsio, "read_maintenance_lease", lambda *_a, **_k: None)
+    assert (
+        fsio.release_maintenance_lease(spark, idx, lease_id=token["lease_id"])
+        is True
+    )
+    monkeypatch.undo()
+    assert not os.path.exists(lp), (
+        "a present lease with a transiently-failing read must still be "
+        "released through the displacement, not skipped"
+    )
+    assert glob.glob(f"{lp}.rel-*") == []
+
+    # (b) tomb unreadable after retry: restored in place, never deleted
+    token = fsio.acquire_maintenance_lease(spark, idx, owner="op2",
+                                           ttl_sec=60)
+
+    def boom(*_a, **_k):
+        raise IOError("degraded read")
+
+    monkeypatch.setattr(fsio, "_read_json_file", boom)
+    assert (
+        fsio.release_maintenance_lease(spark, idx, lease_id=token["lease_id"])
+        is False
+    )
+    monkeypatch.undo()
+    info = fsio.read_maintenance_lease(spark, idx)
+    assert info is not None and info["owner"] == "op2", (
+        "an unreadable tomb must be restored, never deleted"
+    )
+    assert glob.glob(f"{lp}.rel-*") == []
+    assert (
+        fsio.release_maintenance_lease(spark, idx, lease_id=token["lease_id"])
+        is True
+    )

@@ -46,9 +46,24 @@ Restore of a displaced fresh lease     shared restore helper retries,      test_
   delete destroys the payload          deletes on a thrown restore
 Beat stalled past scope exit lands     stop signal re-checked before AND   test_touch_lease_aborts_on_stop
   its rewrite PUT after release,       after the rewrite PUT; a late
-  resurrecting the lease until TTL     landing deletes its own write
-Crashed rewrite truncates the lease;   rewrite payload rebuilt from the    test_heartbeat_rewrite_heals_*
-  next rewrite drops owner/ttl/id      acquire TOKEN, not file content
+  resurrecting the lease until TTL     landing undoes its write ONLY
+                                       after re-verifying it is ours
+Truncated/legacy payload healed "as    STRICT per-beat ownership (exact    test_touch_lease_refuses_*
+  ours" lets a stale-broken holder     lease_id match); unverifiable =
+  resurrect over a successor's         never touch, fail toward losing
+  truncated lease                      our own lease (rewrite PUT is
+                                       atomic-at-close on object stores,
+                                       so truncation is a non-event
+                                       where rewrites actually fire)
+Transient read error at release        present-but-unreadable lease        test_release_displacement_verified
+  skips the delete (wedge until TTL)   falls through to displacement;
+  or deletes an unreadable tomb that   tomb read retried, then RESTORED
+  is a successor's live lease          — never deleted on a read error
+Legacy->pointer migration lands        layout re-derived UNDER the         test_fresh_pointer_build_leased
+  between an overwrite's pre-lease     lease inside _publish; off-lease
+  layout probe and its acquisition     flip to pointer raises, retry
+  (rewrite targets the shadowed        re-probes
+  legacy root)
 Flat 1s still-fresh grace defers the   grace bounded by min(1s, TTL/4)     test_heartbeat_fallback_short_ttl
   rewrite past short TTLs (inert
   setTimes: breakable while live)
@@ -502,7 +517,14 @@ def _remove_if_stale(spark, fs, hpath, path_str: str, ttl_ms: int) -> str:
             tomb
         ).getModificationTime()
     except Exception:
-        return "removed"  # tomb unreadable: the path is clear either way
+        # tomb unstat-able: the path is clear either way, and the tomb is
+        # LEFT on disk (nothing destroyed — deliberate asymmetry with
+        # release's unreadable-tomb RESTORE: a breaker displaced a
+        # presumed-stale file and restoring an unvalidatable one would
+        # re-wedge the index the break exists to free, while release
+        # displaced a presumed-LIVE lease, where restore is the only
+        # direction that can't destroy a successor's exclusion)
+        return "removed"
     if age_ms <= ttl_ms:
         # the path held a FRESH replacement by the time we renamed: put it
         # back. The restore must refuse an occupied target (a third
@@ -668,13 +690,24 @@ def release_maintenance_lease(
     does)."""
     fs, hpath = _fs(spark, index_path)
     lp = _lease_path(index_path)
+    src = hpath(lp)
     if lease_id is None:
-        fs.delete(hpath(lp), False)
+        fs.delete(src, False)
         return True
     info = read_maintenance_lease(spark, index_path)
     if info is None:
-        return True  # already gone (broken externally): nothing to do
-    if info.get("lease_id") not in (None, lease_id):
+        # missing OR unreadable (read_maintenance_lease folds both to
+        # None). Only a genuinely ABSENT lease means "nothing to do" — a
+        # transient read error on our own still-present lease must fall
+        # through to the displacement below (whose tomb read retries),
+        # not silently skip the delete and wedge the index until TTL
+        # (r12).
+        try:
+            if not fs.exists(src):
+                return True  # already gone (broken externally)
+        except Exception:
+            pass  # can't tell: let the displacement decide
+    elif info.get("lease_id") not in (None, lease_id):
         _LOG.warning(
             "maintenance lease on %s now belongs to %s (ours was "
             "broken as stale) — leaving it in place",
@@ -682,7 +715,6 @@ def release_maintenance_lease(
             info.get("owner", "?"),
         )
         return False
-    src = hpath(lp)
     tomb = hpath(lp + f".rel-{uuid.uuid4().hex}")
     try:
         won = fs.rename(src, tomb)
@@ -690,13 +722,28 @@ def release_maintenance_lease(
         won = False  # local FS throws (not returns false) on missing src
     if not won:
         return True  # vanished since the read: broken externally, clear
-    try:
-        grabbed = _read_json_file(fs, tomb)
-    except Exception:
-        # unreadable tomb: the path is clear either way (the same
-        # direction _remove_if_stale takes) — finish the delete
-        fs.delete(tomb, False)
-        return True
+    grabbed = None
+    for _ in range(2):
+        try:
+            grabbed = _read_json_file(fs, tomb)
+            break
+        except Exception:
+            continue
+    if grabbed is None:
+        # unreadable tomb even after a retry: it may be a SUCCESSOR's
+        # live lease caught in the displacement blip, so deleting it on
+        # a read error would permanently destroy mutual exclusion with
+        # no third contender involved — restore it instead (the same
+        # never-delete-on-thrown discipline as _restore_displaced; if
+        # it was OUR lease the index stays held until its TTL decays,
+        # the bounded-liveness direction) (r12)
+        _restore_displaced(spark, fs, tomb, src)
+        _LOG.warning(
+            "maintenance lease on %s was unreadable during release — "
+            "restored in place; it will decay via its TTL if abandoned",
+            index_path,
+        )
+        return False
     if grabbed.get("lease_id") in (None, lease_id):
         fs.delete(tomb, False)
         return True
@@ -726,16 +773,24 @@ def _touch_lease(
     (broken externally) returns ``False`` — the holder's heartbeat
     surfaces it and the commit fence catches it mechanically.
 
-    Every beat is an OWNERSHIP probe (r12): the payload is read first and
-    a ``lease_id`` mismatch returns ``False`` without touching anything —
-    a holder that stalled past its TTL (GC pause, suspended VM) and was
-    legitimately broken would otherwise keep refreshing the SUCCESSOR's
-    mtime and believe itself still covered; this way the loss is counted
-    and logged within one beat. An EMPTY payload (a crashed rewrite
-    truncated the file in place) reads as ours-to-heal: the next rewrite
-    restores the full acquire payload from ``token``, not from whatever
-    survives in the file, so owner/ttl_sec/lease_id are never silently
-    dropped (r12).
+    Every beat is an OWNERSHIP probe (r12): the payload is read first,
+    and when a ``lease_id`` is supplied ownership is STRICT — anything
+    but an exact match (a successor's id, an EMPTY payload from a
+    truncated file, a pre-token legacy payload) returns ``False``
+    without touching anything. A holder that stalled past its TTL (GC
+    pause, suspended VM) and was legitimately broken would otherwise
+    keep refreshing the SUCCESSOR's mtime and believe itself still
+    covered, and an unverifiable payload healed "as ours" would let a
+    stale-broken holder resurrect its own lease over a successor's
+    truncated one — strictness fails toward LOSING our own lease (the
+    safe direction; the loss is counted, logged, and caught by the
+    commit fence). A truncated lease therefore just decays and is broken
+    after TTL; on the stores where rewrites actually fire (object
+    stores — setTimes works everywhere else) truncation is a non-event
+    anyway, because the rewrite is a single PUT that either lands whole
+    or not at all. A successful rewrite writes the payload rebuilt from
+    ``token`` (the acquire payload), not from file content, so the
+    on-disk payload stays canonical (r12).
 
     ``FileSystem.setTimes`` is a documented NO-OP on stores that don't
     support it (S3A: mtime is PUT time), so the refresh is VERIFIED by
@@ -757,14 +812,20 @@ def _touch_lease(
     exit must not RESURRECT the lease release just deleted (pre-r12 the
     late setTimes on a missing path failed harmlessly; a late PUT would
     wedge the index until TTL) — a late-landing rewrite detected by the
-    post-PUT check deletes what it just wrote and reports failure."""
+    post-PUT check undoes its own write and reports failure. The undo
+    deletes ONLY a payload re-verified as ours: a successor may have
+    acquired between the late PUT and the check, and an unconditional
+    delete would destroy ITS lease (the same class of bug the
+    owner-checked release closes)."""
     fs, hpath = _fs(spark, index_path)
     lp = hpath(_lease_path(index_path))
     info = read_maintenance_lease(spark, index_path)
     if info is None:
         return False  # lease gone: broken externally
-    if lease_id is not None and info.get("lease_id") not in (None, lease_id):
-        return False  # broken + re-taken: not ours to refresh
+    if lease_id is not None and info.get("lease_id") != lease_id:
+        # not verifiably ours (successor's id, truncated-empty payload,
+        # legacy format): never touch — fail toward losing our own lease
+        return False
     before = info["mtime_ms"]
     now = int(time.time() * 1000)
     try:
@@ -793,9 +854,15 @@ def _touch_lease(
         out.close()
         if should_abort is not None and should_abort():
             # the PUT landed while (or after) the scope exited — it may
-            # have resurrected the lease release just deleted; undo our
-            # own write and report the beat as failed
-            fs.delete(lp, False)
+            # have resurrected the lease release just deleted; undo the
+            # write, but ONLY after re-verifying the path still holds
+            # OUR payload (a successor acquiring between the late PUT
+            # and this check must not have its lease deleted)
+            now_info = read_maintenance_lease(spark, index_path)
+            if now_info is not None and (
+                lease_id is None or now_info.get("lease_id") == lease_id
+            ):
+                fs.delete(lp, False)
             return False
         return True
     except Exception:

@@ -404,21 +404,42 @@ def write_simhash_index(
     if mode == "overwrite":
         from twitter_event_stream_spark.fsio import (
             _fs,
+            MaintenanceLeaseHeld,
             maintenance_lease,
             pointer_swap_dir,
             resolve_data_dir,
             stage_version_dir,
         )
 
-        is_pointer = resolve_data_dir(spark, path) != path
-        ptr = is_pointer if pointer is None else pointer
-        if is_pointer and not ptr:
+        pre_pointer = resolve_data_dir(spark, path) != path
+        pre_ptr = pre_pointer if pointer is None else pointer
+        if pre_pointer and not pre_ptr:
             raise ValueError(
                 f"{path} uses the pointer-versioned layout; it cannot "
                 "be rewritten in the legacy rename-swap layout"
             )
 
-        def _publish() -> None:
+        def _publish(leased: bool) -> None:
+            # re-derive the layout HERE — under the lease when one is
+            # held — not from the pre-lease probe: a legacy->pointer
+            # migration landing between that probe and the lease
+            # acquisition must not make this rewrite target the shadowed
+            # legacy root position (r12; write_band_rows would catch it
+            # loudly, but auto-adapting publishes the rewrite instead of
+            # failing it)
+            is_pointer = resolve_data_dir(spark, path) != path
+            ptr = is_pointer if pointer is None else pointer
+            if is_pointer and not ptr:
+                raise ValueError(
+                    f"{path} uses the pointer-versioned layout; it "
+                    "cannot be rewritten in the legacy rename-swap "
+                    "layout"
+                )
+            if ptr and not leased:
+                raise MaintenanceLeaseHeld(
+                    f"{path} became pointer-versioned while this fresh "
+                    "legacy build was starting — retry"
+                )
             if ptr:
                 staged = stage_version_dir(path)
                 rows.write.partitionBy("band").parquet(staged)
@@ -438,11 +459,11 @@ def write_simhash_index(
         # MaintenanceLeaseHeld instead of publishing a swept, dangling
         # version)
         fs, hpath = _fs(spark, path)
-        if ptr or fs.exists(hpath(path)):
+        if pre_ptr or fs.exists(hpath(path)):
             with maintenance_lease(spark, path, "write_simhash_index"):
-                _publish()
+                _publish(leased=True)
         else:
-            _publish()
+            _publish(leased=False)
         return
     if mode == "append":
         # FENCED and IDEMPOTENT batch append (r11) — the direct-call twin

@@ -482,6 +482,7 @@ def write_ivf_index(
     bump; a fresh build stays lease-free."""
     from twitter_event_stream_spark.fsio import (
         _fs,
+        MaintenanceLeaseHeld,
         maintenance_lease,
         pointer_swap_dir,
         resolve_data_dir,
@@ -492,15 +493,36 @@ def write_ivf_index(
     if bc is None:
         raise ValueError("cannot index an empty corpus")
 
-    is_pointer = resolve_data_dir(spark, path) != path
-    ptr = is_pointer if pointer is None else pointer
-    if is_pointer and not ptr:
+    pre_pointer = resolve_data_dir(spark, path) != path
+    pre_ptr = pre_pointer if pointer is None else pointer
+    if pre_pointer and not pre_ptr:
         raise ValueError(
             f"{path} uses the pointer-versioned layout; it cannot be "
             "rewritten in the legacy rename-swap layout"
         )
 
-    def _publish() -> None:
+    def _publish(leased: bool) -> None:
+        # re-derive the layout HERE — under the lease when one is held —
+        # not from the pre-lease probe: a legacy->pointer migration
+        # landing between that probe and the lease acquisition would
+        # otherwise make this rewrite silently target the shadowed
+        # legacy root position pointer-resolving readers no longer look
+        # at (r12)
+        is_pointer = resolve_data_dir(spark, path) != path
+        ptr = is_pointer if pointer is None else pointer
+        if is_pointer and not ptr:
+            raise ValueError(
+                f"{path} uses the pointer-versioned layout; it cannot be "
+                "rewritten in the legacy rename-swap layout"
+            )
+        if ptr and not leased:
+            # the pre-lease probe saw a fresh LEGACY target, but a
+            # pointer index appeared concurrently: publishing off-lease
+            # would race its swaps — fail loud, the retry re-probes
+            raise MaintenanceLeaseHeld(
+                f"{path} became pointer-versioned while this fresh "
+                "legacy build was starting — retry"
+            )
         target = stage_version_dir(path) if ptr else path
         cm = bc.value
         spark.createDataFrame(
@@ -528,11 +550,11 @@ def write_ivf_index(
     # one publishes, the other fails fast with MaintenanceLeaseHeld
     # instead of publishing a swept, dangling version).
     fs, hpath = _fs(spark, path)
-    if ptr or fs.exists(hpath(path)):
+    if pre_ptr or fs.exists(hpath(path)):
         with maintenance_lease(spark, path, "write_ivf_index"):
-            _publish()
+            _publish(leased=True)
     else:
-        _publish()
+        _publish(leased=False)
 
 
 def ivf_topk_indexed(
