@@ -3432,11 +3432,17 @@ def test_touch_lease_aborts_on_stop(spark, tmp_path_factory, monkeypatch):
 
     def abort_and_usurp():
         calls["n"] += 1
-        if calls["n"] > 1:  # post-PUT: the successor's lease lands first
-            with open(lp, "w") as f:
-                f.write(succ_payload)
-            return True
-        return False
+        if calls["n"] < 3:  # pre-PUT and pre-close checks pass clean
+            return False
+        # post-PUT check: the successor's lease landed after our PUT —
+        # written through the Hadoop FS API like a real acquire (a raw
+        # Python write would leave the local ChecksumFileSystem's CRC
+        # sibling stale and the payload unreadable through the API)
+        fs, hp = fsio._fs(spark, idx)
+        out = fs.create(hp(lp), True)
+        out.write(succ_payload.encode("utf-8"))
+        out.close()
+        return True
 
     assert (
         fsio._touch_lease(

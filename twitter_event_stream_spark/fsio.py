@@ -55,10 +55,11 @@ Truncated/legacy payload healed "as    STRICT per-beat ownership (exact    test_
                                        atomic-at-close on object stores,
                                        so truncation is a non-event
                                        where rewrites actually fire)
-Transient read error at release        present-but-unreadable lease        test_release_displacement_verified
+Transient read error at release        present-but-unreadable lease        test_release_unreadable_paths
   skips the delete (wedge until TTL)   falls through to displacement;
-  or deletes an unreadable tomb that   tomb read retried, then RESTORED
-  is a successor's live lease          — never deleted on a read error
+  or deletes an unreadable tomb that   tomb read retried (spaced), then
+  is a successor's live lease          RESTORED — never deleted on a
+                                       read error
 Legacy->pointer migration lands        layout re-derived UNDER the         test_fresh_pointer_build_leased
   between an overwrite's pre-lease     lease inside _publish; off-lease
   layout probe and its acquisition     flip to pointer raises, retry
@@ -374,6 +375,77 @@ def pointer_swap_dir(spark, root: str, staged: str, keep: tuple = ()) -> None:
             # legacy root-level data (pre-migration layout): now shadowed
             # by the pointer, delete so a plain scan can't resurrect it
             fs.delete(st.getPath(), True)
+
+
+def overwrite_publish(
+    spark, path: str, pointer: bool | None, owner: str, write_to, keep=()
+) -> None:
+    """The ONE overwrite/fresh-build publish protocol for persisted
+    indexes (r12 — extracted so the simhash and IVF entry points cannot
+    drift): ``write_to(target_dir)`` writes the index payload into
+    ``target_dir`` and this helper decides the layout, the lease, and
+    the swap.
+
+    - Layout: ``pointer`` True forces the pointer-versioned layout,
+      False forbids it (raises on a pointer root — forward-only), None
+      keeps the index's current layout.
+    - Lease: rewriting an EXISTING index or publishing a POINTER version
+      holds the maintenance lease (live ingest fails fast, concurrent
+      maintenance is refused, the pointer flip keeps
+      :func:`pointer_swap_dir`'s single-sequencer invariant, and a fresh
+      build's staged-but-uncommitted ``_v-*`` dir cannot be swept by a
+      racing swap's cleanup). Only a fresh LEGACY build (target absent,
+      plain write, no swap) runs lease-free.
+    - TOCTOU fences: the layout is re-derived UNDER the lease (a
+      legacy→pointer migration landing between the pre-lease probe and
+      acquisition must not send the rewrite to the shadowed legacy
+      root); an off-lease run that finds the index became
+      pointer-versioned raises BEFORE writing, and re-checks AFTER the
+      legacy write too — a racing pointer build committing mid-write
+      would leave the legacy data shadowed at root level (swept by the
+      next swap's legacy cleanup), so returning success would silently
+      lose the build; the raise makes the caller's retry re-probe and
+      take the leased path."""
+    pre_pointer = resolve_data_dir(spark, path) != path
+    pre_ptr = pre_pointer if pointer is None else pointer
+    if pre_pointer and not pre_ptr:
+        raise ValueError(
+            f"{path} uses the pointer-versioned layout; it cannot be "
+            "rewritten in the legacy rename-swap layout"
+        )
+
+    def _publish(leased: bool) -> None:
+        is_pointer = resolve_data_dir(spark, path) != path
+        ptr = is_pointer if pointer is None else pointer
+        if is_pointer and not ptr:
+            raise ValueError(
+                f"{path} uses the pointer-versioned layout; it cannot "
+                "be rewritten in the legacy rename-swap layout"
+            )
+        if ptr and not leased:
+            raise MaintenanceLeaseHeld(
+                f"{path} became pointer-versioned while this fresh "
+                "legacy build was starting — retry"
+            )
+        if ptr:
+            staged = stage_version_dir(path)
+            write_to(staged)
+            pointer_swap_dir(spark, path, staged, keep=keep)
+        else:
+            write_to(path)
+            if not leased and resolve_data_dir(spark, path) != path:
+                raise MaintenanceLeaseHeld(
+                    f"{path} became pointer-versioned while this fresh "
+                    "legacy build was writing — the root-level data is "
+                    "shadowed and will be swept; retry"
+                )
+
+    fs, hpath = _fs(spark, path)
+    if pre_ptr or fs.exists(hpath(path)):
+        with maintenance_lease(spark, path, owner):
+            _publish(leased=True)
+    else:
+        _publish(leased=False)
 
 
 def _lease_path(index_path: str) -> str:
@@ -723,12 +795,13 @@ def release_maintenance_lease(
     if not won:
         return True  # vanished since the read: broken externally, clear
     grabbed = None
-    for _ in range(2):
+    for attempt in range(3):
         try:
             grabbed = _read_json_file(fs, tomb)
             break
         except Exception:
-            continue
+            if attempt < 2:
+                time.sleep(0.1)  # outlast a store blip, not just a race
     if grabbed is None:
         # unreadable tomb even after a retry: it may be a SUCCESSOR's
         # live lease caught in the displacement blip, so deleting it on
@@ -851,17 +924,38 @@ def _touch_lease(
         payload["heartbeat_unix_ms"] = now
         out = fs.create(lp, True)
         out.write(json.dumps(payload, sort_keys=True).encode("utf-8"))
+        if should_abort is not None and should_abort():
+            # the scope exited while the PUT was being assembled: on
+            # Abortable streams (S3A) discard WITHOUT committing — the
+            # object-store PUT only lands at close(), so aborting here
+            # leaves the store untouched and cannot clobber a successor
+            try:
+                out.abort()
+                return False
+            except Exception:
+                pass  # not abortable: commit and fall through to undo
         out.close()
         if should_abort is not None and should_abort():
             # the PUT landed while (or after) the scope exited — it may
             # have resurrected the lease release just deleted; undo the
-            # write, but ONLY after re-verifying the path still holds
-            # OUR payload (a successor acquiring between the late PUT
-            # and this check must not have its lease deleted)
+            # write after re-verifying the path holds OUR payload. A
+            # successor acquiring AFTER the PUT is seen and left intact;
+            # one whose lease the PUT itself clobbered is not
+            # distinguishable from a pure resurrection without CAS (the
+            # documented residual family — the undo optimizes for the
+            # overwhelmingly-likely resurrection, whose wedge-until-TTL
+            # is otherwise certain). A post-PUT read that fails on a
+            # PRESENT file is treated as ours — the file was written
+            # milliseconds ago by us (mirror of release's
+            # absent-vs-unreadable distinction).
             now_info = read_maintenance_lease(spark, index_path)
-            if now_info is not None and (
-                lease_id is None or now_info.get("lease_id") == lease_id
-            ):
+            if now_info is None:
+                try:
+                    if fs.exists(lp):
+                        fs.delete(lp, False)
+                except Exception:
+                    pass
+            elif lease_id is None or now_info.get("lease_id") == lease_id:
                 fs.delete(lp, False)
             return False
         return True

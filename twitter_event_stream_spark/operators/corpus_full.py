@@ -402,68 +402,18 @@ def write_simhash_index(
     fence; a fresh build stays lease-free."""
     rows = _simhash_band_rows(simhash64(docs, text_col))
     if mode == "overwrite":
-        from twitter_event_stream_spark.fsio import (
-            _fs,
-            MaintenanceLeaseHeld,
-            maintenance_lease,
-            pointer_swap_dir,
-            resolve_data_dir,
-            stage_version_dir,
+        # the whole layout/lease/swap decision — including the fresh-
+        # pointer-builds-take-the-lease rule and the under-lease layout
+        # re-derive — lives in fsio.overwrite_publish, shared verbatim
+        # with write_ivf_index so the two entry points cannot drift (r12)
+        from twitter_event_stream_spark.fsio import overwrite_publish
+
+        def _write_to(target: str) -> None:
+            rows.write.mode("overwrite").partitionBy("band").parquet(target)
+
+        overwrite_publish(
+            spark, path, pointer, "write_simhash_index", _write_to
         )
-
-        pre_pointer = resolve_data_dir(spark, path) != path
-        pre_ptr = pre_pointer if pointer is None else pointer
-        if pre_pointer and not pre_ptr:
-            raise ValueError(
-                f"{path} uses the pointer-versioned layout; it cannot "
-                "be rewritten in the legacy rename-swap layout"
-            )
-
-        def _publish(leased: bool) -> None:
-            # re-derive the layout HERE — under the lease when one is
-            # held — not from the pre-lease probe: a legacy->pointer
-            # migration landing between that probe and the lease
-            # acquisition must not make this rewrite target the shadowed
-            # legacy root position (r12; write_band_rows would catch it
-            # loudly, but auto-adapting publishes the rewrite instead of
-            # failing it)
-            is_pointer = resolve_data_dir(spark, path) != path
-            ptr = is_pointer if pointer is None else pointer
-            if is_pointer and not ptr:
-                raise ValueError(
-                    f"{path} uses the pointer-versioned layout; it "
-                    "cannot be rewritten in the legacy rename-swap "
-                    "layout"
-                )
-            if ptr and not leased:
-                raise MaintenanceLeaseHeld(
-                    f"{path} became pointer-versioned while this fresh "
-                    "legacy build was starting — retry"
-                )
-            if ptr:
-                staged = stage_version_dir(path)
-                rows.write.partitionBy("band").parquet(staged)
-                pointer_swap_dir(spark, path, staged)
-            else:
-                write_band_rows(rows, path, "overwrite")
-
-        # rewriting an EXISTING index is maintenance: hold the lease (r11)
-        # so live ingest fails fast, concurrent maintenance is refused,
-        # and the pointer flip keeps pointer_swap_dir's single-sequencer
-        # invariant. A fresh LEGACY build (target absent, plain write, no
-        # swap) stays lease-free; a fresh POINTER build takes the lease
-        # too (r12) — its staged-but-uncommitted `_v-*` dir is visible to
-        # a racing swap's cleanup sweep, and only the lease keeps
-        # stage+commit single-sequencer (two racing lease-free fresh
-        # builds: one publishes, the other fails fast with
-        # MaintenanceLeaseHeld instead of publishing a swept, dangling
-        # version)
-        fs, hpath = _fs(spark, path)
-        if pre_ptr or fs.exists(hpath(path)):
-            with maintenance_lease(spark, path, "write_simhash_index"):
-                _publish(leased=True)
-        else:
-            _publish(leased=False)
         return
     if mode == "append":
         # FENCED and IDEMPOTENT batch append (r11) — the direct-call twin

@@ -480,50 +480,13 @@ def write_ivf_index(
     — so live ingest fails fast, a concurrent maintenance op is refused,
     and in-flight batches abort at their commit fence via the generation
     bump; a fresh build stays lease-free."""
-    from twitter_event_stream_spark.fsio import (
-        _fs,
-        MaintenanceLeaseHeld,
-        maintenance_lease,
-        pointer_swap_dir,
-        resolve_data_dir,
-        stage_version_dir,
-    )
+    from twitter_event_stream_spark.fsio import overwrite_publish
 
     bc = _train_quantizer(spark, vectors, n_cells, seed, distributed)
     if bc is None:
         raise ValueError("cannot index an empty corpus")
 
-    pre_pointer = resolve_data_dir(spark, path) != path
-    pre_ptr = pre_pointer if pointer is None else pointer
-    if pre_pointer and not pre_ptr:
-        raise ValueError(
-            f"{path} uses the pointer-versioned layout; it cannot be "
-            "rewritten in the legacy rename-swap layout"
-        )
-
-    def _publish(leased: bool) -> None:
-        # re-derive the layout HERE — under the lease when one is held —
-        # not from the pre-lease probe: a legacy->pointer migration
-        # landing between that probe and the lease acquisition would
-        # otherwise make this rewrite silently target the shadowed
-        # legacy root position pointer-resolving readers no longer look
-        # at (r12)
-        is_pointer = resolve_data_dir(spark, path) != path
-        ptr = is_pointer if pointer is None else pointer
-        if is_pointer and not ptr:
-            raise ValueError(
-                f"{path} uses the pointer-versioned layout; it cannot be "
-                "rewritten in the legacy rename-swap layout"
-            )
-        if ptr and not leased:
-            # the pre-lease probe saw a fresh LEGACY target, but a
-            # pointer index appeared concurrently: publishing off-lease
-            # would race its swaps — fail loud, the retry re-probes
-            raise MaintenanceLeaseHeld(
-                f"{path} became pointer-versioned while this fresh "
-                "legacy build was starting — retry"
-            )
-        target = stage_version_dir(path) if ptr else path
+    def _write_to(target: str) -> None:
         cm = bc.value
         spark.createDataFrame(
             [(int(i), [float(x) for x in row]) for i, row in enumerate(cm)],
@@ -532,29 +495,17 @@ def write_ivf_index(
         _cell_assign(vectors, bc, 1).write.mode("overwrite").partitionBy(
             "cell"
         ).parquet(f"{target}/cells")
-        if ptr:
-            pointer_swap_dir(spark, path, target, keep=("ingest",))
 
-    # a full retrain over an EXISTING index is maintenance: hold the lease
-    # (r11) so live ingest fails fast instead of appending into a tree the
-    # rewrite replaces, a concurrent maintenance op is refused, and the
-    # pointer flip keeps pointer_swap_dir's single-sequencer invariant;
-    # the generation bump on exit aborts in-flight batches at their
-    # commit fence. A fresh LEGACY build (target absent — including the
-    # staged `_v-*`/`.rebuild-*` dirs rebuild_ivf_index, itself already
-    # holding this lease, writes through here with ptr False) has nothing
-    # to protect and stays lease-free; a fresh POINTER build takes the
-    # lease too (r12) — its staged-but-uncommitted `_v-*` dir is visible
-    # to a racing swap's cleanup sweep, and only the lease keeps
-    # stage+commit single-sequencer (two racing lease-free fresh builds:
-    # one publishes, the other fails fast with MaintenanceLeaseHeld
-    # instead of publishing a swept, dangling version).
-    fs, hpath = _fs(spark, path)
-    if pre_ptr or fs.exists(hpath(path)):
-        with maintenance_lease(spark, path, "write_ivf_index"):
-            _publish(leased=True)
-    else:
-        _publish(leased=False)
+    # the whole layout/lease/swap decision — existing-index rewrites and
+    # fresh POINTER builds hold the maintenance lease, fresh LEGACY
+    # builds (including the staged `_v-*`/`.rebuild-*` dirs
+    # rebuild_ivf_index, itself already holding this lease, writes
+    # through here) stay lease-free, and the layout is re-derived UNDER
+    # the lease — lives in fsio.overwrite_publish, shared verbatim with
+    # write_simhash_index so the two entry points cannot drift (r12)
+    overwrite_publish(
+        spark, path, pointer, "write_ivf_index", _write_to, keep=("ingest",)
+    )
 
 
 def ivf_topk_indexed(
