@@ -947,8 +947,16 @@ def _touch_lease(
             # is otherwise certain). A post-PUT read that fails on a
             # PRESENT file is treated as ours — the file was written
             # milliseconds ago by us (mirror of release's
-            # absent-vs-unreadable distinction).
-            now_info = read_maintenance_lease(spark, index_path)
+            # absent-vs-unreadable distinction, with the SAME spaced
+            # retry first: one transient blip must not flip the verdict
+            # to "ours" and delete a successor's live lease).
+            now_info = None
+            for attempt in range(3):
+                now_info = read_maintenance_lease(spark, index_path)
+                if now_info is not None:
+                    break
+                if attempt < 2:
+                    time.sleep(0.1)
             if now_info is None:
                 try:
                     if fs.exists(lp):
