@@ -2923,7 +2923,14 @@ def test_heartbeat_failures_surfaced(spark, tmp_path_factory, caplog):
             # an operator force-deletes the lease (tokenless release is
             # the unconditional override form)
             fsio.release_maintenance_lease(spark, idx)
-            time.sleep(1.2)  # >= 4 beats at ttl/4 = 0.25s
+            # poll with a deadline instead of a fixed sleep: beats fire
+            # every ttl/4 = 0.25s on an idle host, but a loaded suite
+            # run can starve the daemon thread past any fixed budget
+            deadline = time.time() + 30
+            while (
+                status["heartbeat_failures"] < 3 and time.time() < deadline
+            ):
+                time.sleep(0.1)
             assert status["heartbeat_failures"] >= 3
             assert status["heartbeat_failures_total"] >= 3
     assert "heartbeat" in caplog.text
@@ -3506,7 +3513,20 @@ def test_heartbeat_fallback_short_ttl(spark, tmp_path_factory, monkeypatch):
     _shim_inert_settimes(fsio, monkeypatch)
     idx = f"{tmp_path_factory.mktemp('hb-short')}/index"
     with fsio.maintenance_lease(spark, idx, owner="short", ttl_sec=1) as st:
-        time.sleep(1.6)  # past TTL: only TTL/4-graced rewrites keep it live
+        time.sleep(1.3)  # past TTL: only TTL/4-graced rewrites keep it live
+        # wait for a LANDED beat before probing (a loaded suite run can
+        # starve the daemon thread; the property under test is the grace
+        # arithmetic, not the host scheduler's latency)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            info = fsio.read_maintenance_lease(spark, idx)
+            if (
+                info is not None
+                and "heartbeat_unix_ms" in info
+                and time.time() * 1000 - info["mtime_ms"] < 700
+            ):
+                break
+            time.sleep(0.05)
         with pytest.raises(fsio.MaintenanceLeaseHeld, match="short"):
             fsio.acquire_maintenance_lease(spark, idx, owner="u", ttl_sec=1)
         assert st["heartbeat_failures"] == 0
