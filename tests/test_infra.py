@@ -3666,3 +3666,203 @@ def test_release_unreadable_paths(spark, tmp_path_factory, monkeypatch):
         fsio.release_maintenance_lease(spark, idx, lease_id=token["lease_id"])
         is True
     )
+
+
+def test_release_thrown_rename_is_not_success(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r13 ADVICE — a transiently-THROWN fs.rename during release's
+    displacement must not be mapped to 'lease vanished, all clear': the
+    still-present lease would then wedge the index until TTL behind a
+    silent True. After a thrown rename release re-checks presence (one
+    spaced retry) and (a) retries the displacement while the lease is
+    demonstrably present, (b) returns False — never True — when the
+    displacement keeps failing with the lease still there, and (c) still
+    returns True when the lease is genuinely gone."""
+    import glob
+    import os
+
+    import twitter_event_stream_spark.fsio as fsio
+
+    class _FlakyRenameFS:
+        def __init__(self, real, fail_times):
+            self._real = real
+            self.fails_left = fail_times
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+        def rename(self, src, dst):
+            if ".rel-" in dst.getName() and self.fails_left > 0:
+                self.fails_left -= 1
+                raise IOError("transient store blip")
+            return self._real.rename(src, dst)
+
+    real_fs = fsio._fs
+
+    def shim(fail_times):
+        def _shim(spark_, path):
+            fs, hpath = real_fs(spark_, path)
+            return _FlakyRenameFS(fs, fail_times), hpath
+        return _shim
+
+    idx = f"{tmp_path_factory.mktemp('rel-flaky')}/index"
+    lp = fsio._lease_path(idx)
+
+    # (a) one thrown rename, lease present: the retry displaces and
+    # release completes normally
+    token = fsio.acquire_maintenance_lease(spark, idx, owner="op", ttl_sec=60)
+    monkeypatch.setattr(fsio, "_fs", shim(fail_times=1))
+    assert (
+        fsio.release_maintenance_lease(spark, idx, lease_id=token["lease_id"])
+        is True
+    )
+    monkeypatch.undo()
+    assert not os.path.exists(lp)
+    assert glob.glob(f"{lp}.rel-*") == []
+
+    # (b) rename keeps throwing, lease still present: False, lease intact
+    token = fsio.acquire_maintenance_lease(spark, idx, owner="op2",
+                                           ttl_sec=60)
+    monkeypatch.setattr(fsio, "_fs", shim(fail_times=99))
+    assert (
+        fsio.release_maintenance_lease(spark, idx, lease_id=token["lease_id"])
+        is False
+    ), "a failed displacement with the lease still present is NOT success"
+    monkeypatch.undo()
+    info = fsio.read_maintenance_lease(spark, idx)
+    assert info is not None and info["owner"] == "op2", (
+        "the lease must be left intact when its displacement keeps failing"
+    )
+
+    # (c) rename throws because the lease is genuinely GONE (broken
+    # externally between the read and the rename): True, nothing left
+    def rename_after_removing(spark_, path):
+        fs, hpath = real_fs(spark_, path)
+
+        class _GoneFS(_FlakyRenameFS):
+            def rename(self, src, dst):
+                if ".rel-" in dst.getName():
+                    if os.path.exists(lp):
+                        os.remove(lp)
+                    raise IOError("no such file")
+                return self._real.rename(src, dst)
+
+        return _GoneFS(fs, 0), hpath
+
+    # release (b) left the lease held by op2; reuse it for (c)
+    monkeypatch.setattr(fsio, "_fs", rename_after_removing)
+    assert (
+        fsio.release_maintenance_lease(spark, idx, lease_id=info["lease_id"])
+        is True
+    ), "a genuinely-absent lease after a thrown rename IS all-clear"
+    monkeypatch.undo()
+    assert not os.path.exists(lp)
+
+
+def test_stalled_beat_undo_leaves_unreadable_lease(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r13 ADVICE — the stalled-beat post-PUT undo deletes ONLY a payload
+    re-verified as OURS. A lease that is present but unreadable after the
+    spaced retries may be a successor's live lease that is only
+    transiently unreadable; deleting it would destroy the successor's
+    mutual exclusion. It is left in place instead (a genuinely
+    resurrected lease decays via its TTL — bounded wedge beats destroyed
+    exclusion), matching the never-delete-on-read-error discipline of
+    _restore_displaced and release."""
+    import os
+
+    import twitter_event_stream_spark.fsio as fsio
+
+    idx = f"{tmp_path_factory.mktemp('hb-unread')}/index"
+    lp = fsio._lease_path(idx)
+    _shim_inert_settimes(fsio, monkeypatch)
+
+    token = fsio.acquire_maintenance_lease(spark, idx, owner="op", ttl_sec=60)
+    os.utime(lp, (0, 0))  # age past the rewrite grace: fallback must fire
+
+    real_read = fsio.read_maintenance_lease
+    calls = {"n": 0}
+
+    def read_real_then_unreadable(spark_, index_path):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return real_read(spark_, index_path)  # the beat's ownership probe
+        return None  # every undo-loop retry: present but unreadable
+
+    monkeypatch.setattr(
+        fsio, "read_maintenance_lease", read_real_then_unreadable
+    )
+    flips = {"n": 0}
+
+    def stop_after_first_check():
+        flips["n"] += 1
+        return flips["n"] > 1  # pre-PUT passes; post-PUT sees the stop
+
+    assert (
+        fsio._touch_lease(
+            spark, idx, token["lease_id"], token=token,
+            should_abort=stop_after_first_check,
+        )
+        is False
+    )
+    monkeypatch.undo()
+    assert os.path.exists(lp), (
+        "an unreadable-but-present lease must be LEFT by the post-PUT "
+        "undo — it may be a successor's transiently-unreadable live lease"
+    )
+    assert calls["n"] >= 4, "the undo must retry the read before deciding"
+    fsio.release_maintenance_lease(spark, idx, lease_id=token["lease_id"])
+
+
+def test_pointer_retract_failure_named_in_raise(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r13 ADVICE — when the swept-stage detection's pointer retraction
+    itself fails (delete throwing twice with the pointer still present),
+    the raised error must SAY the pointer is still live so operators know
+    readers resolving it may 404 — not swallow the failed retract in a
+    bare try/except-pass."""
+    import shutil
+
+    import pytest
+
+    import twitter_event_stream_spark.fsio as fsio
+
+    root = f"{tmp_path_factory.mktemp('ptr-retract')}/index"
+    v1 = _stage_version(spark, root, "v1")
+    fsio.pointer_swap_dir(spark, root, v1)
+    v2 = _stage_version(spark, root, "v2")
+
+    class _NoDeletePointerFS:
+        """delete() throws for committed _current-* pointers only."""
+
+        def __init__(self, real):
+            self._real = real
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+        def delete(self, p, recursive=False):
+            if p.getName().startswith("_current-"):
+                raise IOError("transient delete failure")
+            return self._real.delete(p, recursive)
+
+    real_fs = fsio._fs
+
+    def shim(spark_, path):
+        fs, hpath = real_fs(spark_, path)
+        return _NoDeletePointerFS(fs), hpath
+
+    real_move = fsio._rename_no_clobber
+
+    def sweep_then_move(spark_, fs, src, dst):
+        shutil.rmtree(v2, ignore_errors=True)  # the racer's cleanup lands
+        return real_move(spark_, fs, src, dst)
+
+    monkeypatch.setattr(fsio, "_fs", shim)
+    monkeypatch.setattr(fsio, "_rename_no_clobber", sweep_then_move)
+    with pytest.raises(IOError, match="retraction FAILED"):
+        fsio.pointer_swap_dir(spark, root, v2)
+    monkeypatch.undo()

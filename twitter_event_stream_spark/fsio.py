@@ -333,15 +333,39 @@ def pointer_swap_dir(spark, root: str, staged: str, keep: tuple = ()) -> None:
         # engine callers hold the maintenance lease around stage+swap
         # (r12, including fresh pointer builds), which prevents this;
         # the check is a detection net for direct off-lease callers.
-        try:
-            fs.delete(final, False)
-        except Exception:
-            pass
-        raise IOError(
+        # The retract itself can fail (transient IO); if it does, the
+        # dangling pointer STAYS LIVE and readers resolving it will 404 —
+        # the exact outcome this check exists to prevent — so retry once
+        # (spaced) and, when the pointer demonstrably survived both
+        # attempts, say so in the raised message instead of a silent
+        # try/except-pass (r13 ADVICE).
+        retracted = False
+        for attempt in range(2):
+            try:
+                fs.delete(final, False)
+            except Exception:
+                pass
+            try:
+                retracted = not fs.exists(final)
+            except Exception:
+                retracted = False  # can't confirm: report it still live
+            if retracted:
+                break
+            if attempt == 0:
+                time.sleep(0.1)
+        msg = (
             f"staged version dir {staged} was swept by a concurrent "
             "swap's cleanup before the pointer commit — hold the "
             "maintenance lease around stage+swap"
         )
+        if not retracted:
+            msg += (
+                "; pointer retraction FAILED (delete did not succeed "
+                f"after retry): readers resolving {final} may 404 until "
+                "the pointer is removed or the next successful swap "
+                "supersedes it"
+            )
+        raise IOError(msg)
     # cleanup AFTER the commit: all best-effort, all invisible to readers
     keep_names = set(keep) | {vname}
     if prev_vname is not None:
@@ -788,12 +812,36 @@ def release_maintenance_lease(
         )
         return False
     tomb = hpath(lp + f".rel-{uuid.uuid4().hex}")
-    try:
-        won = fs.rename(src, tomb)
-    except Exception:
-        won = False  # local FS throws (not returns false) on missing src
+    won = False
+    for attempt in range(2):
+        try:
+            won = fs.rename(src, tomb)
+        except Exception:
+            won = False  # thrown: missing src (local FS) OR transient IO
+        if won:
+            break
+        # the rename refused or threw — but ONLY a genuinely ABSENT lease
+        # means "broken externally, clear". Mapping a transiently-thrown
+        # rename to success would silently leave the still-present lease
+        # wedging the index until TTL (r13 ADVICE), so re-check presence
+        # (with one spaced retry, mirroring the tomb-read retries) and
+        # retry the displacement while the lease is demonstrably there.
+        try:
+            present = fs.exists(src)
+        except Exception:
+            present = True  # can't tell: do not claim success
+        if not present:
+            return True  # vanished since the read: broken externally
+        if attempt == 0:
+            time.sleep(0.1)  # outlast a store blip before the retry
     if not won:
-        return True  # vanished since the read: broken externally, clear
+        _LOG.warning(
+            "maintenance lease on %s could not be displaced for release "
+            "(rename failed twice with the lease still present) — leaving "
+            "it; it will decay via its TTL if abandoned",
+            index_path,
+        )
+        return False
     grabbed = None
     for attempt in range(3):
         try:
@@ -944,12 +992,15 @@ def _touch_lease(
             # distinguishable from a pure resurrection without CAS (the
             # documented residual family — the undo optimizes for the
             # overwhelmingly-likely resurrection, whose wedge-until-TTL
-            # is otherwise certain). A post-PUT read that fails on a
-            # PRESENT file is treated as ours — the file was written
-            # milliseconds ago by us (mirror of release's
-            # absent-vs-unreadable distinction, with the SAME spaced
-            # retry first: one transient blip must not flip the verdict
-            # to "ours" and delete a successor's live lease).
+            # is otherwise certain). The delete fires ONLY on a verified
+            # lease_id match: a payload still unreadable after the
+            # spaced retries may be a SUCCESSOR's live lease that is
+            # only transiently unreadable, and deleting it would destroy
+            # the successor's mutual exclusion — the same
+            # never-delete-on-read-error discipline as
+            # _restore_displaced and release (r13 ADVICE). Left in
+            # place, a genuinely-resurrected lease decays via its TTL;
+            # bounded wedge beats destroyed exclusion.
             now_info = None
             for attempt in range(3):
                 now_info = read_maintenance_lease(spark, index_path)
@@ -958,11 +1009,13 @@ def _touch_lease(
                 if attempt < 2:
                     time.sleep(0.1)
             if now_info is None:
-                try:
-                    if fs.exists(lp):
-                        fs.delete(lp, False)
-                except Exception:
-                    pass
+                _LOG.warning(
+                    "late heartbeat PUT on %s could not be re-verified "
+                    "(lease absent or unreadable after retries) — left "
+                    "in place; if it resurrected the released lease it "
+                    "decays via its TTL",
+                    index_path,
+                )
             elif lease_id is None or now_info.get("lease_id") == lease_id:
                 fs.delete(lp, False)
             return False

@@ -443,6 +443,13 @@ def write_simhash_index(
         # a vanished-file error DURING a read of an existing index also
         # says "FileNotFoundException" and was misclassified as
         # first-append by the string test.
+        # Accepted window (r13 ADVICE note): a concurrent swap deleting
+        # `cur` right AFTER a False probe makes this append bootstrap a
+        # new root-level index — caught not here but by the commit-time
+        # generation fence below (gen0 re-check after the write), which
+        # raises before the append is reported durable. The index
+        # vanishing between a True probe and spark.read.parquet raises
+        # loudly on its own (safe direction).
         fs, hp = _fs(spark, cur)
         if fs.exists(hp(cur)):
             existing = spark.read.parquet(cur).select("band", "doc_id")
