@@ -3866,3 +3866,205 @@ def test_pointer_retract_failure_named_in_raise(
     with pytest.raises(IOError, match="retraction FAILED"):
         fsio.pointer_swap_dir(spark, root, v2)
     monkeypatch.undo()
+
+
+class _CondPutStream:
+    """Object-store PUT-at-close shape: writes buffer locally and the
+    object lands ATOMICALLY at close(); exclusive streams carry
+    If-None-Match semantics (O_CREAT|O_EXCL at commit time) and surface a
+    lost race as a close-time 412, exactly how S3A's conditional create
+    behaves."""
+
+    def __init__(self, local_path: str, exclusive: bool):
+        self._path = local_path
+        self._exclusive = exclusive
+        self._buf = bytearray()
+
+    def write(self, b):
+        self._buf += bytes(b)
+
+    def close(self):
+        import os
+
+        if self._exclusive:
+            try:
+                fd = os.open(
+                    self._path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+            except FileExistsError:
+                raise IOError(
+                    "RemoteFileChangedException: PUT refused — 412 "
+                    "Precondition Failed (If-None-Match: *)"
+                )
+            with os.fdopen(fd, "wb") as f:
+                f.write(bytes(self._buf))
+        else:
+            with open(self._path, "wb") as f:
+                f.write(bytes(self._buf))
+
+    def abort(self):
+        raise IOError("UnsupportedOperationException: not abortable")
+
+
+class _ConditionalPutFS:
+    """S3A-with-conditional-writes shape (Hadoop >= 3.4.1): advertises the
+    capability via hasPathCapability and enforces create(overwrite=False)
+    with an If-None-Match PUT committing at close()."""
+
+    def __init__(self, real):
+        self._real = real
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+    def getScheme(self):
+        return "s3a"
+
+    def hasPathCapability(self, p, cap):
+        return cap == "fs.s3a.create.conditional.enabled"
+
+    def create(self, p, overwrite=True):
+        return _CondPutStream(p.toUri().getPath(), not overwrite)
+
+
+def _shim_conditional_put(fsio, monkeypatch):
+    real_fs = fsio._fs
+
+    def shim(spark_, path):
+        fs, hpath = real_fs(spark_, path)
+        return _ConditionalPutFS(fs), hpath
+
+    monkeypatch.setattr(fsio, "_fs", shim)
+
+
+def test_supports_conditional_create_probe(spark, tmp_path_factory):
+    """r13 — the capability probe: False on a real local FS (no
+    conditional-create capability), False on a pre-3.3 FS without
+    hasPathCapability at all, True on a connector advertising the S3A
+    conditional-create flag."""
+    import twitter_event_stream_spark.fsio as fsio
+
+    root = str(tmp_path_factory.mktemp("cap-probe"))
+    fs, hpath = fsio._fs(spark, root)
+    assert fsio._supports_conditional_create(fs, hpath(root)) is False
+
+    class _NoCapFS:
+        pass
+
+    assert (
+        fsio._supports_conditional_create(_NoCapFS(), hpath(root)) is False
+    )
+    assert (
+        fsio._supports_conditional_create(
+            _ConditionalPutFS(fs), hpath(root)
+        )
+        is True
+    )
+
+
+def test_conditional_create_acquire_race(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r13 (r12 verdict "What's missing" #2) — on a store advertising
+    conditional creates, the lease acquire is STORE-ENFORCED: the loser's
+    exclusive PUT conflicts at close() and is handled as 'held', and —
+    the critical part — the loser's cleanup never deletes the WINNER's
+    lease (nothing of the loser's ever landed, so the old
+    half-made-lease delete would destroy the winner's exclusion).
+    Stale-break still works through the close-conflict path."""
+    import json
+    import os
+
+    import pytest
+
+    import twitter_event_stream_spark.fsio as fsio
+    from twitter_event_stream_spark.fsio import MaintenanceLeaseHeld
+
+    idx = f"{tmp_path_factory.mktemp('cond-acq')}/index"
+    lp = fsio._lease_path(idx)
+    _shim_conditional_put(fsio, monkeypatch)
+
+    token_a = fsio.acquire_maintenance_lease(spark, idx, owner="a",
+                                             ttl_sec=60)
+    # the loser: open succeeds (PUT-at-close stores don't check at open),
+    # the conflict surfaces at close -> MaintenanceLeaseHeld naming the
+    # live holder
+    with pytest.raises(MaintenanceLeaseHeld, match="held by a"):
+        fsio.acquire_maintenance_lease(spark, idx, owner="b", ttl_sec=60)
+    assert os.path.exists(lp), (
+        "the loser's close-conflict handling must NOT delete the "
+        "winner's lease"
+    )
+    assert json.loads(open(lp).read())["lease_id"] == token_a["lease_id"]
+
+    # stale holder: the conflict path still breaks it and re-acquires
+    os.utime(lp, (0, 0))
+    token_c = fsio.acquire_maintenance_lease(spark, idx, owner="c",
+                                             ttl_sec=60)
+    assert json.loads(open(lp).read())["owner"] == "c"
+    assert (
+        fsio.release_maintenance_lease(spark, idx,
+                                       lease_id=token_c["lease_id"])
+        is True
+    )
+    assert not os.path.exists(lp)
+
+
+def test_conditional_pointer_commit_race(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r13 — on a conditional-create store the pointer commit routes
+    through an If-None-Match PUT instead of exists-check + rename: a
+    racing commit's pointer survives intact (the store refuses the
+    occupied sequence) and the loser renumbers, exactly the no-clobber
+    contract, now store-enforced."""
+    import json
+    import os
+
+    import twitter_event_stream_spark.fsio as fsio
+
+    root = f"{tmp_path_factory.mktemp('cond-ptr')}/index"
+    v1 = _stage_version(spark, root, "v1")
+    _shim_conditional_put(fsio, monkeypatch)
+
+    fsio.pointer_swap_dir(spark, root, v1)
+    assert fsio.resolve_data_dir(spark, root) == v1
+
+    # staged AFTER the v1 commit — a swap's cleanup sweeps unreferenced
+    # _v-* siblings, so real flows stage under the lease, post-swap
+    v2 = _stage_version(spark, root, "v2")
+    v3 = _stage_version(spark, root, "v3")
+
+    # a racer committed the next sequence concurrently (written raw —
+    # object-store PUT shape, no CRC sibling)
+    racer = f"{root}/_current-000000002"
+    with open(racer, "w") as f:
+        f.write(json.dumps({"version": v2.rsplit("/", 1)[1]}))
+
+    fsio.pointer_swap_dir(spark, root, v3)
+    assert fsio.resolve_data_dir(spark, root) == v3, (
+        "the loser must renumber past the racer's sequence"
+    )
+    assert json.loads(open(racer).read())["version"] == v2.rsplit(
+        "/", 1
+    )[1], "the racer's pointer must survive the conditional commit intact"
+    leftovers = [n for n in os.listdir(root) if ".tmp-" in n]
+    assert leftovers == [], f"tmp pointer files left behind: {leftovers}"
+
+    # direct no-clobber unit under the stub: win then lose
+    fs, hpath = fsio._fs(spark, root)
+    src = f"{root}/move-src"
+    with open(src, "w") as f:
+        f.write("payload")
+    dst = f"{root}/move-dst"
+    assert fsio._rename_no_clobber(
+        spark, fs, hpath(src), hpath(dst)
+    ) is True
+    assert open(dst).read() == "payload" and not os.path.exists(src)
+    with open(src, "w") as f:
+        f.write("late")
+    assert fsio._rename_no_clobber(
+        spark, fs, hpath(src), hpath(dst)
+    ) is False
+    assert open(dst).read() == "payload", "occupied dst must be untouched"
+    assert os.path.exists(src), "a refused move must leave src intact"

@@ -76,15 +76,20 @@ Consolidation crash loses folded       write-new-first, keep identical     test_
   manifests                            existing file, delete-after         test_retention_consolidation_*
 =====================================  ==================================  =================================
 
-Residual (documented, needs a true CAS the portable FileSystem API lacks;
-S3 conditional writes / HDFS namenode CAS would close them — see README
-deployer notes): lease acquire on S3A is best-effort; the stale-break
-restore and the owner-checked release close their TWO-party races via
-the displacement primitive, but a THREE-way interleaving inside a
-microsecond displacement blip can still displace a fresh lease; the
-heartbeat's payload-rewrite fallback is read-then-PUT within one beat —
-callers survive all of these because every ingest commit re-checks the
-generation fence.
+Residual (documented; closable only by a true CAS below the portable
+FileSystem API): on stores that ADVERTISE conditional creates
+(``hasPathCapability`` probe, r13 — Hadoop >= 3.4.1 S3A with
+``fs.s3a.create.conditional.enabled``) the lease acquire and the
+pointer/no-clobber commits ARE mechanically atomic: the exclusive
+create and the no-clobber move route through an ``If-None-Match: *``
+PUT the store enforces (auto-detected, no deployer action — README).
+On stores WITHOUT the capability the acquire stays best-effort; the
+stale-break restore and the owner-checked release close their
+TWO-party races via the displacement primitive, but a THREE-way
+interleaving inside a microsecond displacement blip can still displace
+a fresh lease; the heartbeat's payload-rewrite fallback is
+read-then-PUT within one beat — callers survive all of these because
+every ingest commit re-checks the generation fence.
 """
 
 from __future__ import annotations
@@ -479,6 +484,58 @@ def _lease_path(index_path: str) -> str:
     return index_path.rstrip("/") + "._maintenance.lock"
 
 
+#: Path capabilities (``FileSystem.hasPathCapability``) that advertise a
+#: STORE-ENFORCED create-if-absent: Hadoop >= 3.4.1 S3A with conditional
+#: writes enabled performs ``create(path, overwrite=false)`` as a PUT
+#: carrying ``If-None-Match: *`` — the create commits atomically AT CLOSE
+#: and fails when the key exists, which is the compare-and-swap primitive
+#: the portable FileSystem API otherwise lacks (the documented no-CAS
+#: residual family in the module docstring). Probed, never assumed: the
+#: config flag alone doesn't prove the deployed connector honors it, but
+#: ``hasPathCapability`` is the connector itself answering.
+_CONDITIONAL_CREATE_CAPABILITIES = (
+    "fs.s3a.create.conditional.enabled",
+    "fs.capability.conditional.create",
+)
+
+
+def _supports_conditional_create(fs, path) -> bool:
+    """Whether ``fs`` advertises store-enforced create-if-absent for
+    ``path`` (see :data:`_CONDITIONAL_CREATE_CAPABILITIES`). False on any
+    probe failure — the best-effort paths remain the default; the
+    mechanized paths only activate on an explicit capability."""
+    try:
+        probe = fs.hasPathCapability
+    except AttributeError:
+        return False  # pre-3.3 FileSystem: no capability API
+    for cap in _CONDITIONAL_CREATE_CAPABILITIES:
+        try:
+            if probe(path, cap):
+                return True
+        except Exception:
+            continue  # unknown capability may throw per contract: not fatal
+    return False
+
+
+def _is_conditional_conflict(e) -> bool:
+    """Whether an exception from a conditional create's write/close is the
+    store REFUSING an occupied key (lost race — expected, handled) rather
+    than a transient failure (propagated). S3A surfaces the HTTP 412 as
+    RemoteFileChangedException; other stores use FileAlreadyExists."""
+    msg = str(e)
+    return any(
+        s in msg
+        for s in (
+            "FileAlreadyExists",
+            "RemoteFileChangedException",
+            "PreconditionFailed",
+            "Precondition Failed",
+            "If-None-Match",
+            "412",
+        )
+    )
+
+
 def _rename_no_clobber(spark, fs, src, dst) -> bool:
     """Move the file ``src`` to ``dst`` REFUSING an occupied target, and
     return whether we won. The Hadoop rename contract alone is not
@@ -489,9 +546,19 @@ def _rename_no_clobber(spark, fs, src, dst) -> bool:
     fail-on-exists at the syscall level) followed by deleting the source;
     the content appears at ``dst`` fully formed, never partially. Local
     filesystems without hard-link support degrade to exists-check +
-    rename (same best-effort shape as the non-HDFS branch). On object
-    stores the exists-check + rename is best-effort (no conditional PUT
-    through this API) — callers there serialize via the maintenance
+    rename (same best-effort shape as the non-HDFS branch).
+
+    On object stores that ADVERTISE conditional creates
+    (:func:`_supports_conditional_create`, r13 — Hadoop >= 3.4.1 S3A with
+    ``fs.s3a.create.conditional.enabled``) the move is re-expressed as
+    read ``src`` → conditional-create ``dst`` → delete ``src``: the
+    destination commits as one ``If-None-Match: *`` PUT at close, so the
+    no-clobber guarantee is enforced BY THE STORE and a lost race
+    surfaces as a close-time conflict with ``src`` intact for the
+    caller's renumber/retry. (The files moved through this — pointers,
+    leases — are small JSON, so the read-and-rewrite is metadata-scale.)
+    Object stores WITHOUT the capability keep the best-effort
+    exists-check + rename — callers there serialize via the maintenance
     lease, same caveat as :func:`acquire_maintenance_lease`."""
     if fs.getScheme() == "file":
         jvm = spark._jvm
@@ -507,6 +574,22 @@ def _rename_no_clobber(spark, fs, src, dst) -> bool:
                 if fs.exists(dst):
                     return False
                 return fs.rename(src, dst)
+            raise
+        fs.delete(src, False)
+        return True
+    if _supports_conditional_create(fs, dst):
+        stream = fs.open(src)
+        try:
+            data = bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+        try:
+            out = fs.create(dst, False)  # If-None-Match PUT, commits at close
+            out.write(data)
+            out.close()
+        except Exception as e:
+            if _is_conditional_conflict(e):
+                return False  # occupied: store refused, src intact
             raise
         fs.delete(src, False)
         return True
@@ -557,7 +640,11 @@ def _exclusive_create(spark, fs, hp):
     CHECK-then-create — two racing processes can both pass the exists
     check (caught by the 8-thread race test at driver scale, r11) — so on
     ``file://`` the POSIX ``O_CREAT|O_EXCL`` primitive
-    (``java.io.File.createNewFile``) decides the winner."""
+    (``java.io.File.createNewFile``) decides the winner. On object stores
+    advertising conditional creates the returned stream's CLOSE is the
+    exclusive commit (``If-None-Match: *`` PUT) — the caller must treat a
+    close-time conflict as "already exists", which
+    :func:`acquire_maintenance_lease` does (r13)."""
     if fs.getScheme() == "file":
         jf = spark._jvm.java.io.File(hp.toUri().getPath())
         if not jf.createNewFile():
@@ -679,10 +766,15 @@ def acquire_maintenance_lease(
     file, and a slower breaker whose rename fired after the faster one
     had already installed a FRESH lease, stealing it — and the primitive
     closes both by electing one remover per race (rename-to-unique) and
-    restoring any fresh file a by-path rename grabbed by mistake. On S3A
-    object-store semantics make create-exclusive best-effort (no atomic
-    create-if-absent below S3 conditional writes) — same caveat as
-    :func:`atomic_swap_dir`.
+    restoring any fresh file a by-path rename grabbed by mistake. On
+    object stores the create-exclusive is MECHANICALLY atomic when the
+    connector advertises conditional creates
+    (:func:`_supports_conditional_create`, r13 — Hadoop >= 3.4.1 S3A:
+    the PUT carries ``If-None-Match: *`` and commits at close, so a lost
+    race surfaces as a close-time conflict handled exactly like a
+    refused create, and nothing of the loser's is ever on the store to
+    clean up); without the capability it remains best-effort — same
+    caveat as :func:`atomic_swap_dir`.
 
     Returns the lease PAYLOAD, whose ``lease_id`` (unique per acquire,
     r12) is the release/heartbeat token: passing it to
@@ -693,7 +785,26 @@ def acquire_maintenance_lease(
     successor's."""
     fs, hpath = _fs(spark, index_path)
     lease = hpath(_lease_path(index_path))
+    conditional = _supports_conditional_create(fs, lease)
     last_err: Exception | None = None
+
+    def _contended(attempt: int) -> bool:
+        """The path is held (create refused, or a conditional close-time
+        conflict): break a stale holder on the first attempt, raise
+        :class:`MaintenanceLeaseHeld` on a live one, True = retry."""
+        holder = read_maintenance_lease(spark, index_path)
+        if holder is None:
+            return True  # holder released between conflict and read: retry
+        age_ms = int(time.time() * 1000) - holder["mtime_ms"]
+        if attempt == 0 and age_ms > holder.get("ttl_sec", ttl_sec) * 1000:
+            _break_stale_lease(spark, fs, hpath, index_path, ttl_sec)
+            return True  # stale gone: retry the exclusive create
+        raise MaintenanceLeaseHeld(
+            f"maintenance lease on {index_path} held by "
+            f"{holder.get('owner', '?')} ({age_ms / 1000:.0f}s old, "
+            f"ttl {holder.get('ttl_sec', ttl_sec)}s) — quiesce or wait"
+        ) from None
+
     for attempt in (0, 1):
         try:
             out = _exclusive_create(spark, fs, lease)
@@ -703,18 +814,8 @@ def acquire_maintenance_lease(
             # permission or transient-IO error can't leave our own empty
             # lease wedging the index for a full TTL (r10 ADVICE)
             last_err = e
-            holder = read_maintenance_lease(spark, index_path)
-            if holder is None:
-                continue  # holder released between create and read: retry
-            age_ms = int(time.time() * 1000) - holder["mtime_ms"]
-            if attempt == 0 and age_ms > holder.get("ttl_sec", ttl_sec) * 1000:
-                _break_stale_lease(spark, fs, hpath, index_path, ttl_sec)
-                continue  # stale gone: retry the exclusive create
-            raise MaintenanceLeaseHeld(
-                f"maintenance lease on {index_path} held by "
-                f"{holder.get('owner', '?')} ({age_ms / 1000:.0f}s old, "
-                f"ttl {holder.get('ttl_sec', ttl_sec)}s) — quiesce or wait"
-            ) from None
+            if _contended(attempt):
+                continue
         payload = {
             "owner": owner,
             "ttl_sec": ttl_sec,
@@ -724,7 +825,20 @@ def acquire_maintenance_lease(
         try:
             out.write(json.dumps(payload, sort_keys=True).encode("utf-8"))
             out.close()
-        except Exception:
+        except Exception as e:
+            if conditional:
+                # On a conditional-create store NOTHING of ours landed —
+                # the exclusive PUT only commits at close() — so there is
+                # no half-made lease to clean up, and the path may hold a
+                # RACING WINNER's lease, which a delete here would destroy
+                # (r13). A close-time conflict is the store refusing the
+                # occupied key (the mechanically-atomic acquire losing its
+                # race): handle it exactly like a refused create.
+                if _is_conditional_conflict(e):
+                    last_err = e
+                    if _contended(attempt):
+                        continue
+                raise
             # the create succeeded but the payload didn't land: remove the
             # half-made lease before re-raising, instead of leaving an
             # ownerless marker that blocks everyone until TTL (r10 ADVICE)
