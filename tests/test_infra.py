@@ -4068,3 +4068,117 @@ def test_conditional_pointer_commit_race(
     ) is False
     assert open(dst).read() == "payload", "occupied dst must be untouched"
     assert os.path.exists(src), "a refused move must leave src intact"
+
+
+def test_overwrite_publish_legacy_vs_pointer_thread_race(
+    spark, tmp_path_factory
+):
+    """r13 (r12 verdict task #3) — TRUE-concurrency coverage for
+    overwrite_publish's TOCTOU branches (previously injection-only): a
+    fresh LEGACY build races a POINTER migration of the same index from
+    two threads. Every legal interleaving must land in a coherent state:
+
+    - the pointer build (runs under the lease) always succeeds;
+    - the legacy build either succeeds or raises MaintenanceLeaseHeld
+      (the sanctioned 'retry' signal from the became-pointer-mid-start /
+      post-write re-check fences) — never a silent wrong outcome;
+    - the final RESOLVED data dir contains exactly ONE complete payload,
+      never a mix and never nothing (last-writer-wins is the overwrite
+      contract; losing a build without either a success-for-it or a
+      retry signal would be the bug);
+    - when the legacy build was told to retry, the live payload is the
+      pointer build's;
+    - the lease is released and the generation counter moved.
+
+    Rounds vary a sleep inside the legacy writer to push the
+    interleaving through the lease-free window, the mid-start flip, and
+    the post-write re-check."""
+    import os
+    import threading
+    import time
+
+    import twitter_event_stream_spark.fsio as fsio
+
+    root = str(tmp_path_factory.mktemp("ow-race"))
+
+    def make_writer(tag: str, delay: float):
+        def write_to(target: str) -> None:
+            os.makedirs(target, exist_ok=True)
+            with open(f"{target}/payload.txt", "w") as f:
+                f.write(tag)
+            if delay:
+                time.sleep(delay)
+            with open(f"{target}/payload2.txt", "w") as f:
+                f.write(tag)
+        return write_to
+
+    for rnd, delay in enumerate((0.0, 0.05, 0.15)):
+        path = f"{root}/index-{rnd}"
+        barrier = threading.Barrier(2)
+        outcome: dict = {}
+
+        def legacy_build():
+            barrier.wait()
+            try:
+                fsio.overwrite_publish(
+                    spark, path, pointer=None, owner="legacy",
+                    write_to=make_writer("A", delay),
+                )
+                outcome["a"] = "ok"
+            except fsio.MaintenanceLeaseHeld:
+                outcome["a"] = "retry"
+
+        def pointer_build():
+            barrier.wait()
+            try:
+                fsio.overwrite_publish(
+                    spark, path, pointer=True, owner="ptr",
+                    write_to=make_writer("B", 0.0),
+                )
+                outcome["b"] = "ok"
+            except fsio.MaintenanceLeaseHeld:
+                outcome["b"] = "retry"
+
+        threads = [
+            threading.Thread(target=legacy_build),
+            threading.Thread(target=pointer_build),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not any(t.is_alive() for t in threads)
+
+        assert outcome.get("b") == "ok", (
+            f"round {rnd}: the leased pointer build must succeed: {outcome}"
+        )
+        assert outcome.get("a") in ("ok", "retry"), (
+            f"round {rnd}: legacy build must succeed or be told to "
+            f"retry, never fail otherwise: {outcome}"
+        )
+
+        live = fsio.resolve_data_dir(spark, path)
+        assert live != path, (
+            f"round {rnd}: the pointer migration must leave the pointer "
+            "layout in effect"
+        )
+        contents = set()
+        for fname in ("payload.txt", "payload2.txt"):
+            fp = os.path.join(live, fname)
+            assert os.path.exists(fp), (
+                f"round {rnd}: live version incomplete: missing {fname} "
+                f"(a={outcome.get('a')})"
+            )
+            contents.add(open(fp).read())
+        assert len(contents) == 1 and contents <= {"A", "B"}, (
+            f"round {rnd}: live version mixes payloads: {contents}"
+        )
+        if outcome["a"] == "retry":
+            assert contents == {"B"}, (
+                f"round {rnd}: legacy build was told to retry, so the "
+                f"pointer build's payload must be live, got {contents}"
+            )
+        assert fsio.read_maintenance_lease(spark, path) is None, (
+            f"round {rnd}: lease must be released after both publishes"
+        )
+        assert fsio.maintenance_generation(spark, path) >= 1
