@@ -7,7 +7,13 @@
 
 PY ?= python
 
-.PHONY: test test-driver-scale verify verify-sf01 bench verify-sf1-probe all record
+.PHONY: test test-driver-scale verify verify-sf01 bench verify-sf1-probe all record archive-evidence
+
+# Evidence retention (r13): move rounds older than the newest two into
+# evidence/archive/ (one-line index regenerated there). `make record`
+# runs it first so the root stays one screen.
+archive-evidence:
+	$(PY) tools/archive_evidence.py
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -40,6 +46,7 @@ all: test test-driver-scale verify verify-sf01 bench
 # describe HEAD.
 record:
 	test -n "$(ROUND)" || (echo "usage: make record ROUND=NN" && false)
+	$(PY) tools/archive_evidence.py
 	$(PY) -m pytest tests/ -q > /tmp/tes_record_unit.txt 2>&1 || (tail -5 /tmp/tes_record_unit.txt && false)
 	tail -1 /tmp/tes_record_unit.txt
 	TES_TEST_SF_DIR=/root/testdata/sf0.01 $(PY) -m pytest tests/ -q > PYTEST_DRIVER_SCALE_r$(ROUND).txt 2>&1 || (tail -5 PYTEST_DRIVER_SCALE_r$(ROUND).txt && false)
