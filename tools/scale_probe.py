@@ -517,6 +517,307 @@ def _heartbeat_under_inert_settimes(spark, idx: str) -> dict:
         fsio._fs = real_fs
 
 
+def soak_probe(
+    spark,
+    sf_dir: str,
+    n_batches: int = 3,
+    batch_docs: int = 350,
+    batch_vecs: int = 200,
+    hard_cap_sec: float = 300.0,
+) -> tuple[float, dict]:
+    """r13 (r12 verdict task #4) — CONCURRENT soak: every prior lane runs
+    its phases sequentially, but the lease/fence protocol's whole point is
+    ingest racing maintenance racing probes. Four threads share one
+    SparkSession for a bounded window:
+
+    - dedup ingester: ``n_batches`` constant-size micro-batches through
+      ``dedup_ingest_batch`` (SimHash gate + corpus publish + band-row
+      append), retrying batches the maintenance lease/fence refuses — the
+      foreachBatch retry contract, driven by hand;
+    - vector ingester: same through ``vector_ingest_batch`` into a
+      persisted IVF index;
+    - maintenance: a rotating pass every ~2s — ``compact_band_rows``
+      (pointer swap), ``absorb_ingested``, ``compact_ivf_cells`` — each
+      skipped (counted) when another op holds the lease; passes are
+      spaced wider than any probe, per the documented grace-window rule;
+    - prober: continuous ``ivf_topk_indexed`` + ``dedup_against_index``
+      against the live indexes; every exception is recorded.
+
+    Both indexes are built POINTER-VERSIONED up front: the legacy→pointer
+    migration is documented quiesced-only (its root-level cleanup is
+    immediate), and this lane exists to exercise the supported concurrent
+    protocol, not the unsupported one.
+
+    Converged invariants, asserted after the window:
+      * probes never erred and completed > 0 times;
+      * SimHash index: no duplicate (band, doc_id) rows, every doc has
+        exactly 4 band rows, base ⊆ visible ⊆ base ∪ ingested, and every
+        PUBLISHED survivor (manifested corpus batch) is indexed;
+      * IVF index: no duplicate vec_id among visible vectors
+        (cells ∪ committed ingest batches), base ⊆ visible ⊆ base ∪
+        ingested, and every vector of every COMMITTED batch is visible;
+      * both maintenance leases released, ≥ 2 maintenance passes ran,
+        every ingest batch eventually committed.
+
+    Batch sizes are constant across scales (like ingest_gate /
+    vector_ingest): the lane's wall grows only with the index-sized
+    maintenance terms. Returns (wall_sec, report)."""
+    import tempfile
+    import threading
+
+    import twitter_event_stream_spark.fsio as fsio
+    from twitter_event_stream_spark.operators.corpus_full import (
+        compact_band_rows,
+        dedup_against_index,
+        write_simhash_index,
+    )
+    from twitter_event_stream_spark.operators.vector_search import (
+        absorb_ingested,
+        compact_ivf_cells,
+        ivf_topk_indexed,
+        read_ivf_cells,
+        write_ivf_index,
+    )
+    from twitter_event_stream_spark.streaming.pipelines import (
+        dedup_ingest_batch,
+        vector_ingest_batch,
+    )
+    from twitter_event_stream_spark.tables import table
+
+    base = tempfile.mkdtemp(prefix="tes_probe_soak_")
+    sidx, ividx, out = f"{base}/sidx", f"{base}/ividx", f"{base}/corpus"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        d = table(spark, sf_dir, "documents")
+        e = table(spark, sf_dir, "embeddings").filter(
+            F.col("embedding").isNotNull()
+        )
+        d_even = d.filter(F.col("doc_id") % 2 == 0)
+        e_even = e.filter(F.col("vec_id") % 2 == 0)
+        write_simhash_index(spark, d_even, sidx, pointer=True)
+        write_ivf_index(spark, e_even, ividx, pointer=True)
+
+        def slices(df, id_col, per_batch):
+            pool = (
+                df.filter(F.col(id_col) % 2 == 1)
+                .orderBy(id_col)
+                .limit(n_batches * per_batch)
+                .localCheckpoint()
+            )
+            ids = [r[0] for r in pool.select(id_col).orderBy(id_col).collect()]
+            bounds = [ids[k * per_batch] for k in range(n_batches)]
+            bounds.append(ids[-1] + 1)
+            return [
+                pool.filter(
+                    (F.col(id_col) >= bounds[k])
+                    & (F.col(id_col) < bounds[k + 1])
+                ).localCheckpoint()
+                for k in range(n_batches)
+            ], set(ids)
+
+        doc_batches, doc_ing_ids = slices(d, "doc_id", batch_docs)
+        vec_batches, vec_ing_ids = slices(
+            e.select("vec_id", "embedding"), "vec_id", batch_vecs
+        )
+        probe_docs = d_even.limit(40).localCheckpoint()
+        probe_vecs = (
+            e_even.select("vec_id", "embedding").limit(20).localCheckpoint()
+        )
+
+        stop = threading.Event()
+        lock = threading.Lock()
+        report = {
+            "probes": 0,
+            "probe_errors": [],
+            "maint_passes": 0,
+            "maint_refused": 0,
+            "maint_errors": [],
+            "ingest_retries": 0,
+            "doc_committed": [],
+            "vec_committed": [],
+            "ingest_errors": [],
+        }
+
+        def ingester(tag, handler, batches, committed_key):
+            for bid, b in enumerate(batches):
+                for _ in range(80):
+                    if stop.is_set():
+                        break
+                    try:
+                        handler(b, bid)
+                        with lock:
+                            report[committed_key].append(bid)
+                        break
+                    except fsio.MaintenanceLeaseHeld:
+                        with lock:
+                            report["ingest_retries"] += 1
+                        time.sleep(0.25)
+                    except Exception as ex:  # anything else is a failure
+                        with lock:
+                            report["ingest_errors"].append(
+                                f"{tag} batch {bid}: {ex}"[:300]
+                            )
+                        return
+                else:
+                    with lock:
+                        report["ingest_errors"].append(
+                            f"{tag} batch {bid}: never committed (lease "
+                            "contention never cleared)"
+                        )
+                    return
+
+        def maintenance():
+            ops = (
+                ("compact_band_rows",
+                 lambda: compact_band_rows(spark, sidx, pointer_swap=True)),
+                ("absorb_ingested", lambda: absorb_ingested(spark, ividx)),
+                ("compact_ivf_cells",
+                 lambda: compact_ivf_cells(spark, ividx, pointer_swap=True)),
+            )
+            i = 0
+            while not stop.wait(3.0):
+                name, op = ops[i % len(ops)]
+                try:
+                    op()
+                    with lock:
+                        report["maint_passes"] += 1
+                except fsio.MaintenanceLeaseHeld:
+                    with lock:
+                        report["maint_refused"] += 1
+                except Exception as ex:
+                    with lock:
+                        report["maint_errors"].append(f"{name}: {ex}"[:300])
+                i += 1
+
+        def prober():
+            while not stop.is_set():
+                try:
+                    ivf_topk_indexed(spark, ividx, probe_vecs, k=3).count()
+                    dedup_against_index(spark, probe_docs, sidx).count()
+                    with lock:
+                        report["probes"] += 1
+                except Exception as ex:
+                    with lock:
+                        report["probe_errors"].append(str(ex)[:300])
+                stop.wait(0.5)
+
+        t0 = time.perf_counter()
+        threads = [
+            threading.Thread(
+                target=ingester,
+                args=("docs", dedup_ingest_batch(sidx, out), doc_batches,
+                      "doc_committed"),
+                name="soak-doc-ingest",
+            ),
+            threading.Thread(
+                target=ingester,
+                args=("vecs", vector_ingest_batch(ividx), vec_batches,
+                      "vec_committed"),
+                name="soak-vec-ingest",
+            ),
+            threading.Thread(target=maintenance, name="soak-maint",
+                             daemon=True),
+            threading.Thread(target=prober, name="soak-probe", daemon=True),
+        ]
+        for t in threads:
+            t.start()
+        deadline = t0 + hard_cap_sec
+        for t in threads[:2]:  # the ingesters bound the window
+            t.join(timeout=max(1.0, deadline - time.perf_counter()))
+        timed_out = any(t.is_alive() for t in threads[:2])
+        stop.set()
+        for t in threads:
+            t.join(timeout=30)
+        wall = time.perf_counter() - t0
+        if timed_out:
+            report["probe_errors"].append(
+                f"soak hard cap {hard_cap_sec}s exceeded with ingest "
+                "still running"
+            )
+            return wall, report
+
+        # ---- converged invariants (quiesced now: all threads joined)
+        problems = report["probe_errors"] + report["maint_errors"] + \
+            report["ingest_errors"]
+        if report["probes"] == 0:
+            problems.append("prober never completed a pass")
+        if report["maint_passes"] < 2:
+            problems.append(
+                f"only {report['maint_passes']} maintenance passes ran"
+            )
+        for idx_path, tag in ((sidx, "sidx"), (ividx, "ividx")):
+            if fsio.read_maintenance_lease(spark, idx_path) is not None:
+                problems.append(f"{tag}: lease not released")
+
+        rows = spark.read.parquet(
+            fsio.resolve_data_dir(spark, sidx)
+        ).select("band", "doc_id")
+        if rows.count() != rows.distinct().count():
+            problems.append("sidx: duplicate (band, doc_id) rows")
+        bad_bands = (
+            rows.groupBy("doc_id").count().filter("count != 4").count()
+        )
+        if bad_bands:
+            problems.append(f"sidx: {bad_bands} docs without exactly 4 bands")
+        vis = rows.select("doc_id").distinct()
+        if d_even.select("doc_id").join(vis, "doc_id", "left_anti").count():
+            problems.append("sidx: base docs missing from the index")
+        allowed = d_even.select("doc_id").unionByName(
+            spark.createDataFrame(
+                [(i,) for i in sorted(doc_ing_ids)], "doc_id long"
+            )
+        )
+        if vis.join(allowed, "doc_id", "left_anti").count():
+            problems.append("sidx: stray doc_ids (neither base nor ingested)")
+        pub_ids = fsio.manifested_batch_ids(spark, out)
+        if sorted(report["doc_committed"]) != pub_ids:
+            problems.append(
+                f"corpus sink: committed {sorted(report['doc_committed'])} "
+                f"!= manifested {pub_ids}"
+            )
+        if pub_ids:
+            published = spark.read.option("basePath", out).parquet(
+                *[f"{out}/batch={i}" for i in pub_ids]
+            ).select("doc_id").distinct()
+            if published.join(vis, "doc_id", "left_anti").count():
+                problems.append(
+                    "sidx: published survivors missing from the index"
+                )
+
+        vvis = read_ivf_cells(spark, ividx).select("vec_id")
+        if vvis.count() != vvis.distinct().count():
+            problems.append("ividx: duplicate vec_ids visible")
+        if e_even.select("vec_id").join(vvis, "vec_id", "left_anti").count():
+            problems.append("ividx: base vectors missing")
+        vallowed = e_even.select("vec_id").unionByName(
+            spark.createDataFrame(
+                [(i,) for i in sorted(vec_ing_ids)], "vec_id long"
+            )
+        )
+        if vvis.join(vallowed, "vec_id", "left_anti").count():
+            problems.append("ividx: stray vec_ids")
+        committed_vec_ids = set()
+        for bid in report["vec_committed"]:
+            committed_vec_ids.update(
+                r[0] for r in vec_batches[bid].select("vec_id").collect()
+            )
+        if committed_vec_ids:
+            cdf = spark.createDataFrame(
+                [(i,) for i in sorted(committed_vec_ids)], "vec_id long"
+            )
+            if cdf.join(vvis, "vec_id", "left_anti").count():
+                problems.append(
+                    "ividx: committed batch vectors not visible"
+                )
+
+        report["invariant_problems"] = problems
+        return wall, report
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def time_probe(spark, fn, sf_dir: str, scale: int):
     """Construction + full execution (count), best of 2 — the second run
     amortizes one-off costs (scan footer reads, codegen) like bench warm.
@@ -695,6 +996,31 @@ def main() -> int:
                 f"contender_refused={rep.get('hb_refused_contender')} "
                 f"lease_clear={rep.get('hb_lease_clear')} "
                 f"{'OK' if hb_ok else 'FAIL'}",
+                flush=True,
+            )
+
+        # concurrent soak lane (r13, r12 verdict task #4): ingest racing
+        # maintenance racing probes on both persisted indexes, then the
+        # converged invariants — the first lane that exercises the
+        # lease/fence protocol CONCURRENTLY instead of phase-sequenced.
+        for tag, src_dir in (("small", SRC), ("10x", dst)):
+            t_soak, rep = soak_probe(spark, src_dir)
+            soak_problems = rep.get(
+                "invariant_problems", ["soak did not reach invariants"]
+            )
+            ok = not soak_problems
+            if not ok:
+                failures.extend(
+                    f"soak[{tag}]: {p}" for p in soak_problems
+                )
+            print(
+                f"{'soak_concurrent':20s} [{tag}] {t_soak:8.1f}s  "
+                f"probes={rep['probes']} maint={rep['maint_passes']}"
+                f"(+{rep['maint_refused']} refused) "
+                f"retries={rep['ingest_retries']} "
+                f"doc_batches={len(rep['doc_committed'])} "
+                f"vec_batches={len(rep['vec_committed'])} "
+                f"{'OK' if ok else 'FAIL: ' + '; '.join(soak_problems)[:300]}",
                 flush=True,
             )
 
