@@ -1954,6 +1954,16 @@ def test_rebuild_ivf_index(spark, sf_dir, tmp_path_factory, pointer):
     if not pointer:
         assert not os.path.exists(f"{base}/ingest")
     else:
+        # one-cycle grace retirement (r13): the consumed batch's manifest
+        # is gone (checked above) but its data dir survives this pass for
+        # in-flight probes; the next maintenance pass reclaims it as a
+        # grace-expired orphan
+        assert os.path.exists(f"{base}/ingest/batch=0")
+        from twitter_event_stream_spark.operators.vector_search import (
+            absorb_ingested,
+        )
+
+        absorb_ingested(spark, base)
         assert not os.path.exists(f"{base}/ingest/batch=0")
     stats = ivf_index_stats(spark, base).collect()
     assert sum(r.n_vectors for r in stats) == n_all

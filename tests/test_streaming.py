@@ -1756,13 +1756,24 @@ def test_vector_ingest_stream_end_to_end(spark, sf_dir, tmp_path_factory):
     # absorb: spill folds into the cell tree, probe results unchanged
     rep = absorb_ingested(spark, base)
     assert rep["batches_absorbed"] == 2 and rep["vectors_absorbed"] == len(before)
-    assert not os.path.exists(f"{base}/ingest/batch=0")
+    # one-cycle grace retirement (r13, caught by the soak lane): the
+    # manifests go now — invisible to every NEW read_ivf_cells listing —
+    # but the data dirs survive this pass, so an in-flight probe whose
+    # plan snapshotted the manifest list mid-absorb keeps its files
+    assert not os.path.exists(f"{base}/ingest/_manifests/batch-000000000.json")
+    assert os.path.exists(f"{base}/ingest/batch=0"), (
+        "retired batch dirs must survive one maintenance cycle"
+    )
     assert read_ivf_cells(spark, base).count() == n_all
     assert "Union" not in read_ivf_cells(spark, base)._jdf.queryExecution().toString()
     res_after = ivf_topk_indexed(spark, base, probes, k=5).collect()
     assert sorted(map(tuple, res_after)) == sorted(map(tuple, res_before))
-    # absorb again: nothing pending, clean no-op
+    # absorb again: nothing pending -> clean no-op, and it reclaims the
+    # grace-expired orphan dirs from the previous pass
     assert absorb_ingested(spark, base) == {
         "batches_absorbed": 0,
         "vectors_absorbed": 0,
     }
+    assert not os.path.exists(f"{base}/ingest/batch=0"), (
+        "the next pass must reclaim grace-expired orphan dirs"
+    )

@@ -624,14 +624,58 @@ def read_ivf_cells(
     )
 
 
+def _retire_ingest_batches(spark, fs, hpath, path: str, ids) -> None:
+    """Retire consumed streaming-ingest batches with a ONE-CYCLE GRACE
+    window (r13 — the concurrent soak lane caught an in-flight probe
+    404ing mid-read): deleting a batch's manifest makes it invisible to
+    every NEW :func:`read_ivf_cells` listing, but a probe whose plan
+    snapshotted the manifest list just before this pass still reads the
+    batch's FILES — deleting the data dir in the same breath fails that
+    probe loudly (FAILED_READ_FILE), the exact hazard the pointer swap's
+    previous-version retention already covers for the cell tree. So a
+    pass deletes (a) ORPHAN data dirs — batch dirs whose manifest is
+    already gone, retired by the PREVIOUS pass or its crash window; they
+    have had a full maintenance cycle of grace — then (b) this pass's
+    manifests only, leaving their data dirs for the next pass. Storage
+    cost: one cycle of micro-batch spill, bounded. Correctness
+    unchanged: orphan dirs are unreachable through the manifested
+    readers, and a replayed batch id republishes its dir atomically over
+    an orphan. Shared by :func:`absorb_ingested` and
+    :func:`rebuild_ivf_index` so the retirement rule cannot drift."""
+    live = set(ids)
+    try:
+        children = list(fs.listStatus(hpath(f"{path}/ingest")))
+    except Exception:
+        children = []  # no spill area yet: nothing to retire
+    for st in children:
+        dname = st.getPath().getName()
+        if not dname.startswith("batch="):
+            continue
+        try:
+            bid = int(dname[len("batch="):])
+        except ValueError:
+            continue
+        if bid not in live:
+            fs.delete(st.getPath(), True)  # orphan: grace expired
+    for i in ids:
+        fs.delete(
+            hpath(f"{path}/ingest/_manifests/batch-{i:09d}.json"), False
+        )
+
+
 def absorb_ingested(spark: SparkSession, path: str) -> dict:
     """Fold committed streaming-ingest batches (X123) into the main cell
     tree — the maintenance half of the streaming seam, run quiesced like
     compaction (X119): append the pending vectors to ``<path>/cells``
     (cell partitions, existing files untouched), then retire each batch by
-    deleting its manifest FIRST (making it invisible to
-    :func:`read_ivf_cells` before the data dir goes away — readers never
-    see a half-deleted batch) and its data dir second.
+    deleting its manifest (making it invisible to every NEW
+    :func:`read_ivf_cells` listing) while KEEPING its data dir for one
+    maintenance cycle — an IN-FLIGHT probe whose plan snapshotted the
+    manifest list just before this pass keeps reading files that still
+    exist (r13, caught by the concurrent soak lane; the same one-cycle
+    grace the pointer swap gives the previous cell-tree version). Data
+    dirs whose manifest is already gone — retired by the previous pass —
+    are deleted on the next pass.
 
     Idempotent across its crash window (r9 ADVICE): the append anti-joins
     the pending vec_ids against the cells the pending batches touch (the
@@ -668,6 +712,10 @@ def absorb_ingested(spark: SparkSession, path: str) -> dict:
         cur = resolve_data_dir(spark, path)  # pointer layout (r11) or root
         ids = manifested_batch_ids(spark, f"{path}/ingest")
         if not ids:
+            # still sweep grace-expired orphan dirs: a quiesced stream
+            # must not leave the last retired batches on disk forever
+            fs, hpath = _fs(spark, path)
+            _retire_ingest_batches(spark, fs, hpath, path, [])
             return {"batches_absorbed": 0, "vectors_absorbed": 0}
         # dedup WITHIN the pending set too: a producer redelivering the
         # same vec_id across trigger boundaries lands it in two pending
@@ -687,11 +735,7 @@ def absorb_ingested(spark: SparkSession, path: str) -> dict:
                 f"{cur}/cells"
             )
         fs, hpath = _fs(spark, path)
-        for i in ids:
-            fs.delete(
-                hpath(f"{path}/ingest/_manifests/batch-{i:09d}.json"), False
-            )
-            fs.delete(hpath(f"{path}/ingest/batch={i}"), True)
+        _retire_ingest_batches(spark, fs, hpath, path, ids)
         return {"batches_absorbed": len(ids), "vectors_absorbed": n}
 
 
@@ -799,8 +843,9 @@ def rebuild_ivf_index(
     ``<path>/_v-*`` version named by a pointer-file flip
     (:func:`fsio.pointer_swap_dir`) — the S3A-safe form, migrating a
     legacy index in the same pass — and then retires the consumed ingest
-    batches explicitly (manifest first, data second; the rename swap
-    removed the whole spill implicitly). A crash between the flip and the
+    batches through the shared one-cycle-grace rule (r13,
+    :func:`_retire_ingest_batches` — manifests now, data dirs next pass;
+    the rename swap removed the whole spill implicitly). A crash between the flip and the
     retire leaves the consumed batches transiently visible TWICE through
     :func:`read_ivf_cells` (fresh cells already hold their vectors) —
     the same bounded at-least-once window :func:`absorb_ingested`
@@ -838,12 +883,10 @@ def rebuild_ivf_index(
             write_ivf_index(spark, vectors, staged, n_cells, seed, distributed)
             pointer_swap_dir(spark, path, staged, keep=("ingest",))
             fs, hpath = _fs(spark, path)
-            for i in pending_ids:
-                fs.delete(
-                    hpath(f"{path}/ingest/_manifests/batch-{i:09d}.json"),
-                    False,
-                )
-                fs.delete(hpath(f"{path}/ingest/batch={i}"), True)
+            # one-cycle grace retirement, shared with absorb (r13): the
+            # manifests go now, the data dirs on the next pass — an
+            # in-flight probe reading the consumed batches keeps its files
+            _retire_ingest_batches(spark, fs, hpath, path, pending_ids)
         else:
             tmp = f"{path}.rebuild-{uuid.uuid4().hex}"
             write_ivf_index(spark, vectors, tmp, n_cells, seed, distributed)
