@@ -11,7 +11,8 @@ PY ?= python
 
 # Evidence retention (r13): move rounds older than the newest two into
 # evidence/archive/ (one-line index regenerated there). `make record`
-# runs it first so the root stays one screen.
+# runs it LAST — after the round's artifacts exist — so the root ends a
+# record holding exactly the newest two rounds.
 archive-evidence:
 	$(PY) tools/archive_evidence.py
 
@@ -46,7 +47,6 @@ all: test test-driver-scale verify verify-sf01 bench
 # describe HEAD.
 record:
 	test -n "$(ROUND)" || (echo "usage: make record ROUND=NN" && false)
-	$(PY) tools/archive_evidence.py
 	$(PY) -m pytest tests/ -q > /tmp/tes_record_unit.txt 2>&1 || (tail -5 /tmp/tes_record_unit.txt && false)
 	tail -1 /tmp/tes_record_unit.txt
 	TES_TEST_SF_DIR=/root/testdata/sf0.01 $(PY) -m pytest tests/ -q > PYTEST_DRIVER_SCALE_r$(ROUND).txt 2>&1 || (tail -5 PYTEST_DRIVER_SCALE_r$(ROUND).txt && false)
@@ -61,3 +61,4 @@ record:
 	tail -4 SCALE_PROBE_r$(ROUND).txt
 	TES_BENCH_FULL_JSON=BENCH_FULL_r$(ROUND).json $(PY) bench.py > /tmp/tes_record_bench.txt 2>&1 || (tail -5 /tmp/tes_record_bench.txt && false)
 	tail -1 /tmp/tes_record_bench.txt
+	$(PY) tools/archive_evidence.py

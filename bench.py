@@ -125,6 +125,12 @@ def bench_streaming(spark, sf_dir: str, n_runs: int = 4) -> dict:
     import statistics as _stats
     import tempfile
 
+    if n_runs < 2:
+        raise ValueError(
+            "n_runs must be >= 2: run 1 is the cold run and the headline "
+            "is the median of the warm runs (2..n)"
+        )
+
     from pyspark.sql import functions as F
 
     from twitter_event_stream_spark.streaming.pipelines import (

@@ -3,8 +3,9 @@
 the repo-level twin of X125's index bookkeeping retention): per-round
 evidence artifacts accrete at the root (5-8 files x N rounds), and by
 round 12 the listing no longer fit a screen. This moves every artifact of
-rounds <= (latest - KEEP_ROUNDS + 1) into ``evidence/archive/`` and
-regenerates a one-line-per-file index there, keeping at the root only:
+rounds <= (latest - keep), i.e. everything older than the newest ``keep``
+rounds, into ``evidence/archive/`` and regenerates a one-line-per-file
+index there, keeping at the root only:
 
 - the newest KEEP_ROUNDS rounds' artifacts (the judge reads BENCH_r{N}
   against BENCH_r{N-1});
@@ -17,7 +18,9 @@ is plain rename within the work tree — run before the round's single
 evidence commit so git records it as a rename.
 
 Usage: ``python tools/archive_evidence.py [--keep 2] [--dry-run]``
-(``make record`` runs it first; also standalone-safe, idempotent).
+(``make record`` runs it LAST — after the round's artifacts are written,
+so "newest keep rounds" includes the round just recorded and the root
+holds exactly those; also standalone-safe, idempotent).
 """
 
 from __future__ import annotations

@@ -588,6 +588,7 @@ def soak_probe(
     sidx, ividx, out = f"{base}/sidx", f"{base}/ividx", f"{base}/corpus"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    report: dict = {}  # bound before the try: the finally reads it
     try:
         d = table(spark, sf_dir, "documents")
         e = table(spark, sf_dir, "embeddings").filter(
@@ -606,7 +607,16 @@ def soak_probe(
                 .localCheckpoint()
             )
             ids = [r[0] for r in pool.select(id_col).orderBy(id_col).collect()]
-            bounds = [ids[k * per_batch] for k in range(n_batches)]
+            if len(ids) < n_batches:
+                raise ValueError(
+                    f"soak fixture too small: only {len(ids)} odd "
+                    f"{id_col}s for {n_batches} batches"
+                )
+            # adapt to what the fixture actually yields (r13 review: an
+            # undersized fixture crashed on ids[k*per_batch]) — batch
+            # sizes shrink, the batch COUNT and invariants don't
+            per = max(1, len(ids) // n_batches)
+            bounds = [ids[k * per] for k in range(n_batches)]
             bounds.append(ids[-1] + 1)
             return [
                 pool.filter(
@@ -627,7 +637,7 @@ def soak_probe(
 
         stop = threading.Event()
         lock = threading.Lock()
-        report = {
+        report.update({
             "probes": 0,
             "probe_errors": [],
             "maint_passes": 0,
@@ -637,33 +647,37 @@ def soak_probe(
             "doc_committed": [],
             "vec_committed": [],
             "ingest_errors": [],
-        }
+        })
 
         def ingester(tag, handler, batches, committed_key):
+            # lease refusals are the protocol working, so the retry
+            # budget is the lane's whole remaining window, not a fixed
+            # count — a single 10x maintenance op can legitimately hold
+            # the lease for tens of seconds (r13 review)
             for bid, b in enumerate(batches):
-                for _ in range(80):
-                    if stop.is_set():
-                        break
+                committed = False
+                while not stop.is_set() and time.perf_counter() < deadline:
                     try:
                         handler(b, bid)
                         with lock:
                             report[committed_key].append(bid)
+                        committed = True
                         break
                     except fsio.MaintenanceLeaseHeld:
                         with lock:
                             report["ingest_retries"] += 1
-                        time.sleep(0.25)
+                        time.sleep(0.3)
                     except Exception as ex:  # anything else is a failure
                         with lock:
                             report["ingest_errors"].append(
                                 f"{tag} batch {bid}: {ex}"[:300]
                             )
                         return
-                else:
+                if not committed:
                     with lock:
                         report["ingest_errors"].append(
-                            f"{tag} batch {bid}: never committed (lease "
-                            "contention never cleared)"
+                            f"{tag} batch {bid}: never committed before "
+                            "the lane deadline"
                         )
                     return
 
@@ -703,18 +717,19 @@ def soak_probe(
                 stop.wait(0.5)
 
         t0 = time.perf_counter()
+        deadline = t0 + hard_cap_sec
         threads = [
             threading.Thread(
                 target=ingester,
                 args=("docs", dedup_ingest_batch(sidx, out), doc_batches,
                       "doc_committed"),
-                name="soak-doc-ingest",
+                name="soak-doc-ingest", daemon=True,
             ),
             threading.Thread(
                 target=ingester,
                 args=("vecs", vector_ingest_batch(ividx), vec_batches,
                       "vec_committed"),
-                name="soak-vec-ingest",
+                name="soak-vec-ingest", daemon=True,
             ),
             threading.Thread(target=maintenance, name="soak-maint",
                              daemon=True),
@@ -722,19 +737,26 @@ def soak_probe(
         ]
         for t in threads:
             t.start()
-        deadline = t0 + hard_cap_sec
         for t in threads[:2]:  # the ingesters bound the window
             t.join(timeout=max(1.0, deadline - time.perf_counter()))
         timed_out = any(t.is_alive() for t in threads[:2])
         stop.set()
+        # drain generously: a 10x maintenance op mid-pass can outlive a
+        # short join, and checking 'converged' invariants (or deleting
+        # the tmp tree) under a still-running op would manufacture
+        # failures out of the race this lane sanctions (r13 review)
         for t in threads:
-            t.join(timeout=30)
+            t.join(timeout=max(30.0, deadline - time.perf_counter()))
         wall = time.perf_counter() - t0
-        if timed_out:
-            report["probe_errors"].append(
-                f"soak hard cap {hard_cap_sec}s exceeded with ingest "
-                "still running"
-            )
+        if timed_out or any(t.is_alive() for t in threads):
+            report["invariant_problems"] = [
+                f"soak hard cap {hard_cap_sec}s exceeded "
+                f"(ingest unfinished: {timed_out}; threads alive: "
+                f"{[t.name for t in threads if t.is_alive()]})"
+            ]
+            if any(t.is_alive() for t in threads):
+                # never rmtree under a live op; the tmp dir leaks instead
+                report["leaked_tmp"] = base
             return wall, report
 
         # ---- converged invariants (quiesced now: all threads joined)
@@ -815,7 +837,8 @@ def soak_probe(
         return wall, report
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-        shutil.rmtree(base, ignore_errors=True)
+        if report.get("leaked_tmp") is None:
+            shutil.rmtree(base, ignore_errors=True)
 
 
 def time_probe(spark, fn, sf_dir: str, scale: int):
@@ -1004,7 +1027,13 @@ def main() -> int:
         # converged invariants — the first lane that exercises the
         # lease/fence protocol CONCURRENTLY instead of phase-sequenced.
         for tag, src_dir in (("small", SRC), ("10x", dst)):
-            t_soak, rep = soak_probe(spark, src_dir)
+            try:
+                t_soak, rep = soak_probe(spark, src_dir)
+            except Exception as ex:  # a crashed lane is a failure, not a crash
+                failures.append(f"soak[{tag}]: crashed: {ex}")
+                print(f"{'soak_concurrent':20s} [{tag}] CRASH: {ex}",
+                      flush=True)
+                continue
             soak_problems = rep.get(
                 "invariant_problems", ["soak did not reach invariants"]
             )

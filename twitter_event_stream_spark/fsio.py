@@ -521,17 +521,22 @@ def _is_conditional_conflict(e) -> bool:
     """Whether an exception from a conditional create's write/close is the
     store REFUSING an occupied key (lost race — expected, handled) rather
     than a transient failure (propagated). S3A surfaces the HTTP 412 as
-    RemoteFileChangedException; other stores use FileAlreadyExists."""
+    RemoteFileChangedException; other stores use FileAlreadyExists.
+    Matching is deliberately NARROW — exception class names and the
+    If-None-Match token only, never loose fragments like "412" that also
+    appear in request ids and byte counts: a transient error
+    misclassified as a conflict flows into lost-the-race handling
+    (delete-tomb-occupant-wins in the restore path), the exact
+    destroy-exclusion direction this module refuses everywhere else
+    (r13 review). Callers that act destructively on a conflict verdict
+    additionally re-verify occupancy (:func:`_rename_no_clobber`)."""
     msg = str(e)
     return any(
         s in msg
         for s in (
-            "FileAlreadyExists",
+            "FileAlreadyExistsException",
             "RemoteFileChangedException",
-            "PreconditionFailed",
-            "Precondition Failed",
             "If-None-Match",
-            "412",
         )
     )
 
@@ -589,7 +594,18 @@ def _rename_no_clobber(spark, fs, src, dst) -> bool:
             out.close()
         except Exception as e:
             if _is_conditional_conflict(e):
-                return False  # occupied: store refused, src intact
+                # "we lost" must mean "dst is occupied" before the caller
+                # acts on it (the restore path DELETES the displaced
+                # payload when the target is occupied): a transient error
+                # that merely pattern-matched the conflict shapes, with
+                # dst actually clear, is re-raised as the transient
+                # failure it is (r13 review)
+                try:
+                    occupied = fs.exists(dst)
+                except Exception:
+                    occupied = False  # can't confirm: fail loud, not lossy
+                if occupied:
+                    return False  # occupied: store refused, src intact
             raise
         fs.delete(src, False)
         return True
@@ -827,17 +843,30 @@ def acquire_maintenance_lease(
             out.close()
         except Exception as e:
             if conditional:
-                # On a conditional-create store NOTHING of ours landed —
-                # the exclusive PUT only commits at close() — so there is
-                # no half-made lease to clean up, and the path may hold a
-                # RACING WINNER's lease, which a delete here would destroy
-                # (r13). A close-time conflict is the store refusing the
-                # occupied key (the mechanically-atomic acquire losing its
-                # race): handle it exactly like a refused create.
+                # On a conditional-create store the exclusive PUT only
+                # commits at close(), so USUALLY nothing of ours landed —
+                # there is no half-made lease to clean up, and the path
+                # may hold a RACING WINNER's lease, which a delete here
+                # would destroy (r13). A close-time conflict is the store
+                # refusing the occupied key (the mechanically-atomic
+                # acquire losing its race): handle it exactly like a
+                # refused create.
                 if _is_conditional_conflict(e):
                     last_err = e
                     if _contended(attempt):
                         continue
+                # Non-conflict close failure: the PUT may still have
+                # COMMITTED server-side with only the response lost
+                # (timeout after the store applied the write) — raising
+                # blindly would leave our orphaned lease wedging the
+                # index until TTL. Read back: our own lease_id present
+                # means the acquire in fact succeeded (r13 review).
+                landed = read_maintenance_lease(spark, index_path)
+                if (
+                    landed is not None
+                    and landed.get("lease_id") == payload["lease_id"]
+                ):
+                    return payload
                 raise
             # the create succeeded but the payload didn't land: remove the
             # half-made lease before re-raising, instead of leaving an

@@ -368,10 +368,11 @@ def q_llm_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    key = (
-        spark.sparkContext.applicationId, sf_dir,
-        1 << 14, 5, 42, 0.35, 500,
-    )
+    # (applicationId, sf_dir) IS the full key: every other parameter of
+    # this query (numFeatures, tables, seed, threshold, id clamp) is a
+    # compile-time literal of the body below, so duplicating them here
+    # would only create a tuple to keep in sync by hand (r13 review)
+    key = (spark.sparkContext.applicationId, sf_dir)
     hit = _NEARDUP_LSH_CACHE.pop(key, None)
     if hit is not None:
         _NEARDUP_LSH_CACHE[key] = hit  # re-insert: most-recently-used
@@ -402,9 +403,22 @@ def q_llm_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     out.count()  # materialize under the memo: repeats skip the join
+    race = _NEARDUP_LSH_CACHE.get(key)
+    if race is not None:
+        # a concurrent invocation of the same key won the insert while we
+        # computed: free OUR copy and return the cached one, instead of
+        # replacing the entry and leaking its persisted blocks for the
+        # session (r13 review)
+        try:
+            out.unpersist()
+        except Exception:
+            pass
+        return race
     while len(_NEARDUP_LSH_CACHE) >= 4:
         old = _NEARDUP_LSH_CACHE.pop(next(iter(_NEARDUP_LSH_CACHE)))
         try:
+            # an evicted frame a caller still holds silently reverts to
+            # recompute-per-action — correct, just no longer cached
             old.unpersist()
         except Exception:
             pass  # a stale handle from a stopped session: nothing to free
