@@ -522,20 +522,26 @@ def _is_conditional_conflict(e) -> bool:
     store REFUSING an occupied key (lost race — expected, handled) rather
     than a transient failure (propagated). S3A surfaces the HTTP 412 as
     RemoteFileChangedException; other stores use FileAlreadyExists.
-    Matching is deliberately NARROW — exception class names and the
-    If-None-Match token only, never loose fragments like "412" that also
-    appear in request ids and byte counts: a transient error
-    misclassified as a conflict flows into lost-the-race handling
-    (delete-tomb-occupant-wins in the restore path), the exact
-    destroy-exclusion direction this module refuses everywhere else
-    (r13 review). Callers that act destructively on a conflict verdict
-    additionally re-verify occupancy (:func:`_rename_no_clobber`)."""
+    Matching is deliberately class-name/reason-phrase shaped — never a
+    loose fragment like a bare "412", which also appears in request ids
+    and byte counts: a transient error misclassified as a conflict flows
+    into lost-the-race handling (delete-tomb-occupant-wins in the
+    restore path), the exact destroy-exclusion direction this module
+    refuses everywhere else (r13 review). Both verdicts are additionally
+    defanged at the call sites: :func:`_rename_no_clobber` re-verifies
+    the target is OCCUPIED before reporting a lost race, and
+    :func:`acquire_maintenance_lease` reads the lease back before acting
+    on any close-time failure, so a store whose refusal stringifies
+    outside these shapes degrades to a loud raw error (liveness), never
+    to a wrong deletion (safety)."""
     msg = str(e)
     return any(
         s in msg
         for s in (
             "FileAlreadyExistsException",
             "RemoteFileChangedException",
+            "PreconditionFailed",
+            "Precondition Failed",
             "If-None-Match",
         )
     )
@@ -844,29 +850,41 @@ def acquire_maintenance_lease(
         except Exception as e:
             if conditional:
                 # On a conditional-create store the exclusive PUT only
-                # commits at close(), so USUALLY nothing of ours landed —
-                # there is no half-made lease to clean up, and the path
-                # may hold a RACING WINNER's lease, which a delete here
-                # would destroy (r13). A close-time conflict is the store
-                # refusing the occupied key (the mechanically-atomic
-                # acquire losing its race): handle it exactly like a
-                # refused create.
-                if _is_conditional_conflict(e):
+                # commits at close(), so a close-time failure means
+                # EITHER the store refused the occupied key (lost race),
+                # OR a transient failure before the commit (nothing of
+                # ours landed), OR the PUT committed server-side with
+                # only the response lost. Read the lease back FIRST
+                # (spaced retries — a store degraded enough to fail the
+                # close may transiently fail the read too, and one
+                # failed read must not decide anything, r13 review):
+                # - our own lease_id landed -> the acquire SUCCEEDED;
+                #   raising would orphan our lease until TTL;
+                # - someone's lease present, or the error is
+                #   conflict-shaped -> contended: stale-break/Held, the
+                #   same handling as a refused create. Never delete here:
+                #   the path can only hold a racing winner's lease (r13).
+                landed = None
+                for _attempt in range(3):
+                    landed = read_maintenance_lease(spark, index_path)
+                    if landed is not None:
+                        break
+                    time.sleep(0.1)
+                if landed is not None and (
+                    landed.get("lease_id") == payload["lease_id"]
+                ):
+                    return payload
+                if landed is not None or _is_conditional_conflict(e):
                     last_err = e
                     if _contended(attempt):
                         continue
-                # Non-conflict close failure: the PUT may still have
-                # COMMITTED server-side with only the response lost
-                # (timeout after the store applied the write) — raising
-                # blindly would leave our orphaned lease wedging the
-                # index until TTL. Read back: our own lease_id present
-                # means the acquire in fact succeeded (r13 review).
-                landed = read_maintenance_lease(spark, index_path)
-                if (
-                    landed is not None
-                    and landed.get("lease_id") == payload["lease_id"]
-                ):
-                    return payload
+                _LOG.warning(
+                    "conditional lease PUT on %s failed at close AND the "
+                    "post-failure read-back found nothing readable — if "
+                    "the PUT in fact committed, the lease decays via its "
+                    "TTL",
+                    index_path,
+                )
                 raise
             # the create succeeded but the payload didn't land: remove the
             # half-made lease before re-raising, instead of leaving an

@@ -21,6 +21,8 @@ Scale design (the whole point of this family):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -337,6 +339,7 @@ def q_llm_lang_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: stale JVM handles survive a restart. Bounded to 4 entries, LRU-evicted
 #: with unpersist.
 _NEARDUP_LSH_CACHE: dict = {}
+_NEARDUP_LSH_LOCK = threading.Lock()  # all cache mutations hold this
 
 
 @query("q_llm_neardup_lsh", oracle=None)
@@ -373,9 +376,11 @@ def q_llm_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compile-time literal of the body below, so duplicating them here
     # would only create a tuple to keep in sync by hand (r13 review)
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _NEARDUP_LSH_CACHE.pop(key, None)
+    with _NEARDUP_LSH_LOCK:
+        hit = _NEARDUP_LSH_CACHE.pop(key, None)
+        if hit is not None:
+            _NEARDUP_LSH_CACHE[key] = hit  # re-insert: most-recently-used
     if hit is not None:
-        _NEARDUP_LSH_CACHE[key] = hit  # re-insert: most-recently-used
         return hit
     d = table(spark, sf_dir, "documents").filter(
         (F.col("doc_id") < 500) & F.col("text").isNotNull()
@@ -403,26 +408,31 @@ def q_llm_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     out.count()  # materialize under the memo: repeats skip the join
-    race = _NEARDUP_LSH_CACHE.get(key)
+    # the check-race-evict-insert sequence holds the lock so two
+    # concurrent misses cannot interleave and replace (leak) each
+    # other's persisted entry (r13 second review pass); the blocking
+    # unpersist calls run OUTSIDE the lock
+    evicted = []
+    with _NEARDUP_LSH_LOCK:
+        race = _NEARDUP_LSH_CACHE.get(key)
+        if race is None:
+            while len(_NEARDUP_LSH_CACHE) >= 4:
+                evicted.append(
+                    _NEARDUP_LSH_CACHE.pop(next(iter(_NEARDUP_LSH_CACHE)))
+                )
+            _NEARDUP_LSH_CACHE[key] = out
     if race is not None:
         # a concurrent invocation of the same key won the insert while we
-        # computed: free OUR copy and return the cached one, instead of
-        # replacing the entry and leaking its persisted blocks for the
-        # session (r13 review)
-        try:
-            out.unpersist()
-        except Exception:
-            pass
-        return race
-    while len(_NEARDUP_LSH_CACHE) >= 4:
-        old = _NEARDUP_LSH_CACHE.pop(next(iter(_NEARDUP_LSH_CACHE)))
+        # computed: free OUR copy and return the cached one
+        evicted.append(out)
+        out = race
+    for df in evicted:
         try:
             # an evicted frame a caller still holds silently reverts to
             # recompute-per-action — correct, just no longer cached
-            old.unpersist()
+            df.unpersist()
         except Exception:
             pass  # a stale handle from a stopped session: nothing to free
-    _NEARDUP_LSH_CACHE[key] = out
     return out
 
 

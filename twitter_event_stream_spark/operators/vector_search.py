@@ -624,7 +624,7 @@ def read_ivf_cells(
     )
 
 
-def _retire_ingest_batches(spark, fs, hpath, path: str, ids) -> None:
+def _retire_ingest_batches(fs, hpath, path: str, ids) -> None:
     """Retire consumed streaming-ingest batches with a ONE-CYCLE GRACE
     window (r13 — the concurrent soak lane caught an in-flight probe
     404ing mid-read): deleting a batch's manifest makes it invisible to
@@ -632,34 +632,56 @@ def _retire_ingest_batches(spark, fs, hpath, path: str, ids) -> None:
     snapshotted the manifest list just before this pass still reads the
     batch's FILES — deleting the data dir in the same breath fails that
     probe loudly (FAILED_READ_FILE), the exact hazard the pointer swap's
-    previous-version retention already covers for the cell tree. So a
-    pass deletes (a) ORPHAN data dirs — batch dirs whose manifest is
-    already gone, retired by the PREVIOUS pass or its crash window; they
-    have had a full maintenance cycle of grace — then (b) this pass's
-    manifests only, leaving their data dirs for the next pass. Storage
-    cost: one cycle of micro-batch spill, bounded. Correctness
-    unchanged: orphan dirs are unreachable through the manifested
-    readers, and a replayed batch id republishes its dir atomically over
-    an orphan. Shared by :func:`absorb_ingested` and
-    :func:`rebuild_ivf_index` so the retirement rule cannot drift."""
-    live = set(ids)
+    previous-version retention already covers for the cell tree.
+
+    The grace is MARKER-BASED (r13 second review pass): each consumed
+    batch's manifest is RENAMED to a dot-prefixed retirement marker
+    (``_manifests/.retired-<id>.json`` — invisible to the manifest
+    listing, so the batch is gone from every new reader at that instant),
+    and a pass reclaims only dirs a PREVIOUS pass marked — they have had
+    a full maintenance cycle. A dir is therefore deleted ONLY when its
+    publisher's manifest once existed and was retired: a just-published,
+    NOT-yet-manifested in-flight dir (vector_ingest_batch publishes the
+    dir, then fences, then manifests) is never swept — sweeping
+    unmanifested dirs as "orphans" would race the publish-to-manifest
+    window and leave a committed manifest pointing at deleted data, a
+    permanently poisoned index. The cost of that safety: a batch dir
+    whose publisher crashed between publish and manifest leaks (it is
+    invisible to all manifested readers — the pre-r13 status quo; a
+    legacy-layout rebuild's whole-dir swap reclaims them implicitly).
+
+    Crash windows converge: marker-rename is atomic per batch; a crash
+    mid-pass leaves some batches manifested (re-absorbed as a no-op via
+    the anti-join) and some marked (reclaimed next pass). Storage cost:
+    one cycle of micro-batch spill, bounded. Shared by
+    :func:`absorb_ingested` and :func:`rebuild_ivf_index` so the
+    retirement rule cannot drift."""
+    mdir = f"{path}/ingest/_manifests"
     try:
-        children = list(fs.listStatus(hpath(f"{path}/ingest")))
-    except Exception:
-        children = []  # no spill area yet: nothing to retire
+        children = list(fs.listStatus(hpath(mdir)))
+    except Exception as e:
+        # ONLY a genuinely absent spill area is ignorable; a transient
+        # listing failure must not silently skip reclamation every pass
+        # and unbound the "one cycle of spill" promise (r13 review)
+        if "FileNotFoundException" in str(e):
+            children = []
+        else:
+            raise
     for st in children:
-        dname = st.getPath().getName()
-        if not dname.startswith("batch="):
+        name = st.getPath().getName()
+        if not (name.startswith(".retired-") and name.endswith(".json")):
             continue
         try:
-            bid = int(dname[len("batch="):])
+            bid = int(name[len(".retired-"):-len(".json")])
         except ValueError:
             continue
-        if bid not in live:
-            fs.delete(st.getPath(), True)  # orphan: grace expired
+        # marked by a previous pass: the grace cycle has elapsed
+        fs.delete(hpath(f"{path}/ingest/batch={bid}"), True)
+        fs.delete(st.getPath(), False)
     for i in ids:
-        fs.delete(
-            hpath(f"{path}/ingest/_manifests/batch-{i:09d}.json"), False
+        fs.rename(
+            hpath(f"{mdir}/batch-{i:09d}.json"),
+            hpath(f"{mdir}/.retired-{i:09d}.json"),
         )
 
 
@@ -668,14 +690,15 @@ def absorb_ingested(spark: SparkSession, path: str) -> dict:
     tree — the maintenance half of the streaming seam, run quiesced like
     compaction (X119): append the pending vectors to ``<path>/cells``
     (cell partitions, existing files untouched), then retire each batch by
-    deleting its manifest (making it invisible to every NEW
+    renaming its manifest to a retirement marker (invisible to every NEW
     :func:`read_ivf_cells` listing) while KEEPING its data dir for one
     maintenance cycle — an IN-FLIGHT probe whose plan snapshotted the
     manifest list just before this pass keeps reading files that still
     exist (r13, caught by the concurrent soak lane; the same one-cycle
-    grace the pointer swap gives the previous cell-tree version). Data
-    dirs whose manifest is already gone — retired by the previous pass —
-    are deleted on the next pass.
+    grace the pointer swap gives the previous cell-tree version). Dirs a
+    previous pass marked retired are reclaimed on the next pass; see
+    :func:`_retire_ingest_batches` for why only MARKED dirs are ever
+    swept.
 
     Idempotent across its crash window (r9 ADVICE): the append anti-joins
     the pending vec_ids against the cells the pending batches touch (the
@@ -715,7 +738,7 @@ def absorb_ingested(spark: SparkSession, path: str) -> dict:
             # still sweep grace-expired orphan dirs: a quiesced stream
             # must not leave the last retired batches on disk forever
             fs, hpath = _fs(spark, path)
-            _retire_ingest_batches(spark, fs, hpath, path, [])
+            _retire_ingest_batches(fs, hpath, path, [])
             return {"batches_absorbed": 0, "vectors_absorbed": 0}
         # dedup WITHIN the pending set too: a producer redelivering the
         # same vec_id across trigger boundaries lands it in two pending
@@ -735,7 +758,7 @@ def absorb_ingested(spark: SparkSession, path: str) -> dict:
                 f"{cur}/cells"
             )
         fs, hpath = _fs(spark, path)
-        _retire_ingest_batches(spark, fs, hpath, path, ids)
+        _retire_ingest_batches(fs, hpath, path, ids)
         return {"batches_absorbed": len(ids), "vectors_absorbed": n}
 
 
@@ -886,7 +909,7 @@ def rebuild_ivf_index(
             # one-cycle grace retirement, shared with absorb (r13): the
             # manifests go now, the data dirs on the next pass — an
             # in-flight probe reading the consumed batches keeps its files
-            _retire_ingest_batches(spark, fs, hpath, path, pending_ids)
+            _retire_ingest_batches(fs, hpath, path, pending_ids)
         else:
             tmp = f"{path}.rebuild-{uuid.uuid4().hex}"
             write_ivf_index(spark, vectors, tmp, n_cells, seed, distributed)
