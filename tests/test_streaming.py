@@ -1777,3 +1777,62 @@ def test_vector_ingest_stream_end_to_end(spark, sf_dir, tmp_path_factory):
     assert not os.path.exists(f"{base}/ingest/batch=0"), (
         "the next pass must reclaim grace-expired orphan dirs"
     )
+
+
+def test_ingest_retirement_republished_id_grace(spark, sf_dir, tmp_path_factory):
+    """r13 (third review pass) — a batch id RE-PUBLISHED after an earlier
+    retirement (stale .retired marker coexisting with a fresh manifest,
+    e.g. a checkpoint reset reusing ids) keeps the full one-cycle grace:
+    the absorb pass consuming the fresh publish must not reclaim its dir
+    through the stale marker (zero grace would re-open the in-flight
+    probe 404), and the re-mark resets the cycle so the NEXT pass
+    reclaims it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from twitter_event_stream_spark.operators.vector_search import (
+        absorb_ingested,
+        read_ivf_cells,
+        write_ivf_index,
+    )
+    from twitter_event_stream_spark.streaming.pipelines import (
+        vector_ingest_batch,
+    )
+    from twitter_event_stream_spark.tables import table
+
+    e = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    base = str(tmp_path_factory.mktemp("regrace")) + "/idx"
+    write_ivf_index(spark, e.filter(F.col("vec_id") % 2 == 0), base)
+
+    first = e.filter(F.col("vec_id") % 4 == 1).select("vec_id", "embedding")
+    vector_ingest_batch(base)(first, 0)
+    assert absorb_ingested(spark, base)["batches_absorbed"] == 1
+    marker = f"{base}/ingest/_manifests/.retired-000000000.json"
+    assert os.path.exists(marker) and os.path.exists(f"{base}/ingest/batch=0")
+
+    # the SAME id re-published with fresh vectors while the stale marker
+    # still exists
+    second = e.filter(F.col("vec_id") % 4 == 3).select("vec_id", "embedding")
+    vector_ingest_batch(base)(second, 0)
+    assert os.path.exists(f"{base}/ingest/batch=0")
+    n_all = read_ivf_cells(spark, base).select("vec_id").distinct().count()
+
+    rep = absorb_ingested(spark, base)
+    assert rep["batches_absorbed"] == 1
+    assert os.path.exists(f"{base}/ingest/batch=0"), (
+        "the pass consuming a re-published id must NOT reclaim its dir "
+        "through the stale marker — that would be zero grace"
+    )
+    assert os.path.exists(marker), "the re-mark must reset the grace cycle"
+    assert (
+        read_ivf_cells(spark, base).select("vec_id").distinct().count()
+        == n_all
+    )
+
+    # next pass: grace elapsed, dir reclaimed
+    assert absorb_ingested(spark, base)["batches_absorbed"] == 0
+    assert not os.path.exists(f"{base}/ingest/batch=0")
+    assert not os.path.exists(marker)

@@ -864,12 +864,7 @@ def acquire_maintenance_lease(
                 #   conflict-shaped -> contended: stale-break/Held, the
                 #   same handling as a refused create. Never delete here:
                 #   the path can only hold a racing winner's lease (r13).
-                landed = None
-                for _attempt in range(3):
-                    landed = read_maintenance_lease(spark, index_path)
-                    if landed is not None:
-                        break
-                    time.sleep(0.1)
+                landed = _read_lease_spaced(spark, index_path)
                 if landed is not None and (
                     landed.get("lease_id") == payload["lease_id"]
                 ):
@@ -918,6 +913,21 @@ def read_maintenance_lease(spark, index_path: str) -> dict | None:
         return info
     except Exception:
         return None
+
+
+def _read_lease_spaced(spark, index_path: str, attempts: int = 3) -> dict | None:
+    """:func:`read_maintenance_lease` with spaced retries — the shared
+    outlast-a-store-blip policy (r13, extracted from three hand-rolled
+    copies): one failed read must never decide anything destructive or
+    final. Returns the first successful payload, or None after all
+    attempts (genuinely absent, or degraded past the blip budget)."""
+    for attempt in range(attempts):
+        info = read_maintenance_lease(spark, index_path)
+        if info is not None:
+            return info
+        if attempt < attempts - 1:
+            time.sleep(0.1)
+    return None
 
 
 def release_maintenance_lease(
@@ -1162,13 +1172,7 @@ def _touch_lease(
             # _restore_displaced and release (r13 ADVICE). Left in
             # place, a genuinely-resurrected lease decays via its TTL;
             # bounded wedge beats destroyed exclusion.
-            now_info = None
-            for attempt in range(3):
-                now_info = read_maintenance_lease(spark, index_path)
-                if now_info is not None:
-                    break
-                if attempt < 2:
-                    time.sleep(0.1)
+            now_info = _read_lease_spaced(spark, index_path)
             if now_info is None:
                 _LOG.warning(
                     "late heartbeat PUT on %s could not be re-verified "

@@ -648,7 +648,10 @@ def _retire_ingest_batches(fs, hpath, path: str, ids) -> None:
     permanently poisoned index. The cost of that safety: a batch dir
     whose publisher crashed between publish and manifest leaks (it is
     invisible to all manifested readers — the pre-r13 status quo; a
-    legacy-layout rebuild's whole-dir swap reclaims them implicitly).
+    legacy-layout rebuild's whole-dir swap reclaims them implicitly; the
+    same holds for any dir with neither manifest nor marker, whatever
+    its origin — reclaiming UNMARKED dirs is exactly the publish-race
+    this design exists to avoid, so they stay).
 
     Crash windows converge: marker-rename is atomic per batch; a crash
     mid-pass leaves some batches manifested (re-absorbed as a no-op via
@@ -667,6 +670,7 @@ def _retire_ingest_batches(fs, hpath, path: str, ids) -> None:
             children = []
         else:
             raise
+    live = set(ids)
     for st in children:
         name = st.getPath().getName()
         if not (name.startswith(".retired-") and name.endswith(".json")):
@@ -675,14 +679,24 @@ def _retire_ingest_batches(fs, hpath, path: str, ids) -> None:
             bid = int(name[len(".retired-"):-len(".json")])
         except ValueError:
             continue
+        if bid in live:
+            # a STALE marker coexisting with a live manifest: the id was
+            # re-published (checkpoint reset / reused id) after an
+            # earlier retirement. The fresh publish is being consumed by
+            # THIS pass — deleting the dir now would give it zero grace
+            # (r13 third review pass); the re-mark below resets its
+            # grace cycle instead.
+            continue
         # marked by a previous pass: the grace cycle has elapsed
         fs.delete(hpath(f"{path}/ingest/batch={bid}"), True)
         fs.delete(st.getPath(), False)
     for i in ids:
-        fs.rename(
-            hpath(f"{mdir}/batch-{i:09d}.json"),
-            hpath(f"{mdir}/.retired-{i:09d}.json"),
-        )
+        marker = hpath(f"{mdir}/.retired-{i:09d}.json")
+        # clear a stale same-id marker first: rename refuses an occupied
+        # destination on HDFS, and a silently-failed rename would leave
+        # the batch manifested (and re-absorbed) forever
+        fs.delete(marker, False)
+        fs.rename(hpath(f"{mdir}/batch-{i:09d}.json"), marker)
 
 
 def absorb_ingested(spark: SparkSession, path: str) -> dict:
