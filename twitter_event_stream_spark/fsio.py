@@ -917,10 +917,12 @@ def read_maintenance_lease(spark, index_path: str) -> dict | None:
 
 def _read_lease_spaced(spark, index_path: str, attempts: int = 3) -> dict | None:
     """:func:`read_maintenance_lease` with spaced retries — the shared
-    outlast-a-store-blip policy (r13, extracted from three hand-rolled
-    copies): one failed read must never decide anything destructive or
-    final. Returns the first successful payload, or None after all
-    attempts (genuinely absent, or degraded past the blip budget)."""
+    outlast-a-store-blip policy (r13, folding the two lease-path copies;
+    release's tomb read keeps its own loop because it reads the
+    displaced TOMB file, not the lease path): one failed read must never
+    decide anything destructive or final. Returns the first successful
+    payload, or None after all attempts (genuinely absent, or degraded
+    past the blip budget)."""
     for attempt in range(attempts):
         info = read_maintenance_lease(spark, index_path)
         if info is not None:

@@ -672,6 +672,17 @@ def _retire_ingest_batches(fs, hpath, path: str, ids) -> None:
             raise
     live = set(ids)
     for st in children:
+        # defense-in-depth against a manifest that landed AFTER the
+        # caller's id listing (the publisher's post-manifest re-check is
+        # the real fence, r13): the fresh listing in hand also counts as
+        # live, at zero extra RPCs
+        name = st.getPath().getName()
+        if name.startswith("batch-") and name.endswith(".json"):
+            try:
+                live.add(int(name[len("batch-"):-len(".json")]))
+            except ValueError:
+                pass
+    for st in children:
         name = st.getPath().getName()
         if not (name.startswith(".retired-") and name.endswith(".json")):
             continue
@@ -694,9 +705,22 @@ def _retire_ingest_batches(fs, hpath, path: str, ids) -> None:
         marker = hpath(f"{mdir}/.retired-{i:09d}.json")
         # clear a stale same-id marker first: rename refuses an occupied
         # destination on HDFS, and a silently-failed rename would leave
-        # the batch manifested (and re-absorbed) forever
+        # the batch manifested (and re-absorbed) forever — which is also
+        # why the rename's verdict is CHECKED (r13 third review pass): a
+        # False here most likely means the id has no per-batch manifest
+        # file at all (someone ran consolidate_manifests on the spill,
+        # which its docstring forbids precisely because retirement is
+        # per-batch), and silence would leave the batch's vectors
+        # permanently visible twice
         fs.delete(marker, False)
-        fs.rename(hpath(f"{mdir}/batch-{i:09d}.json"), marker)
+        if not fs.rename(hpath(f"{mdir}/batch-{i:09d}.json"), marker):
+            raise IOError(
+                f"could not retire ingest manifest batch-{i:09d}.json "
+                f"under {mdir} — if the spill's manifests were "
+                "consolidated, the id has no per-batch file to retire "
+                "(consolidate_manifests must not run on a vector-ingest "
+                "spill); the batch stays visible until repaired"
+            )
 
 
 def absorb_ingested(spark: SparkSession, path: str) -> dict:

@@ -1166,6 +1166,35 @@ def vector_ingest_batch(index_path: str) -> Callable[[DataFrame, int], None]:
                 # the (possibly rebuilt) tree and converges.
                 assert_no_maintenance(spark, index_path, generation=gen0)
                 _write_fs_manifest(spark, out_dir, batch_id, batch_dir)
+                # POST-MANIFEST RE-CHECK (r13, closing the fence-to-
+                # manifest window the retirement sweep opened): a
+                # maintenance pass acquiring between the fence above and
+                # the manifest rename landing can retire/reclaim through
+                # a STALE same-id marker (checkpoint reset reusing ids)
+                # and delete the dir this manifest certifies — a
+                # committed manifest pointing at deleted data poisons
+                # every reader. The overlap is always observable here:
+                # the pass either still holds the lease or has bumped
+                # the generation. On overlap, RETRACT our manifest and
+                # abort; the retried batch republishes and converges
+                # (same shape as pointer_swap_dir's post-commit
+                # staged-exists retract).
+                try:
+                    assert_no_maintenance(
+                        spark, index_path, generation=gen0
+                    )
+                except Exception:
+                    from twitter_event_stream_spark.fsio import _fs
+
+                    fs2, hp2 = _fs(spark, out_dir)
+                    fs2.delete(
+                        hp2(
+                            f"{out_dir}/_manifests/"
+                            f"batch-{batch_id:09d}.json"
+                        ),
+                        False,
+                    )
+                    raise
             finally:
                 fresh.unpersist()
         finally:
