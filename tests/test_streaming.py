@@ -1836,3 +1836,101 @@ def test_ingest_retirement_republished_id_grace(spark, sf_dir, tmp_path_factory)
     assert absorb_ingested(spark, base)["batches_absorbed"] == 0
     assert not os.path.exists(f"{base}/ingest/batch=0")
     assert not os.path.exists(marker)
+
+
+def test_vector_ingest_post_manifest_retract(
+    spark, sf_dir, tmp_path_factory, monkeypatch
+):
+    """r13 — the post-manifest re-check: maintenance overlapping the
+    fence-to-manifest window makes the handler RETRACT its own
+    just-committed manifest and abort (the manifest would certify a dir
+    a retirement sweep may be deleting), and the retried batch
+    republishes and converges."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import twitter_event_stream_spark.fsio as fsio
+    from twitter_event_stream_spark.operators.vector_search import (
+        read_ivf_cells,
+        write_ivf_index,
+    )
+    from twitter_event_stream_spark.streaming.pipelines import (
+        vector_ingest_batch,
+    )
+    from twitter_event_stream_spark.tables import table
+
+    e = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    base = str(tmp_path_factory.mktemp("postman")) + "/idx"
+    write_ivf_index(spark, e.filter(F.col("vec_id") % 2 == 0), base)
+    batch = e.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+
+    real = fsio.assert_no_maintenance
+    calls = {"n": 0}
+
+    def overlap_at_post_check(spark_, path, generation=None, **kw):
+        calls["n"] += 1
+        # call 1: batch start; call 2: pre-manifest commit fence;
+        # call 3: the post-manifest re-check -> maintenance overlapped
+        if calls["n"] >= 3:
+            raise fsio.MaintenanceLeaseHeld("maintenance overlapped")
+        return real(spark_, path, generation=generation, **kw)
+
+    monkeypatch.setattr(fsio, "assert_no_maintenance", overlap_at_post_check)
+    import pytest
+
+    with pytest.raises(fsio.MaintenanceLeaseHeld):
+        vector_ingest_batch(base)(batch, 0)
+    monkeypatch.undo()
+
+    mpath = f"{base}/ingest/_manifests/batch-000000000.json"
+    assert not os.path.exists(mpath), (
+        "the overlapped batch's manifest must be retracted — a committed "
+        "manifest may certify a dir the maintenance pass deletes"
+    )
+    n_base = e.filter(F.col("vec_id") % 2 == 0).count()
+    assert read_ivf_cells(spark, base).count() == n_base, (
+        "the retracted batch must be invisible"
+    )
+    # foreachBatch retry: converges to a committed batch
+    vector_ingest_batch(base)(batch, 0)
+    assert os.path.exists(mpath)
+    assert read_ivf_cells(spark, base).count() == e.count()
+
+
+def test_retire_rename_false_paths(spark, tmp_path_factory):
+    """r13 — _retire_ingest_batches' rename-False handling: a manifest
+    that vanished concurrently (the publisher's post-manifest retract —
+    the DESIGNED race) is skipped quietly, while an id with no per-batch
+    file beside a consolidated manifest (consolidate_manifests misuse on
+    a spill) raises with the repair pointer."""
+    import json
+    import os
+
+    import pytest
+
+    import twitter_event_stream_spark.fsio as fsio
+    from twitter_event_stream_spark.operators.vector_search import (
+        _retire_ingest_batches,
+    )
+
+    base = str(tmp_path_factory.mktemp("retire")) + "/idx"
+    mdir = f"{base}/ingest/_manifests"
+    os.makedirs(mdir)
+    fs, hp = fsio._fs(spark, base)
+
+    # (a) id listed for retirement but its manifest is already gone and
+    # nothing is consolidated: the publisher retracted it — quiet skip
+    _retire_ingest_batches(fs, hp, base, [5])
+    assert not os.path.exists(f"{mdir}/.retired-000000005.json"), (
+        "a concurrently-retracted manifest must not leave a marker"
+    )
+
+    # (b) same shape WITH a consolidated file present: loud, with the
+    # consolidate-misuse diagnosis
+    with open(f"{mdir}/consolidated-000000005.json", "w") as f:
+        f.write(json.dumps({"through": 5, "manifests": []}))
+    with pytest.raises(IOError, match="could not retire"):
+        _retire_ingest_batches(fs, hp, base, [5])

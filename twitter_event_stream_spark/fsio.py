@@ -896,11 +896,25 @@ def read_maintenance_lease(spark, index_path: str) -> dict | None:
     """The current lease's content plus its file mtime (``mtime_ms``), or
     None when no lease is held. The mtime, not the self-reported acquire
     time, drives staleness — a holder with a skewed clock can't fake
-    freshness."""
+    freshness. Folds ABSENT and UNREADABLE to None (the historical
+    contract every caller relies on); callers that must distinguish use
+    :func:`_read_lease_status`."""
+    info, _absent = _read_lease_status(spark, index_path)
+    return info
+
+
+def _read_lease_status(spark, index_path: str) -> tuple[dict | None, bool]:
+    """``(payload, absent)``: payload None when the lease is unreadable OR
+    absent; ``absent`` True only when the file demonstrably does not
+    exist (r13 — the distinction lets retry loops return fast on a
+    genuinely clear path instead of paying the blip budget per call)."""
     fs, hpath = _fs(spark, index_path)
     lease = hpath(_lease_path(index_path))
     try:
         st = fs.getFileStatus(lease)
+    except Exception as e:
+        return None, "FileNotFoundException" in str(e)
+    try:
         stream = fs.open(lease)
         try:
             raw = bytes(
@@ -910,9 +924,9 @@ def read_maintenance_lease(spark, index_path: str) -> dict | None:
             stream.close()
         info = json.loads(raw.decode("utf-8")) if raw else {}
         info["mtime_ms"] = st.getModificationTime()
-        return info
+        return info, False
     except Exception:
-        return None
+        return None, False
 
 
 def _read_lease_spaced(spark, index_path: str, attempts: int = 3) -> dict | None:
@@ -924,9 +938,11 @@ def _read_lease_spaced(spark, index_path: str, attempts: int = 3) -> dict | None
     payload, or None after all attempts (genuinely absent, or degraded
     past the blip budget)."""
     for attempt in range(attempts):
-        info = read_maintenance_lease(spark, index_path)
+        info, absent = _read_lease_status(spark, index_path)
         if info is not None:
             return info
+        if absent:
+            return None  # demonstrably clear: no blip budget to pay
         if attempt < attempts - 1:
             time.sleep(0.1)
     return None
@@ -1324,7 +1340,10 @@ def bump_maintenance_generation(spark, index_path: str) -> int:
 
 
 def assert_no_maintenance(
-    spark, index_path: str, generation: int | None = None
+    spark,
+    index_path: str,
+    generation: int | None = None,
+    spaced_read: bool = False,
 ) -> None:
     """Ingest-side check: fail FAST when a live (non-stale) maintenance
     lease is held, instead of appending a batch into a directory the
@@ -1342,8 +1361,33 @@ def assert_no_maintenance(
     lease) OR already completed mid-batch (the counter moved), so the
     batch aborts before certifying a publish a swap may have deleted;
     foreachBatch retries it after the maintenance window and the
-    idempotent-append protocol (X126) makes the retry converge."""
-    holder = read_maintenance_lease(spark, index_path)
+    idempotent-append protocol (X126) makes the retry converge.
+
+    ``spaced_read=True`` (r13 — for the COMMIT-TIME call sites, whose
+    verdict certifies a publish): the lease read retries store blips
+    (absent returns fast, so the healthy path pays nothing) and a lease
+    that stays present-but-unreadable after the retries RAISES instead
+    of passing — at commit, "can't tell" must fail toward aborting the
+    batch, because an in-flight maintenance pass is detectable ONLY
+    through the lease (the generation moves at completion), and one
+    swallowed read error here would certify a manifest a retirement
+    sweep may be deleting out from under it."""
+    if spaced_read:
+        holder = None
+        for attempt in range(3):
+            holder, absent = _read_lease_status(spark, index_path)
+            if holder is not None or absent:
+                break
+            if attempt < 2:
+                time.sleep(0.1)
+        else:
+            raise MaintenanceLeaseHeld(
+                f"maintenance lease on {index_path} is present but "
+                "unreadable after retries — refusing to certify the "
+                "commit; the retried batch will converge"
+            )
+    else:
+        holder = read_maintenance_lease(spark, index_path)
     if holder is not None:
         age_ms = int(time.time() * 1000) - holder["mtime_ms"]
         if age_ms <= holder.get("ttl_sec", 3600) * 1000:
@@ -1362,6 +1406,14 @@ def assert_no_maintenance(
                 f"{generation} -> {now_gen} while this batch was in "
                 "flight — commit aborted; the retried batch will converge"
             )
+
+
+def manifest_path(out_dir: str, batch_id: int) -> str:
+    """THE per-batch manifest file name (r13 — previously four
+    independent copies of the ``batch-<id:09d>.json`` scheme; a writer
+    and a retracter disagreeing on the name would strand a committed
+    manifest)."""
+    return f"{out_dir}/_manifests/batch-{batch_id:09d}.json"
 
 
 def _read_json_file(fs, path) -> dict:

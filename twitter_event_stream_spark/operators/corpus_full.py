@@ -458,7 +458,9 @@ def write_simhash_index(
         if existing is not None:
             rows = rows.join(existing, ["band", "doc_id"], "left_anti")
         rows.write.mode("append").partitionBy("band").parquet(cur)
-        assert_no_maintenance(spark, path, generation=gen0)
+        # spaced_read (r13): the post-append fence certifies the append
+        # as durable; one lease-read blip must not certify
+        assert_no_maintenance(spark, path, generation=gen0, spaced_read=True)
         return
     write_band_rows(rows, path, mode)
 

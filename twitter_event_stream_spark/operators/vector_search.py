@@ -701,19 +701,37 @@ def _retire_ingest_batches(fs, hpath, path: str, ids) -> None:
         # marked by a previous pass: the grace cycle has elapsed
         fs.delete(hpath(f"{path}/ingest/batch={bid}"), True)
         fs.delete(st.getPath(), False)
+    from twitter_event_stream_spark.fsio import manifest_path
+
+    has_consolidated = any(
+        st.getPath().getName().startswith("consolidated-")
+        for st in children
+    )
     for i in ids:
         marker = hpath(f"{mdir}/.retired-{i:09d}.json")
+        src_manifest = hpath(manifest_path(f"{path}/ingest", i))
         # clear a stale same-id marker first: rename refuses an occupied
         # destination on HDFS, and a silently-failed rename would leave
         # the batch manifested (and re-absorbed) forever — which is also
-        # why the rename's verdict is CHECKED (r13 third review pass): a
-        # False here most likely means the id has no per-batch manifest
-        # file at all (someone ran consolidate_manifests on the spill,
-        # which its docstring forbids precisely because retirement is
-        # per-batch), and silence would leave the batch's vectors
-        # permanently visible twice
+        # why the rename's verdict is CHECKED (r13 third review pass)
         fs.delete(marker, False)
-        if not fs.rename(hpath(f"{mdir}/batch-{i:09d}.json"), marker):
+        try:
+            renamed = fs.rename(src_manifest, marker)
+        except Exception:
+            renamed = False  # local FS throws (not returns False) on a
+            # missing source — fold to the same verdict path
+        if not renamed:
+            try:
+                gone = not fs.exists(src_manifest)
+            except Exception:
+                gone = False
+            if gone and not has_consolidated:
+                # the publisher's post-manifest re-check retracted this
+                # manifest concurrently (the DESIGNED race, r13 fourth
+                # pass): nothing to retire — the vectors are already in
+                # the tree, and the publisher's retried batch anti-joins
+                # to a no-op
+                continue
             raise IOError(
                 f"could not retire ingest manifest batch-{i:09d}.json "
                 f"under {mdir} — if the spill's manifests were "

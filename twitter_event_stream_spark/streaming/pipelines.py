@@ -822,7 +822,12 @@ def dedup_ingest_batch(
                 # commit; the retried batch republishes atomically and the
                 # X126 already_indexed protocol re-appends only what the
                 # index actually lacks, so the replay converges either way.
-                assert_no_maintenance(spark, index_path, generation=gen0)
+                # spaced_read (r13): this verdict certifies the commit,
+                # and an in-flight maintenance pass is visible ONLY via
+                # the lease — one read blip must not certify
+                assert_no_maintenance(
+                    spark, index_path, generation=gen0, spaced_read=True
+                )
                 # manifest LAST: its presence certifies publish + append
                 # both committed — read_ingested skips unmanifested batches
                 _write_fs_manifest(
@@ -886,9 +891,11 @@ def _write_fs_manifest(
         for st in fs.listStatus(hpath(batch_dir))
         if not st.getPath().getName().startswith(("_", "."))
     )
+    from twitter_event_stream_spark.fsio import manifest_path
+
     mdir = f"{out_dir}/_manifests"
     fs.mkdirs(hpath(mdir))
-    final = hpath(f"{mdir}/batch-{batch_id:09d}.json")
+    final = hpath(manifest_path(out_dir, batch_id))
     tmp = hpath(f"{mdir}/.batch-{batch_id:09d}.tmp-{uuid.uuid4().hex}")
     out = fs.create(tmp, True)
     out.write(
@@ -1163,8 +1170,11 @@ def vector_ingest_batch(index_path: str) -> Callable[[DataFrame, int], None]:
                 # may have swapped the whole index away — including the
                 # just-published unmanifested dir. Abort before the
                 # manifest certifies it; the retry re-anti-joins against
-                # the (possibly rebuilt) tree and converges.
-                assert_no_maintenance(spark, index_path, generation=gen0)
+                # the (possibly rebuilt) tree and converges. spaced_read
+                # (r13): one read blip must not certify the commit.
+                assert_no_maintenance(
+                    spark, index_path, generation=gen0, spaced_read=True
+                )
                 _write_fs_manifest(spark, out_dir, batch_id, batch_dir)
                 # POST-MANIFEST RE-CHECK (r13, closing the fence-to-
                 # manifest window the retirement sweep opened): a
@@ -1181,19 +1191,46 @@ def vector_ingest_batch(index_path: str) -> Callable[[DataFrame, int], None]:
                 # staged-exists retract).
                 try:
                     assert_no_maintenance(
-                        spark, index_path, generation=gen0
+                        spark, index_path, generation=gen0,
+                        spaced_read=True,
                     )
-                except Exception:
-                    from twitter_event_stream_spark.fsio import _fs
+                except Exception as fence_err:
+                    # retract like pointer_swap_dir does (r13 review):
+                    # retry once spaced, VERIFY absence, and name a
+                    # failed retraction in the raise — an unretracted
+                    # manifest may certify deleted data until the
+                    # retried batch republishes
+                    import time as _time
+
+                    from twitter_event_stream_spark.fsio import (
+                        _fs,
+                        manifest_path,
+                    )
 
                     fs2, hp2 = _fs(spark, out_dir)
-                    fs2.delete(
-                        hp2(
-                            f"{out_dir}/_manifests/"
-                            f"batch-{batch_id:09d}.json"
-                        ),
-                        False,
-                    )
+                    mpath = hp2(manifest_path(out_dir, batch_id))
+                    retracted = False
+                    for attempt in range(2):
+                        try:
+                            fs2.delete(mpath, False)
+                        except Exception:
+                            pass
+                        try:
+                            retracted = not fs2.exists(mpath)
+                        except Exception:
+                            retracted = False
+                        if retracted:
+                            break
+                        if attempt == 0:
+                            _time.sleep(0.1)
+                    if not retracted:
+                        raise type(fence_err)(
+                            f"{fence_err}; AND the manifest retraction "
+                            f"for batch {batch_id} FAILED (delete did "
+                            "not succeed after retry) — the committed "
+                            "manifest may certify deleted data until "
+                            "the retried batch republishes"
+                        ) from fence_err
                     raise
             finally:
                 fresh.unpersist()
