@@ -3792,17 +3792,18 @@ def test_stalled_beat_undo_leaves_unreadable_lease(
     token = fsio.acquire_maintenance_lease(spark, idx, owner="op", ttl_sec=60)
     os.utime(lp, (0, 0))  # age past the rewrite grace: fallback must fire
 
-    real_read = fsio.read_maintenance_lease
+    real_status = fsio._read_lease_status
     calls = {"n": 0}
 
-    def read_real_then_unreadable(spark_, index_path):
+    def status_real_then_unreadable(spark_, index_path):
         calls["n"] += 1
         if calls["n"] == 1:
-            return real_read(spark_, index_path)  # the beat's ownership probe
-        return None  # every undo-loop retry: present but unreadable
+            return real_status(spark_, index_path)  # the beat's ownership probe
+        # every undo-loop retry: present but unreadable (absent=False)
+        return None, False, 0
 
     monkeypatch.setattr(
-        fsio, "read_maintenance_lease", read_real_then_unreadable
+        fsio, "_read_lease_status", status_real_then_unreadable
     )
     flips = {"n": 0}
 
@@ -4192,3 +4193,44 @@ def test_overwrite_publish_legacy_vs_pointer_thread_race(
             f"round {rnd}: lease must be released after both publishes"
         )
         assert fsio.maintenance_generation(spark, path) >= 1
+
+
+def test_corrupt_lease_decays_via_mtime(spark, tmp_path_factory):
+    """r13 (sixth review pass) — a lease whose PAYLOAD is unreadable (a
+    holder that crashed mid-write left garbage) must still decay via its
+    mtime: while FRESH it refuses spaced-read commits and acquires (a
+    live holder may be behind a read blip — safe direction), but once
+    STALE the spaced fence passes and acquire breaks it, exactly like a
+    readable stale lease. Without the decay path, blip-proofing the
+    fences would wedge every commit and every acquire until manual
+    repair."""
+    import os
+
+    import pytest
+
+    import twitter_event_stream_spark.fsio as fsio
+
+    idx = f"{tmp_path_factory.mktemp('corrupt-lease')}/index"
+    lp = fsio._lease_path(idx)
+    with open(lp, "w") as f:
+        f.write("{this is not json")
+
+    # fresh garbage: refuse to certify, refuse to acquire
+    with pytest.raises(fsio.MaintenanceLeaseHeld, match="unreadable"):
+        fsio.assert_no_maintenance(spark, idx, spaced_read=True)
+    with pytest.raises(fsio.MaintenanceLeaseHeld):
+        fsio.acquire_maintenance_lease(spark, idx, owner="op", ttl_sec=60)
+    assert os.path.exists(lp), "fresh garbage must not be broken"
+
+    # stale garbage: the fence passes and acquire breaks + re-takes
+    os.utime(lp, (0, 0))
+    fsio.assert_no_maintenance(spark, idx, spaced_read=True)
+    token = fsio.acquire_maintenance_lease(spark, idx, owner="op2",
+                                           ttl_sec=60)
+    info = fsio.read_maintenance_lease(spark, idx)
+    assert info is not None and info["owner"] == "op2"
+    assert (
+        fsio.release_maintenance_lease(spark, idx,
+                                       lease_id=token["lease_id"])
+        is True
+    )

@@ -1922,11 +1922,20 @@ def test_retire_rename_false_paths(spark, tmp_path_factory):
     fs, hp = fsio._fs(spark, base)
 
     # (a) id listed for retirement but its manifest is already gone and
-    # nothing is consolidated: the publisher retracted it — quiet skip
+    # nothing is consolidated: the publisher retracted it concurrently.
+    # The batch WAS folded this pass, so the retirer writes the marker
+    # itself — otherwise the dir (no manifest, no marker) leaks forever
+    # (r13 sixth review pass) — and the next pass reclaims dir + marker.
+    os.makedirs(f"{base}/ingest/batch=5")
     _retire_ingest_batches(fs, hp, base, [5])
-    assert not os.path.exists(f"{mdir}/.retired-000000005.json"), (
-        "a concurrently-retracted manifest must not leave a marker"
+    assert os.path.exists(f"{mdir}/.retired-000000005.json"), (
+        "a concurrently-retracted-but-folded batch must still be marked "
+        "so its dir gets reclaimed"
     )
+    assert os.path.exists(f"{base}/ingest/batch=5"), "grace cycle first"
+    _retire_ingest_batches(fs, hp, base, [])
+    assert not os.path.exists(f"{base}/ingest/batch=5")
+    assert not os.path.exists(f"{mdir}/.retired-000000005.json")
 
     # (b) same shape WITH a consolidated file present: loud, with the
     # consolidate-misuse diagnosis

@@ -104,6 +104,12 @@ from contextlib import contextmanager
 _LOG = logging.getLogger(__name__)
 
 
+#: Default maintenance-lease TTL (seconds) — also the decay budget for a
+#: lease whose PAYLOAD is unreadable (crashed mid-write), where the
+#: holder's self-declared ttl_sec cannot be read.
+DEFAULT_LEASE_TTL_SEC = 3600
+
+
 class MaintenanceLeaseHeld(RuntimeError):
     """Raised when an index's maintenance lease is held by another
     operation — a maintenance op refusing to run concurrently with another,
@@ -768,7 +774,7 @@ def _break_stale_lease(spark, fs, hpath, index_path: str, ttl_sec: int) -> None:
 
 
 def acquire_maintenance_lease(
-    spark, index_path: str, owner: str, ttl_sec: int = 3600
+    spark, index_path: str, owner: str, ttl_sec: int = DEFAULT_LEASE_TTL_SEC
 ) -> dict:
     """Take the index's maintenance lease via a create-EXCLUSIVE marker file
     (r9 verdict "What's missing" #1 — mechanical quiescing instead of
@@ -814,9 +820,21 @@ def acquire_maintenance_lease(
         """The path is held (create refused, or a conditional close-time
         conflict): break a stale holder on the first attempt, raise
         :class:`MaintenanceLeaseHeld` on a live one, True = retry."""
-        holder = read_maintenance_lease(spark, index_path)
+        holder, absent, mtime = _read_lease_status(spark, index_path)
         if holder is None:
-            return True  # holder released between conflict and read: retry
+            # absent: released between conflict and read — retry the
+            # create. Present-but-unreadable (crashed-mid-write garbage)
+            # must still DECAY: break it once its mtime is stale past
+            # ttl_sec, else NO acquire can ever succeed and the index
+            # wedges until manual repair (r13 review).
+            if (
+                not absent
+                and attempt == 0
+                and mtime is not None
+                and int(time.time() * 1000) - mtime > ttl_sec * 1000
+            ):
+                _break_stale_lease(spark, fs, hpath, index_path, ttl_sec)
+            return True
         age_ms = int(time.time() * 1000) - holder["mtime_ms"]
         if attempt == 0 and age_ms > holder.get("ttl_sec", ttl_sec) * 1000:
             _break_stale_lease(spark, fs, hpath, index_path, ttl_sec)
@@ -899,21 +917,33 @@ def read_maintenance_lease(spark, index_path: str) -> dict | None:
     freshness. Folds ABSENT and UNREADABLE to None (the historical
     contract every caller relies on); callers that must distinguish use
     :func:`_read_lease_status`."""
-    info, _absent = _read_lease_status(spark, index_path)
+    info, _absent, _mtime = _read_lease_status(spark, index_path)
     return info
 
 
-def _read_lease_status(spark, index_path: str) -> tuple[dict | None, bool]:
-    """``(payload, absent)``: payload None when the lease is unreadable OR
-    absent; ``absent`` True only when the file demonstrably does not
-    exist (r13 — the distinction lets retry loops return fast on a
-    genuinely clear path instead of paying the blip budget per call)."""
+def _read_lease_status(
+    spark, index_path: str
+) -> tuple[dict | None, bool, int | None]:
+    """``(payload, absent, mtime_ms)``: payload None when the lease is
+    unreadable OR absent; ``absent`` True only when the file demonstrably
+    does not exist (r13 — the distinction lets retry loops return fast
+    on a genuinely clear path instead of paying the blip budget per
+    call); ``mtime_ms`` is the file's mtime whenever the file could be
+    stat-ed, even when its PAYLOAD is unreadable — the staleness clock
+    must keep ticking for crashed-mid-write garbage, or it wedges every
+    fence and acquire until manual repair. Absence is decided by an
+    explicit ``fs.exists`` probe, never by substring-matching the
+    stat exception (a vanished-file error inside a degraded read also
+    says FileNotFoundException — the r12 corpus_full lesson)."""
     fs, hpath = _fs(spark, index_path)
     lease = hpath(_lease_path(index_path))
     try:
         st = fs.getFileStatus(lease)
-    except Exception as e:
-        return None, "FileNotFoundException" in str(e)
+    except Exception:
+        try:
+            return None, not fs.exists(lease), None
+        except Exception:
+            return None, False, None  # can't tell: not demonstrably absent
     try:
         stream = fs.open(lease)
         try:
@@ -924,9 +954,9 @@ def _read_lease_status(spark, index_path: str) -> tuple[dict | None, bool]:
             stream.close()
         info = json.loads(raw.decode("utf-8")) if raw else {}
         info["mtime_ms"] = st.getModificationTime()
-        return info, False
+        return info, False, st.getModificationTime()
     except Exception:
-        return None, False
+        return None, False, st.getModificationTime()
 
 
 def _read_lease_spaced(spark, index_path: str, attempts: int = 3) -> dict | None:
@@ -937,15 +967,27 @@ def _read_lease_spaced(spark, index_path: str, attempts: int = 3) -> dict | None
     decide anything destructive or final. Returns the first successful
     payload, or None after all attempts (genuinely absent, or degraded
     past the blip budget)."""
+    info, _absent, _mtime = _read_lease_spaced_status(
+        spark, index_path, attempts
+    )
+    return info
+
+
+def _read_lease_spaced_status(
+    spark, index_path: str, attempts: int = 3
+) -> tuple[dict | None, bool, int | None]:
+    """The spaced-retry loop behind :func:`_read_lease_spaced` and the
+    commit fences, with the full ``(payload, absent, mtime_ms)`` status —
+    ONE copy of the blip budget (r13 review), so the fences and the
+    lease readers cannot drift to different tolerances."""
+    info, absent, mtime = None, False, None
     for attempt in range(attempts):
-        info, absent = _read_lease_status(spark, index_path)
-        if info is not None:
-            return info
-        if absent:
-            return None  # demonstrably clear: no blip budget to pay
+        info, absent, mtime = _read_lease_status(spark, index_path)
+        if info is not None or absent:
+            break  # readable, or demonstrably clear: no budget to pay
         if attempt < attempts - 1:
             time.sleep(0.1)
-    return None
+    return info, absent, mtime
 
 
 def release_maintenance_lease(
@@ -1208,7 +1250,7 @@ def _touch_lease(
 
 
 @contextmanager
-def maintenance_lease(spark, index_path: str, owner: str, ttl_sec: int = 3600):
+def maintenance_lease(spark, index_path: str, owner: str, ttl_sec: int = DEFAULT_LEASE_TTL_SEC):
     """Scope a maintenance op under the index's lease: acquire-exclusive on
     entry, release on exit (success or failure — a raised maintenance op
     must not wedge the index until TTL).
@@ -1373,19 +1415,26 @@ def assert_no_maintenance(
     swallowed read error here would certify a manifest a retirement
     sweep may be deleting out from under it."""
     if spaced_read:
-        holder = None
-        for attempt in range(3):
-            holder, absent = _read_lease_status(spark, index_path)
-            if holder is not None or absent:
-                break
-            if attempt < 2:
-                time.sleep(0.1)
-        else:
-            raise MaintenanceLeaseHeld(
-                f"maintenance lease on {index_path} is present but "
-                "unreadable after retries — refusing to certify the "
-                "commit; the retried batch will converge"
+        holder, absent, mtime = _read_lease_spaced_status(spark, index_path)
+        if holder is None and not absent:
+            # present but unreadable after the blip budget. Crashed-
+            # mid-write garbage must still DECAY like any stale lease —
+            # raising unconditionally would wedge every commit until
+            # manual repair (r13 review) — so the file's MTIME (readable
+            # even when the payload is not) is judged against the
+            # default TTL: fresh-or-unknown refuses to certify (a live
+            # holder may be behind the blip), stale passes exactly as a
+            # readable stale lease would.
+            age_ms = (
+                None if mtime is None else int(time.time() * 1000) - mtime
             )
+            if age_ms is None or age_ms <= DEFAULT_LEASE_TTL_SEC * 1000:
+                raise MaintenanceLeaseHeld(
+                    f"maintenance lease on {index_path} is present but "
+                    "unreadable after retries — refusing to certify the "
+                    "commit; the retried batch will converge (a crashed "
+                    "holder's unreadable lease decays via its mtime)"
+                )
     else:
         holder = read_maintenance_lease(spark, index_path)
     if holder is not None:

@@ -728,9 +728,14 @@ def _retire_ingest_batches(fs, hpath, path: str, ids) -> None:
             if gone and not has_consolidated:
                 # the publisher's post-manifest re-check retracted this
                 # manifest concurrently (the DESIGNED race, r13 fourth
-                # pass): nothing to retire — the vectors are already in
-                # the tree, and the publisher's retried batch anti-joins
-                # to a no-op
+                # pass): the vectors are already folded into the tree and
+                # the publisher's retried batch anti-joins to a no-op —
+                # so the batch DIR would otherwise end with no manifest
+                # AND no marker, leaking forever. Write the marker
+                # ourselves: the dir gets its grace cycle and the next
+                # pass reclaims it (r13 review).
+                out = fs.create(marker, True)
+                out.close()
                 continue
             raise IOError(
                 f"could not retire ingest manifest batch-{i:09d}.json "
@@ -878,7 +883,8 @@ def append_ivf_index(spark: SparkSession, new_vectors: DataFrame, path: str) -> 
         )
     finally:
         assigned.unpersist()
-    assert_no_maintenance(spark, path, generation=gen0)
+    # spaced_read (r13): this verdict certifies the append as durable
+    assert_no_maintenance(spark, path, generation=gen0, spaced_read=True)
 
 
 def rebuild_ivf_index(

@@ -1224,7 +1224,15 @@ def vector_ingest_batch(index_path: str) -> Callable[[DataFrame, int], None]:
                         if attempt == 0:
                             _time.sleep(0.1)
                     if not retracted:
-                        raise type(fence_err)(
+                        from twitter_event_stream_spark.fsio import (
+                            MaintenanceLeaseHeld,
+                        )
+
+                        # always a constructible type: type(fence_err)
+                        # may need exotic args (Py4JJavaError), and a
+                        # TypeError here would replace the one
+                        # diagnostic an operator needs (r13 review)
+                        raise MaintenanceLeaseHeld(
                             f"{fence_err}; AND the manifest retraction "
                             f"for batch {batch_id} FAILED (delete did "
                             "not succeed after retry) — the committed "
