@@ -820,20 +820,28 @@ def acquire_maintenance_lease(
         """The path is held (create refused, or a conditional close-time
         conflict): break a stale holder on the first attempt, raise
         :class:`MaintenanceLeaseHeld` on a live one, True = retry."""
-        holder, absent, mtime = _read_lease_status(spark, index_path)
+        holder, absent, mtime = _read_lease_spaced_status(spark, index_path)
         if holder is None:
             # absent: released between conflict and read — retry the
             # create. Present-but-unreadable (crashed-mid-write garbage)
-            # must still DECAY: break it once its mtime is stale past
-            # ttl_sec, else NO acquire can ever succeed and the index
-            # wedges until manual repair (r13 review).
+            # must still DECAY, else NO acquire can ever succeed and the
+            # index wedges until manual repair (r13 review) — but the
+            # break is destructive, so it runs on the WEAKEST evidence
+            # only conservatively: a SPACED read (one blip decides
+            # nothing) and the WIDER of the caller's ttl_sec and the
+            # default (a live long-TTL holder whose payload blipped must
+            # not be broken against a contender's tighter ttl; its
+            # mtime, heartbeat-refreshed, never looks this old anyway).
+            unreadable_ttl = max(ttl_sec, DEFAULT_LEASE_TTL_SEC)
             if (
                 not absent
                 and attempt == 0
                 and mtime is not None
-                and int(time.time() * 1000) - mtime > ttl_sec * 1000
+                and int(time.time() * 1000) - mtime > unreadable_ttl * 1000
             ):
-                _break_stale_lease(spark, fs, hpath, index_path, ttl_sec)
+                _break_stale_lease(
+                    spark, fs, hpath, index_path, unreadable_ttl
+                )
             return True
         age_ms = int(time.time() * 1000) - holder["mtime_ms"]
         if attempt == 0 and age_ms > holder.get("ttl_sec", ttl_sec) * 1000:
@@ -944,6 +952,7 @@ def _read_lease_status(
             return None, not fs.exists(lease), None
         except Exception:
             return None, False, None  # can't tell: not demonstrably absent
+    mtime = st.getModificationTime()  # one RPC, reused on every path
     try:
         stream = fs.open(lease)
         try:
@@ -953,10 +962,10 @@ def _read_lease_status(
         finally:
             stream.close()
         info = json.loads(raw.decode("utf-8")) if raw else {}
-        info["mtime_ms"] = st.getModificationTime()
-        return info, False, st.getModificationTime()
+        info["mtime_ms"] = mtime
+        return info, False, mtime
     except Exception:
-        return None, False, st.getModificationTime()
+        return None, False, mtime
 
 
 def _read_lease_spaced(spark, index_path: str, attempts: int = 3) -> dict | None:
@@ -1185,7 +1194,7 @@ def _touch_lease(
         after = fs.getFileStatus(lp).getModificationTime()
     except Exception:
         after = before
-    ttl_sec = (token or info).get("ttl_sec", 3600)
+    ttl_sec = (token or info).get("ttl_sec", DEFAULT_LEASE_TTL_SEC)
     grace_ms = min(1000, max(int(ttl_sec * 1000) // 4, 50))
     if after != before or now - after <= grace_ms:
         # observably moved, or still demonstrably fresh (coarse-granularity
@@ -1424,7 +1433,13 @@ def assert_no_maintenance(
             # even when the payload is not) is judged against the
             # default TTL: fresh-or-unknown refuses to certify (a live
             # holder may be behind the blip), stale passes exactly as a
-            # readable stale lease would.
+            # readable stale lease would. Documented bound: a holder
+            # that declared ttl_sec > DEFAULT keeps its full margin only
+            # while its payload is readable — in the doubly-degraded
+            # mode (persistent beat failures AND a fence-time payload
+            # blip) the unreadable path caps the margin at the default,
+            # because the declared TTL lives in the payload we cannot
+            # read.
             age_ms = (
                 None if mtime is None else int(time.time() * 1000) - mtime
             )
@@ -1439,7 +1454,7 @@ def assert_no_maintenance(
         holder = read_maintenance_lease(spark, index_path)
     if holder is not None:
         age_ms = int(time.time() * 1000) - holder["mtime_ms"]
-        if age_ms <= holder.get("ttl_sec", 3600) * 1000:
+        if age_ms <= holder.get("ttl_sec", DEFAULT_LEASE_TTL_SEC) * 1000:
             raise MaintenanceLeaseHeld(
                 f"index {index_path} under maintenance by "
                 f"{holder.get('owner', '?')} ({age_ms / 1000:.0f}s old) — "
