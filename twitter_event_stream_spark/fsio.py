@@ -760,9 +760,11 @@ def _break_stale_lease(spark, fs, hpath, index_path: str, ttl_sec: int) -> None:
     that make retrying the create the right next step."""
     ttl_ms = ttl_sec * 1000
     holder = read_maintenance_lease(spark, index_path)
-    if holder is not None:
-        # honor the holder's self-declared TTL when it has one
-        ttl_ms = holder.get("ttl_sec", ttl_sec) * 1000
+    if holder is not None and "ttl_sec" in holder:
+        # honor the holder's self-declared TTL when it has one; a
+        # payload without one (zero-byte crash remnant) keeps the
+        # caller's budget — callers pass the widened max() for those
+        ttl_ms = holder["ttl_sec"] * 1000
     verdict = _remove_if_stale(
         spark, fs, hpath, _lease_path(index_path), ttl_ms
     )
@@ -816,11 +818,18 @@ def acquire_maintenance_lease(
     conditional = _supports_conditional_create(fs, lease)
     last_err: Exception | None = None
 
-    def _contended(attempt: int) -> bool:
+    def _contended(attempt: int, status=None) -> bool:
         """The path is held (create refused, or a conditional close-time
         conflict): break a stale holder on the first attempt, raise
-        :class:`MaintenanceLeaseHeld` on a live one, True = retry."""
-        holder, absent, mtime = _read_lease_spaced_status(spark, index_path)
+        :class:`MaintenanceLeaseHeld` on a live one, True = retry.
+        ``status`` reuses a just-fetched ``_read_lease_spaced_status``
+        triple so a degraded store doesn't pay the blip budget twice
+        back-to-back (r13 review)."""
+        holder, absent, mtime = (
+            status
+            if status is not None
+            else _read_lease_spaced_status(spark, index_path)
+        )
         if holder is None:
             # absent: released between conflict and read — retry the
             # create. Present-but-unreadable (crashed-mid-write garbage)
@@ -844,13 +853,27 @@ def acquire_maintenance_lease(
                 )
             return True
         age_ms = int(time.time() * 1000) - holder["mtime_ms"]
-        if attempt == 0 and age_ms > holder.get("ttl_sec", ttl_sec) * 1000:
+        # a payload WITHOUT a declared ttl (zero-byte file from a crash
+        # between create and write, or a legacy format) gets the same
+        # conservative widened budget as an unreadable one (r13 review:
+        # the fence and the breaker must not disagree about the same
+        # file) — only a SELF-DECLARED ttl can tighten the break
+        holder_ttl = holder.get("ttl_sec", max(ttl_sec, DEFAULT_LEASE_TTL_SEC))
+        if attempt == 0 and age_ms > holder_ttl * 1000:
+            # the break receives the CONTENDER's ttl as its fallback, NOT
+            # holder_ttl: _break_stale_lease re-reads the holder and
+            # honors a re-read declared ttl on its own, and the passed
+            # value also feeds _remove_if_stale's grabbed-file
+            # re-validation — where a stale holder's tiny declared ttl
+            # (e.g. 0) would judge a freshly-installed REPLACEMENT stale
+            # and steal it (caught by the 8-thread race test when this
+            # briefly passed holder_ttl, r13)
             _break_stale_lease(spark, fs, hpath, index_path, ttl_sec)
             return True  # stale gone: retry the exclusive create
         raise MaintenanceLeaseHeld(
             f"maintenance lease on {index_path} held by "
             f"{holder.get('owner', '?')} ({age_ms / 1000:.0f}s old, "
-            f"ttl {holder.get('ttl_sec', ttl_sec)}s) — quiesce or wait"
+            f"ttl {holder_ttl}s) — quiesce or wait"
         ) from None
 
     for attempt in (0, 1):
@@ -890,14 +913,15 @@ def acquire_maintenance_lease(
                 #   conflict-shaped -> contended: stale-break/Held, the
                 #   same handling as a refused create. Never delete here:
                 #   the path can only hold a racing winner's lease (r13).
-                landed = _read_lease_spaced(spark, index_path)
+                status = _read_lease_spaced_status(spark, index_path)
+                landed = status[0]
                 if landed is not None and (
                     landed.get("lease_id") == payload["lease_id"]
                 ):
                     return payload
                 if landed is not None or _is_conditional_conflict(e):
                     last_err = e
-                    if _contended(attempt):
+                    if _contended(attempt, status=status):
                         continue
                 _LOG.warning(
                     "conditional lease PUT on %s failed at close AND the "
