@@ -696,6 +696,18 @@ def _remove_if_stale(spark, fs, hpath, path_str: str, ttl_ms: int) -> str:
     (another remover won, or it vanished), or ``"fresh"`` (younger than
     ``ttl_ms`` — left in place, restored if briefly displaced).
 
+    The re-validation is an IDENTITY check first (r13, ninth review
+    pass): rename preserves mtime, so the grabbed file is the very file
+    judged stale iff its mtime equals the judged mtime — a replacement
+    created after the staleness read carries a NOW-ish mtime and can
+    never equal the by-definition-old stale one. Identity, not an age
+    heuristic, is what protects a rival's freshly installed replacement
+    when ``ttl_ms`` is tiny (a holder that declared ttl_sec=0: under the
+    old ``age <= ttl`` test alone, ANY grabbed file judged by that
+    declared budget was "stale", so two contenders sufficed to steal a
+    fresh lease). The age test remains as a second restore trigger for
+    coarse-mtime stores.
+
     Residual, documented: restoring a mistakenly-grabbed fresh file can
     lose to a third contender's create landing inside the displacement
     blip — the restore is a NO-CLOBBER move (:func:`_rename_no_clobber`,
@@ -714,7 +726,8 @@ def _remove_if_stale(spark, fs, hpath, path_str: str, ttl_ms: int) -> str:
         st = fs.getFileStatus(src)
     except Exception:
         return "gone"
-    if int(time.time() * 1000) - st.getModificationTime() <= ttl_ms:
+    judged_mtime = st.getModificationTime()
+    if int(time.time() * 1000) - judged_mtime <= ttl_ms:
         return "fresh"
     tomb = hpath(path_str + f".stale-{uuid.uuid4().hex}")
     try:
@@ -724,9 +737,8 @@ def _remove_if_stale(spark, fs, hpath, path_str: str, ttl_ms: int) -> str:
     if not won:
         return "gone"
     try:
-        age_ms = int(time.time() * 1000) - fs.getFileStatus(
-            tomb
-        ).getModificationTime()
+        tomb_mtime = fs.getFileStatus(tomb).getModificationTime()
+        age_ms = int(time.time() * 1000) - tomb_mtime
     except Exception:
         # tomb unstat-able: the path is clear either way, and the tomb is
         # LEFT on disk (nothing destroyed — deliberate asymmetry with
@@ -736,12 +748,14 @@ def _remove_if_stale(spark, fs, hpath, path_str: str, ttl_ms: int) -> str:
         # displaced a presumed-LIVE lease, where restore is the only
         # direction that can't destroy a successor's exclusion)
         return "removed"
-    if age_ms <= ttl_ms:
-        # the path held a FRESH replacement by the time we renamed: put it
-        # back. The restore must refuse an occupied target (a third
-        # contender's create landing inside the blip) and must not delete
-        # the displaced payload on a merely-THROWN restore — both live in
-        # the shared restore discipline (r12)
+    if tomb_mtime != judged_mtime or age_ms <= ttl_ms:
+        # NOT the file we judged (a replacement landed between the
+        # staleness read and the rename — identity by preserved mtime),
+        # or still fresh by age: put it back. The restore must refuse an
+        # occupied target (a third contender's create landing inside the
+        # blip) and must not delete the displaced payload on a
+        # merely-THROWN restore — both live in the shared restore
+        # discipline (r12)
         _restore_displaced(spark, fs, tomb, src)
         return "fresh"
     fs.delete(tomb, False)
@@ -763,7 +777,10 @@ def _break_stale_lease(spark, fs, hpath, index_path: str, ttl_sec: int) -> None:
     if holder is not None and "ttl_sec" in holder:
         # honor the holder's self-declared TTL when it has one; a
         # payload without one (zero-byte crash remnant) keeps the
-        # caller's budget — callers pass the widened max() for those
+        # caller's budget — callers pass the widened max() for those.
+        # A declared TINY ttl (even 0) is safe to honor here: a rival's
+        # freshly installed replacement is protected by the mtime
+        # IDENTITY check inside _remove_if_stale, not by this budget
         ttl_ms = holder["ttl_sec"] * 1000
     verdict = _remove_if_stale(
         spark, fs, hpath, _lease_path(index_path), ttl_ms
@@ -817,6 +834,10 @@ def acquire_maintenance_lease(
     lease = hpath(_lease_path(index_path))
     conditional = _supports_conditional_create(fs, lease)
     last_err: Exception | None = None
+    #: the decay budget for leases whose declared ttl is unavailable
+    #: (unreadable payload, zero-byte crash remnant) — ONE copy, shared
+    #: by the gate and the break so they can never disagree (r13)
+    widened_ttl = max(ttl_sec, DEFAULT_LEASE_TTL_SEC)
 
     def _contended(attempt: int, status=None) -> bool:
         """The path is held (create refused, or a conditional close-time
@@ -841,16 +862,13 @@ def acquire_maintenance_lease(
             # default (a live long-TTL holder whose payload blipped must
             # not be broken against a contender's tighter ttl; its
             # mtime, heartbeat-refreshed, never looks this old anyway).
-            unreadable_ttl = max(ttl_sec, DEFAULT_LEASE_TTL_SEC)
             if (
                 not absent
                 and attempt == 0
                 and mtime is not None
-                and int(time.time() * 1000) - mtime > unreadable_ttl * 1000
+                and int(time.time() * 1000) - mtime > widened_ttl * 1000
             ):
-                _break_stale_lease(
-                    spark, fs, hpath, index_path, unreadable_ttl
-                )
+                _break_stale_lease(spark, fs, hpath, index_path, widened_ttl)
             return True
         age_ms = int(time.time() * 1000) - holder["mtime_ms"]
         # a payload WITHOUT a declared ttl (zero-byte file from a crash
@@ -858,17 +876,13 @@ def acquire_maintenance_lease(
         # conservative widened budget as an unreadable one (r13 review:
         # the fence and the breaker must not disagree about the same
         # file) — only a SELF-DECLARED ttl can tighten the break
-        holder_ttl = holder.get("ttl_sec", max(ttl_sec, DEFAULT_LEASE_TTL_SEC))
+        holder_ttl = holder.get("ttl_sec", widened_ttl)
         if attempt == 0 and age_ms > holder_ttl * 1000:
-            # the break receives the CONTENDER's ttl as its fallback, NOT
-            # holder_ttl: _break_stale_lease re-reads the holder and
-            # honors a re-read declared ttl on its own, and the passed
-            # value also feeds _remove_if_stale's grabbed-file
-            # re-validation — where a stale holder's tiny declared ttl
-            # (e.g. 0) would judge a freshly-installed REPLACEMENT stale
-            # and steal it (caught by the 8-thread race test when this
-            # briefly passed holder_ttl, r13)
-            _break_stale_lease(spark, fs, hpath, index_path, ttl_sec)
+            # the break's fallback is the SAME widened budget the gate
+            # used (one copy, hoisted — r13 ninth pass); a grabbed
+            # replacement is protected inside _remove_if_stale by the
+            # mtime IDENTITY check, not by this number
+            _break_stale_lease(spark, fs, hpath, index_path, widened_ttl)
             return True  # stale gone: retry the exclusive create
         raise MaintenanceLeaseHeld(
             f"maintenance lease on {index_path} held by "
