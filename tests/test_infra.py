@@ -1989,6 +1989,17 @@ def test_rebuild_ivf_index(spark, sf_dir, tmp_path_factory, pointer):
     assert cent_got == cent_want
 
 
+def _age_lease(idx: str) -> None:
+    """Fabricate a crashed holder: make the existing lease file ancient.
+    (min-TTL enforcement, r13, outlawed the old ttl_sec=0 + sleep
+    fabrication — sub-second TTLs made fresh leases instantly stealable.)"""
+    import os
+
+    from twitter_event_stream_spark.fsio import _lease_path
+
+    os.utime(_lease_path(idx), (0, 0))
+
+
 def test_maintenance_lease_mechanism(spark, sf_dir, tmp_path_factory):
     """r10 — mechanical quiescing (r9 verdict "What's missing" #1): while a
     maintenance lease is held, BOTH streaming ingest handlers fail fast
@@ -2064,8 +2075,8 @@ def test_maintenance_lease_mechanism(spark, sf_dir, tmp_path_factory):
 
     # stale lease (holder crashed past TTL): ingest proceeds, and the next
     # maintenance op BREAKS the stale marker and takes the lease itself
-    acquire_maintenance_lease(spark, ivf, owner="crashed-op", ttl_sec=0)
-    time.sleep(0.2)
+    acquire_maintenance_lease(spark, ivf, owner="crashed-op", ttl_sec=1)
+    _age_lease(ivf)
     assert_no_maintenance(spark, ivf)  # stale does not block ingest
     rep = compact_ivf_cells(spark, ivf)  # breaks stale, runs, releases
     assert rep["files_after"] >= 1
@@ -2114,8 +2125,8 @@ def test_maintenance_lease_heartbeat(spark, tmp_path_factory):
 
     # dead holder (no heartbeat — bare acquire simulates a crashed
     # process) past TTL: still broken and re-taken
-    acquire_maintenance_lease(spark, idx, owner="crashed", ttl_sec=0)
-    time.sleep(0.2)
+    acquire_maintenance_lease(spark, idx, owner="crashed", ttl_sec=1)
+    _age_lease(idx)
     assert_no_maintenance(spark, idx)  # stale does not block ingest
     acquire_maintenance_lease(spark, idx, owner="successor", ttl_sec=60)
     assert read_maintenance_lease(spark, idx)["owner"] == "successor"
@@ -2146,8 +2157,8 @@ def test_stale_lease_break_single_winner(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("race"))
     for rnd in range(3):
         idx = f"{root}/index-{rnd}"
-        acquire_maintenance_lease(spark, idx, owner="crashed", ttl_sec=0)
-        time.sleep(0.2)  # everyone sees it stale
+        acquire_maintenance_lease(spark, idx, owner="crashed", ttl_sec=1)
+        _age_lease(idx)  # everyone sees it stale
 
         results: list[str] = []
         lock = threading.Lock()
@@ -2958,10 +2969,10 @@ def test_release_owner_checked(spark, tmp_path_factory):
 
     idx = f"{tmp_path_factory.mktemp('ownrel')}/index"
     token_a = fsio.acquire_maintenance_lease(
-        spark, idx, owner="a", ttl_sec=0
+        spark, idx, owner="a", ttl_sec=1
     )
     assert token_a["lease_id"]
-    time.sleep(0.2)  # a's lease is stale (simulated crash, no heartbeat)
+    _age_lease(idx)  # a's lease is stale (simulated crash, no heartbeat)
     token_b = fsio.acquire_maintenance_lease(
         spark, idx, owner="b", ttl_sec=60
     )  # breaks the stale lease and takes over
@@ -3000,8 +3011,8 @@ def test_release_displacement_verified(spark, tmp_path_factory, monkeypatch):
     import twitter_event_stream_spark.fsio as fsio
 
     idx = f"{tmp_path_factory.mktemp('disprel')}/index"
-    token_a = fsio.acquire_maintenance_lease(spark, idx, owner="a", ttl_sec=0)
-    time.sleep(0.2)
+    token_a = fsio.acquire_maintenance_lease(spark, idx, owner="a", ttl_sec=1)
+    _age_lease(idx)
     token_b = fsio.acquire_maintenance_lease(spark, idx, owner="b", ttl_sec=60)
     assert token_b["lease_id"] != token_a["lease_id"]
 
@@ -4234,3 +4245,18 @@ def test_corrupt_lease_decays_via_mtime(spark, tmp_path_factory):
                                        lease_id=token["lease_id"])
         is True
     )
+
+
+def test_acquire_rejects_subsecond_ttl(spark, tmp_path_factory):
+    """r13 — sub-second TTLs are below the protocol's contention-window
+    resolution (a declared 0 makes every fresh lease instantly
+    breakable, so two contenders can steal each other's leases no
+    matter how the re-validation is built): acquire refuses them at the
+    API boundary."""
+    import pytest
+
+    import twitter_event_stream_spark.fsio as fsio
+
+    idx = f"{tmp_path_factory.mktemp('minttl')}/index"
+    with pytest.raises(ValueError, match="ttl_sec must be >= 1"):
+        fsio.acquire_maintenance_lease(spark, idx, owner="op", ttl_sec=0)

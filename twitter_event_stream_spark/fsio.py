@@ -708,6 +708,17 @@ def _remove_if_stale(spark, fs, hpath, path_str: str, ttl_ms: int) -> str:
     fresh lease). The age test remains as a second restore trigger for
     coarse-mtime stores.
 
+    Store scope (r13): both re-validation signals assume rename
+    PRESERVES mtime — true on POSIX and HDFS, FALSE on copy-rename
+    object stores (S3A: the tomb's LastModified is the copy's PUT
+    time), where a break would keep reading its own grab as
+    "fresh/replaced" and restoring the remnant. The break path is
+    therefore a rename-preserving-FS mechanism by design; on object
+    stores mutual exclusion rests on the conditional-create acquire
+    where advertised (r13) plus the operator-override release
+    (``release_maintenance_lease`` without a token), per the module
+    docstring's residual note.
+
     Residual, documented: restoring a mistakenly-grabbed fresh file can
     lose to a third contender's create landing inside the displacement
     blip — the restore is a NO-CLOBBER move (:func:`_rename_no_clobber`,
@@ -823,6 +834,14 @@ def acquire_maintenance_lease(
     clean up); without the capability it remains best-effort — same
     caveat as :func:`atomic_swap_dir`.
 
+    ``ttl_sec`` must be >= 1 (r13): staleness and replacement
+    discrimination happen at contention-window resolution, so a
+    sub-second TTL makes every freshly installed lease instantly look
+    "stale" to contenders — with a declared 0, two contenders suffice
+    to steal each other's fresh leases no matter how the re-validation
+    is built. Tests fabricate crashed holders by AGING the lease file's
+    mtime, not by declaring degenerate TTLs.
+
     Returns the lease PAYLOAD, whose ``lease_id`` (unique per acquire,
     r12) is the release/heartbeat token: passing it to
     :func:`release_maintenance_lease` makes release owner-checked — a
@@ -830,6 +849,13 @@ def acquire_maintenance_lease(
     the successor's lease at its own exit — and the heartbeat's
     payload-rewrite fallback refuses to resurrect our payload over a
     successor's."""
+    if ttl_sec < 1:
+        raise ValueError(
+            f"ttl_sec must be >= 1 (got {ttl_sec}): a sub-second TTL is "
+            "below the protocol's contention-window resolution and makes "
+            "every fresh lease instantly breakable — age the lease file "
+            "instead to simulate a crashed holder"
+        )
     fs, hpath = _fs(spark, index_path)
     lease = hpath(_lease_path(index_path))
     conditional = _supports_conditional_create(fs, lease)
