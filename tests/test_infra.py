@@ -2006,7 +2006,6 @@ def test_maintenance_lease_mechanism(spark, sf_dir, tmp_path_factory):
     (instead of appending into a directory a swap may delete) and a second
     maintenance op is refused; a released or stale lease unblocks; a
     maintenance op that raises still releases its lease."""
-    import time
 
     import pytest
     from pyspark.sql import functions as F
@@ -2145,7 +2144,6 @@ def test_stale_lease_break_single_winner(spark, tmp_path_factory):
     mistakenly-grabbed fresh lease); repeated rounds keep the
     interleaving pressure on."""
     import threading
-    import time
 
     from twitter_event_stream_spark.fsio import (
         MaintenanceLeaseHeld,
@@ -2963,7 +2961,6 @@ def test_release_owner_checked(spark, tmp_path_factory):
     whose lease was legitimately broken as stale cannot delete the
     successor's lease at its own exit; tokenless release stays the
     unconditional operator override."""
-    import time
 
     import twitter_event_stream_spark.fsio as fsio
 
@@ -3006,7 +3003,6 @@ def test_release_displacement_verified(spark, tmp_path_factory, monkeypatch):
     the on-disk lease already belongs to the successor — the displacement
     rename grabs the successor's lease, the re-verify catches the id
     mismatch, and the no-clobber restore puts it back intact."""
-    import time
 
     import twitter_event_stream_spark.fsio as fsio
 
@@ -4019,8 +4015,18 @@ def test_conditional_create_acquire_race(
     )
     assert json.loads(open(lp).read())["lease_id"] == token_a["lease_id"]
 
-    # stale holder: the conflict path still breaks it and re-acquires
+    # stale holder on a copy-rename store: the rename-based break is
+    # REFUSED (r13 gate — on real S3A it never succeeded anyway: the
+    # copy resets the tomb's mtime so the re-validation always read
+    # 'fresh'; the local-FS-backed stub only made it look workable),
+    # the remediation is named, and the operator-override release
+    # clears the remnant after which acquire succeeds atomically
     os.utime(lp, (0, 0))
+    with pytest.raises(
+        fsio.MaintenanceLeaseHeld, match="copies that reset mtime"
+    ):
+        fsio.acquire_maintenance_lease(spark, idx, owner="c", ttl_sec=60)
+    assert fsio.release_maintenance_lease(spark, idx) is True
     token_c = fsio.acquire_maintenance_lease(spark, idx, owner="c",
                                              ttl_sec=60)
     assert json.loads(open(lp).read())["owner"] == "c"
@@ -4260,3 +4266,43 @@ def test_acquire_rejects_subsecond_ttl(spark, tmp_path_factory):
     idx = f"{tmp_path_factory.mktemp('minttl')}/index"
     with pytest.raises(ValueError, match="ttl_sec must be >= 1"):
         fsio.acquire_maintenance_lease(spark, idx, owner="op", ttl_sec=0)
+
+
+def test_stale_break_refused_on_copy_rename_store(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r13 — the rename-based stale break REFUSES copy-rename object
+    stores (code gate, not just docs): a copy-rename resets the tomb's
+    mtime, so the break's re-validation would restore the remnant
+    re-freshened — each attempt re-blocking ingest for a full TTL. The
+    refusal names the operator-override remediation, and crucially
+    leaves the remnant's mtime UNTOUCHED so ingest keeps seeing it
+    stale."""
+    import json
+    import os
+
+    import pytest
+
+    import twitter_event_stream_spark.fsio as fsio
+
+    idx = f"{tmp_path_factory.mktemp('s3-break')}/index"
+    lp = fsio._lease_path(idx)
+    token = fsio.acquire_maintenance_lease(spark, idx, owner="crashed",
+                                           ttl_sec=1)
+    os.utime(lp, (0, 0))
+    _shim_conditional_put(fsio, monkeypatch)  # getScheme() == "s3a"
+
+    with pytest.raises(
+        fsio.MaintenanceLeaseHeld, match="copies that reset mtime"
+    ):
+        fsio.acquire_maintenance_lease(spark, idx, owner="contender",
+                                       ttl_sec=60)
+    assert os.stat(lp).st_mtime == 0, (
+        "the refused break must leave the remnant's staleness clock "
+        "untouched"
+    )
+    # ingest still proceeds past the stale remnant
+    fsio.assert_no_maintenance(spark, idx)
+    # operator override clears it
+    assert fsio.release_maintenance_lease(spark, idx) is True
+    assert token["lease_id"]  # silence the unused-token lint

@@ -773,6 +773,18 @@ def _remove_if_stale(spark, fs, hpath, path_str: str, ttl_ms: int) -> str:
     return "removed"
 
 
+#: Filesystem schemes whose "rename" is a server-side COPY that resets
+#: mtime (object stores). The rename-based stale break is actively
+#: harmful there: the tomb/restore churn re-freshens the remnant's
+#: mtime, so each break attempt re-blocks ingest for a full TTL and the
+#: lease never decays. The break refuses these schemes with a
+#: remediation message instead (r13).
+_COPY_RENAME_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss",
+     "cos", "swift"}
+)
+
+
 def _break_stale_lease(spark, fs, hpath, index_path: str, ttl_sec: int) -> None:
     """Remove a stale lease via :func:`_remove_if_stale` (r11): the
     staleness re-read, single-winner rename, and restore-on-mistake live
@@ -782,7 +794,31 @@ def _break_stale_lease(spark, fs, hpath, index_path: str, ttl_sec: int) -> None:
     shape the thread test caught), and every loser either retries the
     exclusive create or raises :class:`MaintenanceLeaseHeld`. Returns
     normally when the stale lease is gone — broken by us or by events
-    that make retrying the create the right next step."""
+    that make retrying the create the right next step.
+
+    REFUSES copy-rename object stores (r13, a code gate where the store
+    scoping was previously documentation): the displacement primitive's
+    re-validation reads the tomb's mtime, which a copy-rename resets to
+    NOW — the break would restore the remnant re-freshened, blocking
+    ingest for another full TTL per attempt and never decaying. Left
+    alone, the stale remnant at least stays stale (ingest proceeds past
+    it); removal there is the operator-override release, and
+    conditional-create stores make acquire itself atomic."""
+    try:
+        scheme = fs.getScheme()
+    except Exception:
+        scheme = None
+    if scheme in _COPY_RENAME_SCHEMES:
+        raise MaintenanceLeaseHeld(
+            f"maintenance lease on {index_path} looks stale, but "
+            f"'{scheme}' renames are copies that reset mtime — the "
+            "rename-based break would re-freshen the remnant instead of "
+            "removing it (each attempt re-blocking ingest for a full "
+            "TTL). After confirming the holder is dead, remove it with "
+            "release_maintenance_lease(index_path) (operator override); "
+            "stores advertising conditional creates make the acquire "
+            "itself atomic (README)."
+        )
     ttl_ms = ttl_sec * 1000
     holder = read_maintenance_lease(spark, index_path)
     if holder is not None and "ttl_sec" in holder:
