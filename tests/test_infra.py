@@ -4023,7 +4023,7 @@ def test_conditional_create_acquire_race(
     # clears the remnant after which acquire succeeds atomically
     os.utime(lp, (0, 0))
     with pytest.raises(
-        fsio.MaintenanceLeaseHeld, match="copies that reset mtime"
+        fsio.MaintenanceLeaseHeld, match="does not preserve mtime"
     ):
         fsio.acquire_maintenance_lease(spark, idx, owner="c", ttl_sec=60)
     assert fsio.release_maintenance_lease(spark, idx) is True
@@ -4293,7 +4293,7 @@ def test_stale_break_refused_on_copy_rename_store(
     _shim_conditional_put(fsio, monkeypatch)  # getScheme() == "s3a"
 
     with pytest.raises(
-        fsio.MaintenanceLeaseHeld, match="copies that reset mtime"
+        fsio.MaintenanceLeaseHeld, match="does not preserve mtime"
     ):
         fsio.acquire_maintenance_lease(spark, idx, owner="contender",
                                        ttl_sec=60)

@@ -732,6 +732,19 @@ def _remove_if_stale(spark, fs, hpath, path_str: str, ttl_ms: int) -> str:
     would); it requires THREE contenders interleaving inside a
     microsecond blip that itself only opens on a double race — and the
     loser discovers the loss at its commit-time generation fence."""
+    try:
+        scheme = fs.getScheme()
+    except Exception:
+        scheme = None  # can't tell: treated as non-preserving below
+    if scheme not in _MTIME_PRESERVING_RENAME_SCHEMES:
+        # the invariant lives WITH the primitive that depends on it
+        # (r13): any future caller inherits the refusal instead of
+        # silently reintroducing the re-freshen churn
+        raise IOError(
+            "self-validating displacement needs a rename that preserves "
+            f"mtime; scheme {scheme!r} copies on rename (or could not "
+            "be determined) — refusing the break/restore churn"
+        )
     src = hpath(path_str)
     try:
         st = fs.getFileStatus(src)
@@ -773,15 +786,18 @@ def _remove_if_stale(spark, fs, hpath, path_str: str, ttl_ms: int) -> str:
     return "removed"
 
 
-#: Filesystem schemes whose "rename" is a server-side COPY that resets
-#: mtime (object stores). The rename-based stale break is actively
-#: harmful there: the tomb/restore churn re-freshens the remnant's
-#: mtime, so each break attempt re-blocks ingest for a full TTL and the
-#: lease never decays. The break refuses these schemes with a
-#: remediation message instead (r13).
-_COPY_RENAME_SCHEMES = frozenset(
-    {"s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss",
-     "cos", "swift"}
+#: Filesystem schemes whose rename is a metadata operation that
+#: PRESERVES the file's mtime — the invariant the self-validating
+#: displacement's re-validation depends on. An ALLOWLIST, not a
+#: denylist of known object stores (r13, twelfth pass): on any scheme
+#: where rename is a copy (s3a, gs, abfs, wasb, oss, cosn, obs, ...)
+#: the displacement re-reads its own copy's NOW mtime, restores the
+#: remnant re-freshened, and each break attempt re-blocks ingest for a
+#: full TTL — so an UNKNOWN scheme must fail SAFE (refuse), not
+#: harmful (churn).
+_MTIME_PRESERVING_RENAME_SCHEMES = frozenset(
+    {"file", "hdfs", "viewfs", "webhdfs", "swebhdfs", "o3fs", "ofs",
+     "alluxio"}
 )
 
 
@@ -796,29 +812,15 @@ def _break_stale_lease(spark, fs, hpath, index_path: str, ttl_sec: int) -> None:
     normally when the stale lease is gone — broken by us or by events
     that make retrying the create the right next step.
 
-    REFUSES copy-rename object stores (r13, a code gate where the store
-    scoping was previously documentation): the displacement primitive's
-    re-validation reads the tomb's mtime, which a copy-rename resets to
-    NOW — the break would restore the remnant re-freshened, blocking
-    ingest for another full TTL per attempt and never decaying. Left
-    alone, the stale remnant at least stays stale (ingest proceeds past
-    it); removal there is the operator-override release, and
-    conditional-create stores make acquire itself atomic."""
-    try:
-        scheme = fs.getScheme()
-    except Exception:
-        scheme = None
-    if scheme in _COPY_RENAME_SCHEMES:
-        raise MaintenanceLeaseHeld(
-            f"maintenance lease on {index_path} looks stale, but "
-            f"'{scheme}' renames are copies that reset mtime — the "
-            "rename-based break would re-freshen the remnant instead of "
-            "removing it (each attempt re-blocking ingest for a full "
-            "TTL). After confirming the holder is dead, remove it with "
-            "release_maintenance_lease(index_path) (operator override); "
-            "stores advertising conditional creates make the acquire "
-            "itself atomic (README)."
-        )
+    REFUSED on stores whose rename does not preserve mtime (r13 — the
+    gate lives in :func:`_remove_if_stale`, the primitive whose
+    re-validation depends on the invariant; this wrapper translates the
+    refusal): there the break would restore the remnant re-freshened,
+    blocking ingest for another full TTL per attempt and never
+    decaying. Left alone, the stale remnant at least stays stale
+    (ingest proceeds past it); removal there is the operator-override
+    release. A remnant that vanished meanwhile (concurrent release)
+    still returns normally so the acquire retries."""
     ttl_ms = ttl_sec * 1000
     holder = read_maintenance_lease(spark, index_path)
     if holder is not None and "ttl_sec" in holder:
@@ -829,9 +831,29 @@ def _break_stale_lease(spark, fs, hpath, index_path: str, ttl_sec: int) -> None:
         # freshly installed replacement is protected by the mtime
         # IDENTITY check inside _remove_if_stale, not by this budget
         ttl_ms = holder["ttl_sec"] * 1000
-    verdict = _remove_if_stale(
-        spark, fs, hpath, _lease_path(index_path), ttl_ms
-    )
+    try:
+        verdict = _remove_if_stale(
+            spark, fs, hpath, _lease_path(index_path), ttl_ms
+        )
+    except IOError as e:
+        # the displacement primitive refused this store. The remnant may
+        # have vanished meanwhile (concurrent operator release) — re-check
+        # so the acquire still retries instead of failing spuriously
+        try:
+            if not fs.exists(hpath(_lease_path(index_path))):
+                return  # clear: retry the exclusive create
+        except Exception:
+            pass
+        raise MaintenanceLeaseHeld(
+            f"maintenance lease on {index_path} looks stale, but this "
+            f"store's rename does not preserve mtime ({e}) — a rename-"
+            "based break would re-freshen the remnant instead of "
+            "removing it, re-blocking ingest for a full TTL per attempt. "
+            "After confirming the holder is dead, remove it with "
+            "release_maintenance_lease(index_path) (operator override). "
+            "Conditional-create stores make FUTURE acquires atomic but "
+            "cannot clear an existing remnant."
+        ) from e
     if verdict == "fresh":
         raise MaintenanceLeaseHeld(
             f"maintenance lease on {index_path} was re-taken while "
