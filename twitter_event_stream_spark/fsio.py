@@ -732,18 +732,14 @@ def _remove_if_stale(spark, fs, hpath, path_str: str, ttl_ms: int) -> str:
     would); it requires THREE contenders interleaving inside a
     microsecond blip that itself only opens on a double race — and the
     loser discovers the loss at its commit-time generation fence."""
-    try:
-        scheme = fs.getScheme()
-    except Exception:
-        scheme = None  # can't tell: treated as non-preserving below
-    if scheme not in _MTIME_PRESERVING_RENAME_SCHEMES:
+    if not _displacement_supported(fs):
         # the invariant lives WITH the primitive that depends on it
         # (r13): any future caller inherits the refusal instead of
         # silently reintroducing the re-freshen churn
-        raise IOError(
+        raise _DisplacementUnsupported(
             "self-validating displacement needs a rename that preserves "
-            f"mtime; scheme {scheme!r} copies on rename (or could not "
-            "be determined) — refusing the break/restore churn"
+            "mtime; this scheme copies on rename (or could not be "
+            "determined) — refusing the break/restore churn"
         )
     src = hpath(path_str)
     try:
@@ -801,6 +797,23 @@ _MTIME_PRESERVING_RENAME_SCHEMES = frozenset(
 )
 
 
+class _DisplacementUnsupported(IOError):
+    """The self-validating displacement cannot run on this store (rename
+    does not preserve mtime, or the scheme could not be determined) — a
+    DEDICATED type so callers translating the refusal can never
+    mistake a genuine IO error for it (r13, thirteenth pass)."""
+
+
+def _displacement_supported(fs) -> bool:
+    """Whether the store's rename preserves mtime (fail-closed on a
+    throwing getScheme). Shared by the primitive's gate and by callers
+    that want to refuse cheaply BEFORE any lease I/O."""
+    try:
+        return fs.getScheme() in _MTIME_PRESERVING_RENAME_SCHEMES
+    except Exception:
+        return False
+
+
 def _break_stale_lease(spark, fs, hpath, index_path: str, ttl_sec: int) -> None:
     """Remove a stale lease via :func:`_remove_if_stale` (r11): the
     staleness re-read, single-winner rename, and restore-on-mistake live
@@ -821,6 +834,26 @@ def _break_stale_lease(spark, fs, hpath, index_path: str, ttl_sec: int) -> None:
     (ingest proceeds past it); removal there is the operator-override
     release. A remnant that vanished meanwhile (concurrent release)
     still returns normally so the acquire retries."""
+    if not _displacement_supported(fs):
+        # refuse BEFORE any lease I/O (the scheme alone decides); the
+        # remnant may have vanished meanwhile (concurrent operator
+        # release) — re-check so the acquire still retries instead of
+        # failing spuriously
+        try:
+            if not fs.exists(hpath(_lease_path(index_path))):
+                return  # clear: retry the exclusive create
+        except Exception:
+            pass
+        raise MaintenanceLeaseHeld(
+            f"maintenance lease on {index_path} looks stale, but this "
+            "store's rename does not preserve mtime — a rename-based "
+            "break would re-freshen the remnant instead of removing it, "
+            "re-blocking ingest for a full TTL per attempt. After "
+            "confirming the holder is dead, remove it with "
+            "release_maintenance_lease(index_path) (operator override). "
+            "Conditional-create stores make FUTURE acquires atomic but "
+            "cannot clear an existing remnant."
+        )
     ttl_ms = ttl_sec * 1000
     holder = read_maintenance_lease(spark, index_path)
     if holder is not None and "ttl_sec" in holder:
@@ -831,29 +864,9 @@ def _break_stale_lease(spark, fs, hpath, index_path: str, ttl_sec: int) -> None:
         # freshly installed replacement is protected by the mtime
         # IDENTITY check inside _remove_if_stale, not by this budget
         ttl_ms = holder["ttl_sec"] * 1000
-    try:
-        verdict = _remove_if_stale(
-            spark, fs, hpath, _lease_path(index_path), ttl_ms
-        )
-    except IOError as e:
-        # the displacement primitive refused this store. The remnant may
-        # have vanished meanwhile (concurrent operator release) — re-check
-        # so the acquire still retries instead of failing spuriously
-        try:
-            if not fs.exists(hpath(_lease_path(index_path))):
-                return  # clear: retry the exclusive create
-        except Exception:
-            pass
-        raise MaintenanceLeaseHeld(
-            f"maintenance lease on {index_path} looks stale, but this "
-            f"store's rename does not preserve mtime ({e}) — a rename-"
-            "based break would re-freshen the remnant instead of "
-            "removing it, re-blocking ingest for a full TTL per attempt. "
-            "After confirming the holder is dead, remove it with "
-            "release_maintenance_lease(index_path) (operator override). "
-            "Conditional-create stores make FUTURE acquires atomic but "
-            "cannot clear an existing remnant."
-        ) from e
+    verdict = _remove_if_stale(
+        spark, fs, hpath, _lease_path(index_path), ttl_ms
+    )
     if verdict == "fresh":
         raise MaintenanceLeaseHeld(
             f"maintenance lease on {index_path} was re-taken while "
