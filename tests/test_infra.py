@@ -3125,12 +3125,12 @@ def test_pointer_commit_no_clobber(spark, tmp_path_factory, monkeypatch):
     real = fsio._rename_no_clobber
     fired = {"n": 0}
 
-    def inject(spark_, fs_, src, dst):
+    def inject(spark_, fs_, src, dst, **kw):
         if fired["n"] == 0 and dst.getName().startswith("_current-"):
             fired["n"] = 1
             with open(os.path.join(root, dst.getName()), "w") as f:
                 json.dump({"version": os.path.basename(v_race)}, f)
-        return real(spark_, fs_, src, dst)
+        return real(spark_, fs_, src, dst, **kw)
 
     monkeypatch.setattr(fsio, "_rename_no_clobber", inject)
     fsio.pointer_swap_dir(spark, root, v_ours)
@@ -3620,9 +3620,9 @@ def test_pointer_swap_detects_swept_stage(spark, tmp_path_factory, monkeypatch):
     v2 = _stage_version(spark, root, "v2")
     real_move = fsio._rename_no_clobber
 
-    def sweep_then_move(spark_, fs, src, dst):
+    def sweep_then_move(spark_, fs, src, dst, **kw):
         shutil.rmtree(v2, ignore_errors=True)  # the racer's cleanup lands
-        return real_move(spark_, fs, src, dst)
+        return real_move(spark_, fs, src, dst, **kw)
 
     monkeypatch.setattr(fsio, "_rename_no_clobber", sweep_then_move)
     with pytest.raises(IOError, match="swept"):
@@ -3875,9 +3875,9 @@ def test_pointer_retract_failure_named_in_raise(
 
     real_move = fsio._rename_no_clobber
 
-    def sweep_then_move(spark_, fs, src, dst):
+    def sweep_then_move(spark_, fs, src, dst, **kw):
         shutil.rmtree(v2, ignore_errors=True)  # the racer's cleanup lands
-        return real_move(spark_, fs, src, dst)
+        return real_move(spark_, fs, src, dst, **kw)
 
     monkeypatch.setattr(fsio, "_fs", shim)
     monkeypatch.setattr(fsio, "_rename_no_clobber", sweep_then_move)
@@ -3955,6 +3955,35 @@ def _shim_conditional_put(fsio, monkeypatch):
     monkeypatch.setattr(fsio, "_fs", shim)
 
 
+class _PlainObjectStoreFS:
+    """Copy-rename object store WITHOUT conditional creates — the store
+    shape where NEITHER break primitive exists (r14: the conditional
+    stub now earns the CAS break, so the refusal contract needs its own
+    stub)."""
+
+    def __init__(self, real):
+        self._real = real
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+    def getScheme(self):
+        return "s3a"
+
+    def hasPathCapability(self, p, cap):
+        return False
+
+
+def _shim_plain_object_store(fsio, monkeypatch):
+    real_fs = fsio._fs
+
+    def shim(spark_, path):
+        fs, hpath = real_fs(spark_, path)
+        return _PlainObjectStoreFS(fs), hpath
+
+    monkeypatch.setattr(fsio, "_fs", shim)
+
+
 def test_supports_conditional_create_probe(spark, tmp_path_factory):
     """r13 — the capability probe: False on a real local FS (no
     conditional-create capability), False on a pre-3.3 FS without
@@ -4015,20 +4044,19 @@ def test_conditional_create_acquire_race(
     )
     assert json.loads(open(lp).read())["lease_id"] == token_a["lease_id"]
 
-    # stale holder on a copy-rename store: the rename-based break is
-    # REFUSED (r13 gate — on real S3A it never succeeded anyway: the
-    # copy resets the tomb's mtime so the re-validation always read
-    # 'fresh'; the local-FS-backed stub only made it look workable),
-    # the remediation is named, and the operator-override release
-    # clears the remnant after which acquire succeeds atomically
+    # stale holder on a copy-rename store: the rename-based break stays
+    # structurally impossible (the copy resets the tomb's mtime so the
+    # re-validation always reads 'fresh'), but a conditional-create
+    # store gets the CAS break instead (r14, r13 verdict #3): the
+    # break-intent marker is a store-enforced If-None-Match PUT, the
+    # stale remnant is cleared mechanically, and the acquire succeeds
+    # without operator intervention
     os.utime(lp, (0, 0))
-    with pytest.raises(
-        fsio.MaintenanceLeaseHeld, match="does not preserve mtime"
-    ):
-        fsio.acquire_maintenance_lease(spark, idx, owner="c", ttl_sec=60)
-    assert fsio.release_maintenance_lease(spark, idx) is True
     token_c = fsio.acquire_maintenance_lease(spark, idx, owner="c",
                                              ttl_sec=60)
+    assert not os.path.exists(
+        fsio._break_marker_path(idx)
+    ), "the CAS break must clean up its intent marker"
     assert json.loads(open(lp).read())["owner"] == "c"
     assert (
         fsio.release_maintenance_lease(spark, idx,
@@ -4096,6 +4124,197 @@ def test_conditional_pointer_commit_race(
     ) is False
     assert open(dst).read() == "payload", "occupied dst must be untouched"
     assert os.path.exists(src), "a refused move must leave src intact"
+
+
+def test_store_capabilities_descriptor(spark, tmp_path_factory):
+    """r14 (r13 verdict #4) — ONE resolution point for per-store
+    atomicity: probe-first (hasPathCapability) for conditional creates,
+    scheme-allowlist fallback for rename-mtime preservation, every field
+    failing CLOSED on an undeterminable store. The legacy predicates are
+    thin views over the descriptor, so the existing race tests pin the
+    same answers."""
+    import twitter_event_stream_spark.fsio as fsio
+
+    root = str(tmp_path_factory.mktemp("caps"))
+    fs, hpath = fsio._fs(spark, root)
+
+    local = fsio.store_capabilities(fs, hpath(root))
+    assert local.scheme == "file"
+    assert local.conditional_create is False
+    assert local.mtime_preserving_rename is True
+
+    cond = fsio.store_capabilities(_ConditionalPutFS(fs), hpath(root))
+    assert cond.scheme == "s3a"
+    assert cond.conditional_create is True
+    assert cond.mtime_preserving_rename is False
+
+    class _ThrowingSchemeFS:
+        def getScheme(self):
+            raise IOError("degraded")
+
+    broken = fsio.store_capabilities(_ThrowingSchemeFS(), hpath(root))
+    assert broken.conditional_create is False
+    assert broken.mtime_preserving_rename is False
+
+    # the thin views agree with the descriptor (single source of truth)
+    assert fsio._supports_conditional_create(fs, hpath(root)) is False
+    assert fsio._displacement_supported(fs) is True
+    assert fsio._displacement_supported(_ConditionalPutFS(fs)) is False
+
+
+def test_conditional_cas_break_single_winner(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r14 (r13 verdict #3) — on a copy-rename store WITH conditional
+    creates, N contenders that all observe the same stale lease resolve
+    to exactly ONE acquirer: the break-intent marker is a store-enforced
+    If-None-Match PUT (one elected breaker), the lease delete is
+    identity-guarded by the judged mtime, and the subsequent exclusive
+    create elects one creator. No tombs, no markers, no operator
+    override left behind."""
+    import json
+    import os
+    import threading
+
+    import twitter_event_stream_spark.fsio as fsio
+    from twitter_event_stream_spark.fsio import MaintenanceLeaseHeld
+
+    _shim_conditional_put(fsio, monkeypatch)
+    root = str(tmp_path_factory.mktemp("cas-race"))
+    for rnd in range(3):
+        idx = f"{root}/index-{rnd}"
+        fsio.acquire_maintenance_lease(spark, idx, owner="crashed",
+                                       ttl_sec=1)
+        lp = fsio._lease_path(idx)
+        os.utime(lp, (0, 0))  # everyone sees it stale
+
+        results: list[str] = []
+        lock = threading.Lock()
+        barrier = threading.Barrier(8)
+
+        def contend(i: int) -> None:
+            barrier.wait()
+            try:
+                fsio.acquire_maintenance_lease(
+                    spark, idx, owner=f"t{i}", ttl_sec=60
+                )
+                with lock:
+                    results.append(f"t{i}")
+            except MaintenanceLeaseHeld:
+                pass
+
+        threads = [
+            threading.Thread(target=contend, args=(i,)) for i in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert len(results) == 1, (
+            f"round {rnd}: expected one winner, got {results}"
+        )
+        assert json.loads(open(lp).read())["owner"] == results[0]
+        assert not os.path.exists(fsio._break_marker_path(idx)), (
+            "break-intent marker must not outlive the break"
+        )
+        leftovers = [
+            n for n in os.listdir(root) if ".stale-" in n or ".break" in n
+        ]
+        assert leftovers == [], f"break leftovers: {leftovers}"
+        fsio.release_maintenance_lease(spark, idx)
+
+
+def test_conditional_cas_break_refuses_retaken_lease(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r14 — the CAS break re-validates under its marker: a FRESH lease
+    (a successor re-took the path, or the judged remnant was replaced)
+    is never deleted — the break raises Held and leaves both the lease
+    and no marker behind."""
+    import json
+    import os
+
+    import pytest
+
+    import twitter_event_stream_spark.fsio as fsio
+
+    _shim_conditional_put(fsio, monkeypatch)
+    idx = f"{tmp_path_factory.mktemp('cas-fresh')}/index"
+    token = fsio.acquire_maintenance_lease(spark, idx, owner="live",
+                                           ttl_sec=60)
+    lp = fsio._lease_path(idx)
+    fs, hpath = fsio._fs(spark, idx)
+    with pytest.raises(fsio.MaintenanceLeaseHeld, match="re-taken"):
+        fsio._cas_break_stale_lease(spark, fs, hpath, idx, ttl_sec=60)
+    assert json.loads(open(lp).read())["lease_id"] == token["lease_id"], (
+        "a fresh lease must survive a misdirected break attempt"
+    )
+    assert not os.path.exists(fsio._break_marker_path(idx))
+    fsio.release_maintenance_lease(spark, idx, lease_id=token["lease_id"])
+
+
+def test_conditional_cas_break_decays_crashed_marker(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r14 — a breaker that crashed between winning its marker and
+    finishing leaves a marker remnant; the next breaker decays a marker
+    older than the budget, re-elects itself via the conditional create,
+    and completes the break (self-healing, no operator step)."""
+    import json
+    import os
+
+    import twitter_event_stream_spark.fsio as fsio
+
+    _shim_conditional_put(fsio, monkeypatch)
+    idx = f"{tmp_path_factory.mktemp('cas-marker')}/index"
+    fsio.acquire_maintenance_lease(spark, idx, owner="crashed", ttl_sec=1)
+    lp = fsio._lease_path(idx)
+    os.utime(lp, (0, 0))
+    mp = fsio._break_marker_path(idx)
+    with open(mp, "w") as f:
+        f.write(json.dumps({"breaker": "dead", "judged_mtime_ms": 0}))
+    os.utime(mp, (0, 0))  # the crashed breaker's marker, ancient
+
+    token = fsio.acquire_maintenance_lease(spark, idx, owner="b",
+                                           ttl_sec=60)
+    assert json.loads(open(lp).read())["owner"] == "b"
+    assert not os.path.exists(mp), "decayed marker must be cleaned up"
+    fsio.release_maintenance_lease(spark, idx, lease_id=token["lease_id"])
+
+
+def test_conditional_cas_break_fresh_marker_blocks(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r14 — a FRESH marker is a live breaker mid-clear: a second
+    contender must not delete it (its recreate would race the first
+    breaker's critical section) — it raises Held and leaves the marker
+    and the stale lease for the elected breaker."""
+    import json
+    import os
+
+    import pytest
+
+    import twitter_event_stream_spark.fsio as fsio
+
+    _shim_conditional_put(fsio, monkeypatch)
+    idx = f"{tmp_path_factory.mktemp('cas-block')}/index"
+    fsio.acquire_maintenance_lease(spark, idx, owner="crashed", ttl_sec=1)
+    lp = fsio._lease_path(idx)
+    os.utime(lp, (0, 0))
+    mp = fsio._break_marker_path(idx)
+    with open(mp, "w") as f:
+        f.write(json.dumps({"breaker": "live-rival", "judged_mtime_ms": 0}))
+
+    with pytest.raises(
+        fsio.MaintenanceLeaseHeld, match="actively clearing"
+    ):
+        fsio.acquire_maintenance_lease(spark, idx, owner="b", ttl_sec=60)
+    assert os.path.exists(lp), "stale lease left for the elected breaker"
+    assert json.loads(open(mp).read())["breaker"] == "live-rival", (
+        "a fresh rival marker must survive intact"
+    )
+
+
 
 
 def test_overwrite_publish_legacy_vs_pointer_thread_race(
@@ -4271,13 +4490,16 @@ def test_acquire_rejects_subsecond_ttl(spark, tmp_path_factory):
 def test_stale_break_refused_on_copy_rename_store(
     spark, tmp_path_factory, monkeypatch
 ):
-    """r13 — the rename-based stale break REFUSES copy-rename object
-    stores (code gate, not just docs): a copy-rename resets the tomb's
-    mtime, so the break's re-validation would restore the remnant
-    re-freshened — each attempt re-blocking ingest for a full TTL. The
-    refusal names the operator-override remediation, and crucially
-    leaves the remnant's mtime UNTOUCHED so ingest keeps seeing it
-    stale."""
+    """r13 (store shape updated r14) — the rename-based stale break
+    REFUSES copy-rename object stores where NEITHER primitive exists
+    (no mtime-preserving rename, no conditional create — a
+    conditional-create store now earns the CAS break instead): a
+    copy-rename resets the tomb's mtime, so the break's re-validation
+    would restore the remnant re-freshened — each attempt re-blocking
+    ingest for a full TTL. The refusal names the operator-override
+    remediation AND the conditional-create path (the remediation may be
+    store configuration, not engine limitation), and crucially leaves
+    the remnant's mtime UNTOUCHED so ingest keeps seeing it stale."""
     import json
     import os
 
@@ -4290,10 +4512,10 @@ def test_stale_break_refused_on_copy_rename_store(
     token = fsio.acquire_maintenance_lease(spark, idx, owner="crashed",
                                            ttl_sec=1)
     os.utime(lp, (0, 0))
-    _shim_conditional_put(fsio, monkeypatch)  # getScheme() == "s3a"
+    _shim_plain_object_store(fsio, monkeypatch)  # s3a, no capabilities
 
     with pytest.raises(
-        fsio.MaintenanceLeaseHeld, match="does not preserve mtime"
+        fsio.MaintenanceLeaseHeld, match="mechanical single-winner break"
     ):
         fsio.acquire_maintenance_lease(spark, idx, owner="contender",
                                        ttl_sec=60)

@@ -25,6 +25,9 @@ Heartbeat silently inert on object     VERIFIED beat + payload-rewrite     test_
   stores (setTimes is a no-op there)   fallback; failures surfaced
 Two breakers both "remove" one stale   single-winner rename-to-unique      test_stale_lease_break_single_winner
   lease                                (_remove_if_stale)
+Stale break impossible on copy-rename  store-enforced break-intent marker  test_conditional_cas_break_*
+  stores (rename resets the mtime the  (If-None-Match PUT) + lease-mtime
+  displacement re-validates by)        identity (_cas_break_stale_lease)
 Breaker's rename grabs a FRESH         mtime re-validation + no-clobber    test_remove_if_stale_semantics
   replacement lease                    restore (_rename_no_clobber)
 Broken holder's exit deletes the       owner-checked release (lease_id     test_release_owner_checked
@@ -76,20 +79,24 @@ Consolidation crash loses folded       write-new-first, keep identical     test_
   manifests                            existing file, delete-after         test_retention_consolidation_*
 =====================================  ==================================  =================================
 
-Residual (documented; closable only by a true CAS below the portable
-FileSystem API): on stores that ADVERTISE conditional creates
-(``hasPathCapability`` probe, r13 — Hadoop >= 3.4.1 S3A with
-``fs.s3a.create.conditional.enabled``) the lease acquire and the
-pointer/no-clobber commits ARE mechanically atomic: the exclusive
-create and the no-clobber move route through an ``If-None-Match: *``
-PUT the store enforces (auto-detected, no deployer action — README).
-On stores WITHOUT the capability the acquire stays best-effort; the
+Store capabilities (r14 — ONE resolution point, :func:`store_capabilities`,
+probe-first via ``hasPathCapability`` with the scheme allowlist as the
+fallback for semantics the capability API cannot express): on stores
+that ADVERTISE conditional creates (r13 — Hadoop >= 3.4.1 S3A with
+``fs.s3a.create.conditional.enabled``) the lease acquire, the
+pointer/no-clobber commits, AND (r14) the stale-lease break ARE
+mechanically atomic: the exclusive create, the no-clobber move, and
+the break-intent marker route through an ``If-None-Match: *`` PUT the
+store enforces (auto-detected, no deployer action — README). On
+stores WITHOUT the capability the acquire stays best-effort; the
 stale-break restore and the owner-checked release close their
 TWO-party races via the displacement primitive, but a THREE-way
 interleaving inside a microsecond displacement blip can still displace
-a fresh lease; the heartbeat's payload-rewrite fallback is
-read-then-PUT within one beat — callers survive all of these because
-every ingest commit re-checks the generation fence.
+a fresh lease (the CAS break carries the matching residual: a breaker
+stalled past the marker TTL inside a one-read window); the heartbeat's
+payload-rewrite fallback is read-then-PUT within one beat — callers
+survive all of these because every ingest commit re-checks the
+generation fence.
 """
 
 from __future__ import annotations
@@ -100,6 +107,7 @@ import threading
 import time
 import uuid
 from contextlib import contextmanager
+from typing import NamedTuple
 
 _LOG = logging.getLogger(__name__)
 
@@ -295,6 +303,7 @@ def pointer_swap_dir(spark, root: str, staged: str, keep: tuple = ()) -> None:
     mechanical backstops that turn an unsupported lease-free race into a
     loud failure instead of a silently-dangling pointer."""
     fs, hpath = _fs(spark, root)
+    caps = store_capabilities(fs, hpath(root))  # once per swap (r14)
     staged = staged.rstrip("/")
     parent, vname = staged.rsplit("/", 1)
     if parent != root.rstrip("/") or not vname.startswith("_v-"):
@@ -328,7 +337,7 @@ def pointer_swap_dir(spark, root: str, staged: str, keep: tuple = ()) -> None:
             json.dumps({"version": vname}, sort_keys=True).encode("utf-8")
         )
         out.close()
-        if _rename_no_clobber(spark, fs, tmp, final):
+        if _rename_no_clobber(spark, fs, tmp, final, caps=caps):
             break
         fs.delete(tmp, False)  # lost the seq to a racing commit: renumber
     else:
@@ -505,22 +514,95 @@ _CONDITIONAL_CREATE_CAPABILITIES = (
 )
 
 
-def _supports_conditional_create(fs, path) -> bool:
-    """Whether ``fs`` advertises store-enforced create-if-absent for
-    ``path`` (see :data:`_CONDITIONAL_CREATE_CAPABILITIES`). False on any
-    probe failure — the best-effort paths remain the default; the
-    mechanized paths only activate on an explicit capability."""
+#: Filesystem schemes whose rename is a metadata operation that
+#: PRESERVES the file's mtime — the invariant the self-validating
+#: displacement's re-validation depends on. An ALLOWLIST, not a
+#: denylist of known object stores (r13, twelfth pass): on any scheme
+#: where rename is a copy (s3a, gs, abfs, wasb, oss, cosn, obs, ...)
+#: the displacement re-reads its own copy's NOW mtime, restores the
+#: remnant re-freshened, and each break attempt re-blocks ingest for a
+#: full TTL — so an UNKNOWN scheme must fail SAFE (refuse), not
+#: harmful (churn).
+_MTIME_PRESERVING_RENAME_SCHEMES = frozenset(
+    {"file", "hdfs", "viewfs", "webhdfs", "swebhdfs", "o3fs", "ofs",
+     "alluxio"}
+)
+
+
+class StoreCapabilities(NamedTuple):
+    """What THIS store can do atomically — the single per-FileSystem
+    answer both the lease protocol and the pointer commit consult (r14,
+    converging the two r13-parallel mechanisms: the conditional-create
+    ``hasPathCapability`` probe and the rename-mtime scheme allowlist
+    were separate answers to the same question, so a new connector
+    needed two entries; now it needs one — either it advertises the
+    capability, or its scheme joins the allowlist, both resolved in
+    :func:`store_capabilities`)."""
+
+    scheme: str
+    #: store-enforced create-if-absent (S3A conditional writes: the PUT
+    #: carries ``If-None-Match: *`` and commits atomically at close) —
+    #: the CAS primitive behind the mechanical lease acquire, the
+    #: no-clobber pointer commit, and (r14) the stale-lease break on
+    #: copy-rename stores
+    conditional_create: bool
+    #: rename is a metadata move that preserves the file's mtime — the
+    #: invariant the self-validating displacement (rename-based
+    #: stale-break / release) re-validation depends on
+    mtime_preserving_rename: bool
+
+
+def store_capabilities(fs, path) -> StoreCapabilities:
+    """Resolve ``fs``'s :class:`StoreCapabilities` for ``path`` —
+    PROBE-FIRST (``hasPathCapability``: the deployed connector itself
+    answers, per-bucket config included), ALLOWLIST-FALLBACK for
+    semantics the capability API cannot express (rename-mtime
+    preservation has no standard capability string). Every capability
+    fails CLOSED on probe failure or an unknown scheme: the best-effort
+    paths remain the default and the mechanized paths only activate on
+    explicit evidence. Callers resolve once per protocol operation and
+    thread the descriptor through — a cross-operation cache is
+    deliberately absent (capability answers are config-backed and
+    cheap, and a cache keyed on any observable identity could serve a
+    wrapped/stubbed FileSystem another store's answer)."""
+    try:
+        scheme = fs.getScheme()
+    except Exception:
+        scheme = ""  # undeterminable: every allowlist check fails closed
+    return StoreCapabilities(
+        scheme=scheme,
+        conditional_create=_probe_path_capability(
+            fs, path, _CONDITIONAL_CREATE_CAPABILITIES
+        ),
+        mtime_preserving_rename=scheme in _MTIME_PRESERVING_RENAME_SCHEMES,
+    )
+
+
+def _probe_path_capability(fs, path, capabilities) -> bool:
+    """True iff ``fs`` advertises ANY of ``capabilities`` for ``path``
+    via ``hasPathCapability``. False on any probe failure, and on a
+    ``None`` path (a caller that only needs the allowlist-backed
+    fields may have no Hadoop Path at hand)."""
+    if path is None:
+        return False
     try:
         probe = fs.hasPathCapability
     except AttributeError:
         return False  # pre-3.3 FileSystem: no capability API
-    for cap in _CONDITIONAL_CREATE_CAPABILITIES:
+    for cap in capabilities:
         try:
             if probe(path, cap):
                 return True
         except Exception:
             continue  # unknown capability may throw per contract: not fatal
     return False
+
+
+def _supports_conditional_create(fs, path) -> bool:
+    """Whether ``fs`` advertises store-enforced create-if-absent for
+    ``path`` — thin view over :func:`store_capabilities` (the single
+    resolution point, r14)."""
+    return store_capabilities(fs, path).conditional_create
 
 
 def _is_conditional_conflict(e) -> bool:
@@ -553,7 +635,7 @@ def _is_conditional_conflict(e) -> bool:
     )
 
 
-def _rename_no_clobber(spark, fs, src, dst) -> bool:
+def _rename_no_clobber(spark, fs, src, dst, caps=None) -> bool:
     """Move the file ``src`` to ``dst`` REFUSING an occupied target, and
     return whether we won. The Hadoop rename contract alone is not
     enough: HDFS's rename genuinely refuses an occupied destination, but
@@ -576,8 +658,14 @@ def _rename_no_clobber(spark, fs, src, dst) -> bool:
     leases — are small JSON, so the read-and-rewrite is metadata-scale.)
     Object stores WITHOUT the capability keep the best-effort
     exists-check + rename — callers there serialize via the maintenance
-    lease, same caveat as :func:`acquire_maintenance_lease`."""
-    if fs.getScheme() == "file":
+    lease, same caveat as :func:`acquire_maintenance_lease`.
+
+    ``caps`` accepts a pre-resolved :class:`StoreCapabilities` so a
+    protocol operation that already resolved the descriptor doesn't
+    re-probe per move (r14)."""
+    if caps is None:
+        caps = store_capabilities(fs, dst)
+    if caps.scheme == "file":
         jvm = spark._jvm
         s = jvm.java.io.File(src.toUri().getPath()).toPath()
         d = jvm.java.io.File(dst.toUri().getPath()).toPath()
@@ -594,7 +682,7 @@ def _rename_no_clobber(spark, fs, src, dst) -> bool:
             raise
         fs.delete(src, False)
         return True
-    if _supports_conditional_create(fs, dst):
+    if caps.conditional_create:
         stream = fs.open(src)
         try:
             data = bytes(stream.readAllBytes())
@@ -712,10 +800,11 @@ def _remove_if_stale(spark, fs, hpath, path_str: str, ttl_ms: int) -> str:
     PRESERVES mtime — true on POSIX and HDFS, FALSE on copy-rename
     object stores (S3A: the tomb's LastModified is the copy's PUT
     time), where a break would keep reading its own grab as
-    "fresh/replaced" and restoring the remnant. The break path is
+    "fresh/replaced" and restoring the remnant. This primitive is
     therefore a rename-preserving-FS mechanism by design; on object
-    stores mutual exclusion rests on the conditional-create acquire
-    where advertised (r13) plus the operator-override release
+    stores the break routes through the conditional-create marker
+    protocol (:func:`_cas_break_stale_lease`, r14) where the store
+    advertises it, else the operator-override release
     (``release_maintenance_lease`` without a token), per the module
     docstring's residual note.
 
@@ -782,21 +871,6 @@ def _remove_if_stale(spark, fs, hpath, path_str: str, ttl_ms: int) -> str:
     return "removed"
 
 
-#: Filesystem schemes whose rename is a metadata operation that
-#: PRESERVES the file's mtime — the invariant the self-validating
-#: displacement's re-validation depends on. An ALLOWLIST, not a
-#: denylist of known object stores (r13, twelfth pass): on any scheme
-#: where rename is a copy (s3a, gs, abfs, wasb, oss, cosn, obs, ...)
-#: the displacement re-reads its own copy's NOW mtime, restores the
-#: remnant re-freshened, and each break attempt re-blocks ingest for a
-#: full TTL — so an UNKNOWN scheme must fail SAFE (refuse), not
-#: harmful (churn).
-_MTIME_PRESERVING_RENAME_SCHEMES = frozenset(
-    {"file", "hdfs", "viewfs", "webhdfs", "swebhdfs", "o3fs", "ofs",
-     "alluxio"}
-)
-
-
 class _DisplacementUnsupported(IOError):
     """The self-validating displacement cannot run on this store (rename
     does not preserve mtime, or the scheme could not be determined) — a
@@ -805,16 +879,16 @@ class _DisplacementUnsupported(IOError):
 
 
 def _displacement_supported(fs) -> bool:
-    """Whether the store's rename preserves mtime (fail-closed on a
-    throwing getScheme). Shared by the primitive's gate and by callers
-    that want to refuse cheaply BEFORE any lease I/O."""
-    try:
-        return fs.getScheme() in _MTIME_PRESERVING_RENAME_SCHEMES
-    except Exception:
-        return False
+    """Whether the store's rename preserves mtime — thin view over
+    :func:`store_capabilities` (the single resolution point, r14).
+    Shared by the primitive's gate and by callers that want to refuse
+    cheaply BEFORE any lease I/O."""
+    return store_capabilities(fs, None).mtime_preserving_rename
 
 
-def _break_stale_lease(spark, fs, hpath, index_path: str, ttl_sec: int) -> None:
+def _break_stale_lease(
+    spark, fs, hpath, index_path: str, ttl_sec: int, caps=None
+) -> None:
     """Remove a stale lease via :func:`_remove_if_stale` (r11): the
     staleness re-read, single-winner rename, and restore-on-mistake live
     in that primitive, so of N contenders that all observed the same
@@ -825,17 +899,30 @@ def _break_stale_lease(spark, fs, hpath, index_path: str, ttl_sec: int) -> None:
     normally when the stale lease is gone — broken by us or by events
     that make retrying the create the right next step.
 
-    REFUSED on stores whose rename does not preserve mtime (r13 — the
-    gate lives in :func:`_remove_if_stale`, the primitive whose
-    re-validation depends on the invariant; this wrapper translates the
-    refusal): there the break would restore the remnant re-freshened,
-    blocking ingest for another full TTL per attempt and never
-    decaying. Left alone, the stale remnant at least stays stale
-    (ingest proceeds past it); removal there is the operator-override
-    release. A remnant that vanished meanwhile (concurrent release)
-    still returns normally so the acquire retries."""
-    if not _displacement_supported(fs):
-        # refuse BEFORE any lease I/O (the scheme alone decides); the
+    Store routing (r14, consulting one :class:`StoreCapabilities`):
+
+    - rename preserves mtime (POSIX, HDFS, ...) → the self-validating
+      displacement above;
+    - copy-rename store WITH conditional creates (S3A with conditional
+      writes) → :func:`_cas_break_stale_lease`: the break-intent marker
+      is a store-enforced ``If-None-Match`` PUT, single-winner without
+      rename semantics (r13 verdict #3 — previously these stores could
+      only be cleared by operator override);
+    - NEITHER capability → refused (r13): a rename-based break would
+      restore the remnant re-freshened, blocking ingest for another
+      full TTL per attempt and never decaying. Left alone, the stale
+      remnant at least stays stale (ingest proceeds past it); removal
+      there is the operator-override release. A remnant that vanished
+      meanwhile (concurrent release) still returns normally so the
+      acquire retries."""
+    if caps is None:
+        caps = store_capabilities(fs, hpath(_lease_path(index_path)))
+    if not caps.mtime_preserving_rename:
+        if caps.conditional_create:
+            return _cas_break_stale_lease(
+                spark, fs, hpath, index_path, ttl_sec
+            )
+        # refuse BEFORE any lease I/O (the descriptor alone decides); the
         # remnant may have vanished meanwhile (concurrent operator
         # release) — re-check so the acquire still retries instead of
         # failing spuriously
@@ -851,8 +938,10 @@ def _break_stale_lease(spark, fs, hpath, index_path: str, ttl_sec: int) -> None:
             "re-blocking ingest for a full TTL per attempt. After "
             "confirming the holder is dead, remove it with "
             "release_maintenance_lease(index_path) (operator override). "
-            "Conditional-create stores make FUTURE acquires atomic but "
-            "cannot clear an existing remnant."
+            "Stores that ADVERTISE conditional creates (e.g. Hadoop >= "
+            "3.4.1 S3A with fs.s3a.create.conditional.enabled) get a "
+            "mechanical single-winner break instead of this refusal — "
+            "this store advertises neither capability."
         )
     ttl_ms = ttl_sec * 1000
     holder = read_maintenance_lease(spark, index_path)
@@ -872,6 +961,177 @@ def _break_stale_lease(spark, fs, hpath, index_path: str, ttl_sec: int) -> None:
             f"maintenance lease on {index_path} was re-taken while "
             "breaking the stale one"
         )
+
+
+def _break_marker_path(index_path: str) -> str:
+    """The CAS break-intent marker — a SIBLING of the lease file (same
+    reasoning as :func:`_lease_path`: never inside the swappable tree)."""
+    return _lease_path(index_path) + ".break"
+
+
+def _read_small_json_status(fs, hp) -> tuple[dict | None, bool, int | None]:
+    """``(payload, absent, mtime_ms)`` for a small JSON file at ``hp`` —
+    the :func:`_read_lease_status` discipline for an arbitrary path
+    (explicit ``exists`` probe for absence, mtime surfaced even when the
+    payload is unreadable)."""
+    try:
+        st = fs.getFileStatus(hp)
+    except Exception:
+        try:
+            return None, not fs.exists(hp), None
+        except Exception:
+            return None, False, None  # can't tell: not demonstrably absent
+    mtime = st.getModificationTime()
+    try:
+        stream = fs.open(hp)
+        try:
+            raw = bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+        return (json.loads(raw.decode("utf-8")) if raw else {}), False, mtime
+    except Exception:
+        return None, False, mtime
+
+
+def _cas_break_stale_lease(
+    spark, fs, hpath, index_path: str, ttl_sec: int
+) -> None:
+    """Single-winner stale-lease break on copy-rename object stores that
+    ADVERTISE conditional creates (r14, closing the r13 verdict's #3: on
+    exactly the stores where the rename-based displacement is refused —
+    rename there copies, resetting the mtime the re-validation depends
+    on — the store's own ``If-None-Match: *`` PUT is the serialization
+    primitive the displacement otherwise provides). Protocol:
+
+    1. Spaced re-read of the lease: record the judged mtime. Absent →
+       return (the acquire retries its exclusive create). Younger than
+       its TTL → :class:`MaintenanceLeaseHeld` (re-taken).
+    2. Conditionally CREATE the break-intent marker (``.break`` sibling):
+       the store elects exactly ONE breaker among concurrent contenders.
+       A lost race → if the occupant marker is itself older than
+       ``ttl_sec`` (a crashed breaker — its critical section is
+       milliseconds), delete it and retry the conditional create once;
+       else raise Held (a live breaker is mid-clear).
+    3. Under the marker, re-read the lease and require MTIME IDENTITY
+       with the judged read (the same identity discipline as
+       :func:`_remove_if_stale`, transplanted from rename-preserved
+       mtime to read-twice-same-file: the lease path cannot be
+       RE-created while the remnant occupies it — creates are exclusive
+       — so an unchanged mtime proves the file under the marker is the
+       very remnant judged stale, and a successor's fresh lease, which
+       can only exist after some breaker removed the remnant, reads a
+       NOW-ish mtime and is refused). Then re-verify the marker is
+       still OURS (a stall past the marker TTL decays our claim) and
+       delete the LEASE.
+    4. Delete the marker (ours — crash between 3 and 4 leaves a marker
+       the next breaker decays at step 2; acquires never consult it).
+
+    Residual (documented, same class as the displacement's three-way
+    blip): a breaker stalled BETWEEN its final marker ownership check
+    and its lease delete, for longer than the marker TTL, can delete a
+    successor's fresh lease after a second breaker decayed its marker
+    and cleared the remnant — it requires a stall measured in the lease
+    TTL landing inside a microsecond window, and the displaced
+    successor discovers the loss at its heartbeat's ownership probe /
+    commit-time generation fence, exactly like the rename-path
+    residual. A true conditional DELETE (If-Match) would close it; the
+    portable FileSystem API has no such call."""
+    lease = hpath(_lease_path(index_path))
+    marker = hpath(_break_marker_path(index_path))
+    judged, absent, judged_mtime = _read_lease_spaced_status(
+        spark, index_path
+    )
+    if absent:
+        return  # clear meanwhile: retry the exclusive create
+    if judged_mtime is None:
+        # present but unstat-able through the blip budget: decide nothing
+        raise MaintenanceLeaseHeld(
+            f"maintenance lease on {index_path} looks stale but could not "
+            "be re-read to validate the break — refusing to act on a "
+            "degraded read"
+        )
+    ttl_ms = (
+        judged["ttl_sec"] if judged and "ttl_sec" in judged else ttl_sec
+    ) * 1000
+    if int(time.time() * 1000) - judged_mtime <= ttl_ms:
+        raise MaintenanceLeaseHeld(
+            f"maintenance lease on {index_path} was re-taken while "
+            "breaking the stale one"
+        )
+    breaker_id = uuid.uuid4().hex
+    payload = json.dumps(
+        {
+            "breaker": breaker_id,
+            "judged_mtime_ms": judged_mtime,
+            "index": index_path,
+        },
+        sort_keys=True,
+    ).encode("utf-8")
+    for attempt in (0, 1):
+        try:
+            out = fs.create(marker, False)  # If-None-Match PUT at close
+            out.write(payload)
+            out.close()
+            break
+        except Exception as e:
+            # the PUT may also have committed with only the response lost
+            # — read back before deciding (the acquire's discipline)
+            info, m_absent, m_mtime = _read_small_json_status(fs, marker)
+            if info is not None and info.get("breaker") == breaker_id:
+                break  # landed: we are the elected breaker
+            if m_absent and not _is_conditional_conflict(e):
+                raise  # transient create failure with a clear path
+            marker_age = (
+                None
+                if m_mtime is None
+                else int(time.time() * 1000) - m_mtime
+            )
+            if attempt == 0 and marker_age is not None and (
+                marker_age > ttl_sec * 1000
+            ):
+                # crashed breaker's remnant marker: decay it and retry
+                # the conditional create (the recreate elects one winner;
+                # a rival's delete racing ours is the documented residual)
+                try:
+                    fs.delete(marker, False)
+                except Exception:
+                    pass
+                continue
+            raise MaintenanceLeaseHeld(
+                f"maintenance lease on {index_path} is stale and another "
+                "breaker is actively clearing it — retry shortly"
+            ) from e
+    try:
+        # under the marker: identity re-read, then ownership re-check
+        # immediately before the destructive delete (narrowing the
+        # stalled-breaker window to one read's width)
+        cur, cur_absent, cur_mtime = _read_lease_spaced_status(
+            spark, index_path
+        )
+        if cur_absent:
+            return  # another actor cleared it: retry the create
+        if cur_mtime != judged_mtime:
+            raise MaintenanceLeaseHeld(
+                f"maintenance lease on {index_path} was re-taken while "
+                "breaking the stale one"
+            )
+        own, _own_absent, _own_mtime = _read_small_json_status(fs, marker)
+        if own is None or own.get("breaker") != breaker_id:
+            raise MaintenanceLeaseHeld(
+                f"break of stale maintenance lease on {index_path} lost "
+                "its intent marker (stalled past the marker TTL) — "
+                "yielding to the newer breaker"
+            )
+        fs.delete(lease, False)
+    finally:
+        # best-effort: a crashed/raced cleanup leaves a marker the next
+        # breaker decays; never block the outcome on it
+        try:
+            own, _a, _m = _read_small_json_status(fs, marker)
+            if own is not None and own.get("breaker") == breaker_id:
+                fs.delete(marker, False)
+        except Exception:
+            pass
 
 
 def acquire_maintenance_lease(
@@ -929,7 +1189,8 @@ def acquire_maintenance_lease(
         )
     fs, hpath = _fs(spark, index_path)
     lease = hpath(_lease_path(index_path))
-    conditional = _supports_conditional_create(fs, lease)
+    caps = store_capabilities(fs, lease)  # once per acquire (r14)
+    conditional = caps.conditional_create
     last_err: Exception | None = None
     #: the decay budget for leases whose declared ttl is unavailable
     #: (unreadable payload, zero-byte crash remnant) — ONE copy, shared
@@ -965,7 +1226,9 @@ def acquire_maintenance_lease(
                 and mtime is not None
                 and int(time.time() * 1000) - mtime > widened_ttl * 1000
             ):
-                _break_stale_lease(spark, fs, hpath, index_path, widened_ttl)
+                _break_stale_lease(
+                    spark, fs, hpath, index_path, widened_ttl, caps=caps
+                )
             return True
         age_ms = int(time.time() * 1000) - holder["mtime_ms"]
         # a payload WITHOUT a declared ttl (zero-byte file from a crash
@@ -979,7 +1242,9 @@ def acquire_maintenance_lease(
             # used (one copy, hoisted — r13 ninth pass); a grabbed
             # replacement is protected inside _remove_if_stale by the
             # mtime IDENTITY check, not by this number
-            _break_stale_lease(spark, fs, hpath, index_path, widened_ttl)
+            _break_stale_lease(
+                spark, fs, hpath, index_path, widened_ttl, caps=caps
+            )
             return True  # stale gone: retry the exclusive create
         raise MaintenanceLeaseHeld(
             f"maintenance lease on {index_path} held by "
