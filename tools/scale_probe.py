@@ -517,6 +517,11 @@ def _heartbeat_under_inert_settimes(spark, idx: str) -> dict:
         fsio._fs = real_fs
 
 
+class _SoakCrash(RuntimeError):
+    """An INJECTED maintenance death (r14) — a dedicated type so the soak
+    can count it as the simulated failure it is, never as a lane error."""
+
+
 def soak_probe(
     spark,
     sf_dir: str,
@@ -524,6 +529,8 @@ def soak_probe(
     batch_docs: int = 350,
     batch_vecs: int = 200,
     hard_cap_sec: float = 300.0,
+    crash_rate: float = 0.0,
+    crash_seed: int = 1914,
 ) -> tuple[float, dict]:
     """r13 (r12 verdict task #4) — CONCURRENT soak: every prior lane runs
     its phases sequentially, but the lease/fence protocol's whole point is
@@ -561,7 +568,32 @@ def soak_probe(
 
     Batch sizes are constant across scales (like ingest_gate /
     vector_ingest): the lane's wall grows only with the index-sized
-    maintenance terms. Returns (wall_sec, report)."""
+    maintenance terms. Returns (wall_sec, report).
+
+    Crash injection (r14, r13 verdict #5 — the hypothesis suites inject
+    crashes deterministically but single-threaded; this composes them
+    with the concurrent soak): with ``crash_rate > 0`` the maintenance
+    thread's passes die inside the documented crash windows, WHILE the
+    ingesters and probes keep racing —
+
+    - ``_retire_ingest_batches`` raises BEFORE running: the pass
+      published/absorbed but never retired (the X134 window — committed
+      batches left transiently double-visible);
+    - ``pointer_swap_dir`` raises AFTER the real swap commits: the new
+      version is live but the pass's post-publish steps never ran (the
+      X127-shaped window).
+
+    The first eligible call always crashes (so a short window still
+    exercises the injection); later calls crash with probability
+    ``crash_rate`` from a seeded RNG. The injected death RAISES through
+    the maintenance scope, so the lease releases — a killed process's
+    lease REMNANT decays via the stale-break protocol, which has its own
+    dedicated tests; what this lane adds is the half-done WORK state
+    racing live ingest and probes. Before the converged invariants are
+    checked, one clean ``absorb_ingested`` recovery pass runs (the
+    protocol's documented convergence step after any crash), and the
+    SAME invariants as the healthy lane must then hold, plus
+    ``maint_crashes >= 1``."""
     import tempfile
     import threading
 
@@ -589,6 +621,7 @@ def soak_probe(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     report: dict = {}  # bound before the try: the finally reads it
+    undo_gates: list = []  # crash-injection seams; healed in the finally
     try:
         d = table(spark, sf_dir, "documents")
         e = table(spark, sf_dir, "embeddings").filter(
@@ -642,12 +675,61 @@ def soak_probe(
             "probe_errors": [],
             "maint_passes": 0,
             "maint_refused": 0,
+            "maint_crashes": 0,
             "maint_errors": [],
             "ingest_retries": 0,
             "doc_committed": [],
             "vec_committed": [],
             "ingest_errors": [],
         })
+
+        # ---- crash injection gates (r14): thread-scoped to the
+        # maintenance thread, so the racing ingesters/probes only ever
+        # see the injected fault's AFTERMATH, never the fault itself
+        if crash_rate > 0:
+            import random as _random
+
+            import twitter_event_stream_spark.operators.vector_search as VS
+
+            rng = _random.Random(crash_seed)
+            first = {"pending": True}
+
+            def _should_crash() -> bool:
+                if threading.current_thread().name != "soak-maint":
+                    return False
+                if first["pending"]:
+                    first["pending"] = False  # guarantee >= 1 injection
+                    return True
+                return rng.random() < crash_rate
+
+            real_retire = VS._retire_ingest_batches
+            real_swap = fsio.pointer_swap_dir
+
+            def gated_retire(*a, **k):
+                if _should_crash():
+                    raise _SoakCrash(
+                        "injected: died between publish/absorb and "
+                        "retirement (the X134 window)"
+                    )
+                return real_retire(*a, **k)
+
+            def gated_swap(*a, **k):
+                res = real_swap(*a, **k)  # the real swap COMMITS first
+                if _should_crash():
+                    raise _SoakCrash(
+                        "injected: died after the pointer publish, "
+                        "before the pass's post-swap steps"
+                    )
+                return res
+
+            VS._retire_ingest_batches = gated_retire
+            fsio.pointer_swap_dir = gated_swap
+            undo_gates.append(
+                lambda: setattr(VS, "_retire_ingest_batches", real_retire)
+            )
+            undo_gates.append(
+                lambda: setattr(fsio, "pointer_swap_dir", real_swap)
+            )
 
         def ingester(tag, handler, batches, committed_key):
             # lease refusals are the protocol working, so the retry
@@ -696,6 +778,12 @@ def soak_probe(
                     op()
                     with lock:
                         report["maint_passes"] += 1
+                except _SoakCrash:
+                    # a simulated process death mid-pass: the protocol's
+                    # at-least-once contract owes convergence, not this
+                    # pass's completion — counted, never an error
+                    with lock:
+                        report["maint_crashes"] += 1
                 except fsio.MaintenanceLeaseHeld:
                     with lock:
                         report["maint_refused"] += 1
@@ -747,6 +835,9 @@ def soak_probe(
         # failures out of the race this lane sanctions (r13 review)
         for t in threads:
             t.join(timeout=max(30.0, deadline - time.perf_counter()))
+        for undo in undo_gates:  # injection over: heal the seams first
+            undo()
+        undo_gates.clear()
         wall = time.perf_counter() - t0
         if timed_out or any(t.is_alive() for t in threads):
             report["invariant_problems"] = [
@@ -759,9 +850,20 @@ def soak_probe(
                 report["leaked_tmp"] = base
             return wall, report
 
+        if crash_rate > 0:
+            # the protocol's documented convergence step after any crash:
+            # one clean absorb folds/retires whatever a killed pass left
+            # half-done, and the invariants below must then hold EXACTLY
+            # as in the healthy lane
+            absorb_ingested(spark, ividx)
+
         # ---- converged invariants (quiesced now: all threads joined)
         problems = report["probe_errors"] + report["maint_errors"] + \
             report["ingest_errors"]
+        if crash_rate > 0 and report["maint_crashes"] == 0:
+            problems.append(
+                "crash injection armed but no maintenance pass was killed"
+            )
         if report["probes"] == 0:
             problems.append("prober never completed a pass")
         if report["maint_passes"] < 2:
@@ -836,6 +938,8 @@ def soak_probe(
         report["invariant_problems"] = problems
         return wall, report
     finally:
+        for undo in undo_gates:  # idempotent: cleared on the main path
+            undo()
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         if report.get("leaked_tmp") is None:
             shutil.rmtree(base, ignore_errors=True)
@@ -1026,9 +1130,12 @@ def main() -> int:
         # maintenance racing probes on both persisted indexes, then the
         # converged invariants — the first lane that exercises the
         # lease/fence protocol CONCURRENTLY instead of phase-sequenced.
+        # r14 (r13 verdict #5): crash injection armed — maintenance
+        # passes die inside the X134/X127 windows while the other
+        # threads keep racing; the same invariants must converge.
         for tag, src_dir in (("small", SRC), ("10x", dst)):
             try:
-                t_soak, rep = soak_probe(spark, src_dir)
+                t_soak, rep = soak_probe(spark, src_dir, crash_rate=0.35)
             except Exception as ex:  # a crashed lane is a failure, not a crash
                 failures.append(f"soak[{tag}]: crashed: {ex}")
                 print(f"{'soak_concurrent':20s} [{tag}] CRASH: {ex}",
@@ -1045,7 +1152,8 @@ def main() -> int:
             print(
                 f"{'soak_concurrent':20s} [{tag}] {t_soak:8.1f}s  "
                 f"probes={rep['probes']} maint={rep['maint_passes']}"
-                f"(+{rep['maint_refused']} refused) "
+                f"(+{rep['maint_refused']} refused, "
+                f"{rep['maint_crashes']} killed) "
                 f"retries={rep['ingest_retries']} "
                 f"doc_batches={len(rep['doc_committed'])} "
                 f"vec_batches={len(rep['vec_committed'])} "
