@@ -4,10 +4,16 @@
 # trigger on larger fixtures) at the graded scale. `make verify` is the
 # independent driver simulation (the real correctness gate), `make bench`
 # the perf surface vs BASELINE.md.
+#
+# Test lanes (r14, r13 verdict #2): the default `make test` is the FAST
+# GATE (pytest.ini addopts excludes `-m deep`); `make test-deep` runs the
+# exhaustive randomized interleaving/fuzz suites. `make record` runs BOTH
+# at driver scale and logs both times — no coverage lost, the union of
+# the lanes is the old 35-minute suite.
 
 PY ?= python
 
-.PHONY: test test-driver-scale verify verify-sf01 bench verify-sf1-probe all record archive-evidence
+.PHONY: test test-deep test-driver-scale verify verify-sf01 bench verify-sf1-probe all record archive-evidence
 
 # Evidence retention (r13): move rounds older than the newest two into
 # evidence/archive/ (one-line index regenerated there). `make record`
@@ -18,6 +24,9 @@ archive-evidence:
 
 test:
 	$(PY) -m pytest tests/ -q
+
+test-deep:
+	$(PY) -m pytest tests/ -q -m deep
 
 test-driver-scale:
 	TES_TEST_SF_DIR=/root/testdata/sf0.01 $(PY) -m pytest tests/ -q
@@ -49,7 +58,11 @@ record:
 	test -n "$(ROUND)" || (echo "usage: make record ROUND=NN" && false)
 	$(PY) -m pytest tests/ -q > /tmp/tes_record_unit.txt 2>&1 || (tail -5 /tmp/tes_record_unit.txt && false)
 	tail -1 /tmp/tes_record_unit.txt
-	TES_TEST_SF_DIR=/root/testdata/sf0.01 $(PY) -m pytest tests/ -q > PYTEST_DRIVER_SCALE_r$(ROUND).txt 2>&1 || (tail -5 PYTEST_DRIVER_SCALE_r$(ROUND).txt && false)
+	echo "=== FAST GATE (driver scale, -m 'not deep' via pytest.ini) ===" > PYTEST_DRIVER_SCALE_r$(ROUND).txt
+	TES_TEST_SF_DIR=/root/testdata/sf0.01 $(PY) -m pytest tests/ -q >> PYTEST_DRIVER_SCALE_r$(ROUND).txt 2>&1 || (tail -5 PYTEST_DRIVER_SCALE_r$(ROUND).txt && false)
+	tail -1 PYTEST_DRIVER_SCALE_r$(ROUND).txt
+	echo "=== DEEP LANE (driver scale, -m deep: exhaustive interleavings/fuzz) ===" >> PYTEST_DRIVER_SCALE_r$(ROUND).txt
+	TES_TEST_SF_DIR=/root/testdata/sf0.01 $(PY) -m pytest tests/ -q -m deep >> PYTEST_DRIVER_SCALE_r$(ROUND).txt 2>&1 || (tail -5 PYTEST_DRIVER_SCALE_r$(ROUND).txt && false)
 	tail -1 PYTEST_DRIVER_SCALE_r$(ROUND).txt
 	TES_VERIFY_JSON=CORRECTNESS_FULL_r$(ROUND).json $(PY) .claude/skills/verify/driver_sim.py > CORRECTNESS_FULL_r$(ROUND).txt 2>&1 || (tail -5 CORRECTNESS_FULL_r$(ROUND).txt && false)
 	tail -2 CORRECTNESS_FULL_r$(ROUND).txt

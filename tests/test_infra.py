@@ -1178,6 +1178,7 @@ def test_survey_counts_match_registry():
     )
 
 
+@pytest.mark.deep
 def test_all_queries_tolerate_empty_tables(spark, tmp_path_factory):
     """Whole-registry robustness audit (round 5): every registered query
     must run — not crash — against a fixture directory whose ten tables
@@ -1216,6 +1217,7 @@ def test_all_queries_tolerate_empty_tables(spark, tmp_path_factory):
     assert not failures, failures
 
 
+@pytest.mark.deep
 def test_all_queries_tolerate_null_injection(spark, tmp_path_factory):
     """Whole-registry robustness audit #2 (round 5): every registered query
     must run against fixtures where ~10% of every NON-KEY column is NULL
@@ -1267,6 +1269,7 @@ def test_all_queries_tolerate_null_injection(spark, tmp_path_factory):
     assert not failures, failures
 
 
+@pytest.mark.deep
 def test_all_queries_tolerate_adversarial_text(spark, tmp_path_factory):
     """Whole-registry robustness audit #3 (round 5): every registered query
     must run against fixtures whose string columns carry real-corpus text
@@ -1325,6 +1328,7 @@ def test_all_queries_tolerate_adversarial_text(spark, tmp_path_factory):
     assert not failures, failures
 
 
+@pytest.mark.deep
 def test_all_queries_tolerate_nonfinite_floats(spark, tmp_path_factory):
     """Whole-registry robustness audit #4 (round 6): every registered query
     must run against fixtures where ~5% of every float/double value —

@@ -28,6 +28,7 @@ def test_rows_queries_run(spark, sf_dir, name):
     assert df.count() >= 0
 
 
+@pytest.mark.deep
 def test_differential_under_skewed_distribution(spark, tmp_path_factory):
     """Whole-registry differential audit #4 (round 5): every HASH query
     must STILL match its DuckDB oracle when the fixture's distributions
@@ -124,6 +125,7 @@ def test_differential_under_skewed_distribution(spark, tmp_path_factory):
     assert not failures, failures
 
 
+@pytest.mark.deep
 def test_differential_under_degenerate_text(spark, tmp_path_factory):
     """Whole-registry differential audit #5 (round 6, grown out of the
     sequence(1,0)-descends review catch): every documents-reading HASH

@@ -668,6 +668,7 @@ def test_star_edges_equal_pair_graph_components_random(spark, docs):
     assert lab_star == lab_pairs
 
 
+@pytest.mark.deep
 @settings(**{**_SETTINGS, "max_examples": 6})
 @given(_near_dup_corpora())
 def test_ingest_gate_matches_functional_spec_random(spark, docs):
@@ -1104,6 +1105,7 @@ def _crash_scenarios(draw):
     return docs, schedule
 
 
+@pytest.mark.deep
 @settings(**{**_SETTINGS, "max_examples": 4})
 @given(_crash_scenarios())
 def test_ingest_commit_protocol_random_crash_interleavings(spark, scenario):
@@ -1235,6 +1237,7 @@ def _vector_crash_scenarios(draw):
     return crashes, maint, late_retry
 
 
+@pytest.mark.deep
 @pytest.mark.parametrize("pointer", [False, True], ids=["rename", "pointer"])
 @settings(**{**_SETTINGS, "max_examples": 4})
 @given(_vector_crash_scenarios())
