@@ -4130,6 +4130,43 @@ def test_conditional_pointer_commit_race(
     assert os.path.exists(src), "a refused move must leave src intact"
 
 
+def test_partitioned_version_dir_read_is_correct_despite_warning(
+    spark, tmp_path_factory
+):
+    """r14 — pins the diagnosis of the soak lane's recurring
+    ``WARN DataSource: All paths were ignored`` line: Spark's
+    preliminary path check hidden-filters a ``_``-prefixed PARTITIONED
+    root and logs the warning, but the actual read exempts explicitly
+    passed roots and returns full, correct data. The dangerous-looking
+    sibling cases are LOUD, not silently empty: a dir holding only
+    ``_SUCCESS`` (half-reclaimed) and a fully empty dir both raise."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path_factory.mktemp("vdir-warn"))
+    vdir = f"{base}/_v-abc"
+    spark.range(20).withColumn("band", F.col("id") % 4).write.partitionBy(
+        "band"
+    ).parquet(vdir)
+    df = spark.read.parquet(vdir)
+    assert df.count() == 20 and set(df.columns) == {"id", "band"}
+
+    half = f"{base}/_v-half"
+    spark.range(5).write.parquet(half)
+    for name in os.listdir(half):
+        if not name.startswith("_"):
+            os.remove(os.path.join(half, name))
+    with pytest.raises(Exception, match="UNABLE_TO_INFER_SCHEMA"):
+        spark.read.parquet(half).count()
+
+    empty = f"{base}/_v-empty"
+    os.makedirs(empty)
+    with pytest.raises(Exception, match="UNABLE_TO_INFER_SCHEMA"):
+        spark.read.parquet(empty).count()
+
+
 def test_store_capabilities_descriptor(spark, tmp_path_factory):
     """r14 (r13 verdict #4) — ONE resolution point for per-store
     atomicity: probe-first (hasPathCapability) for conditional creates,

@@ -229,7 +229,18 @@ def resolve_data_dir(spark, root: str) -> str:
     transient IO errors to "legacy" would silently point an APPEND at the
     root position — invisible to pointer-resolving readers and deleted by
     the next swap's legacy cleanup — i.e. a lost write; loud beats
-    lossy."""
+    lossy.
+
+    Known COSMETIC log line (r14, diagnosed from the soak lane's output):
+    reading a PARTITIONED ``_v-*`` dir makes Spark's ``DataSource`` log
+    ``WARN ... All paths were ignored`` — its preliminary path check
+    applies the hidden-file filter to the ``_``-prefixed root before the
+    actual file index exempts explicitly-passed roots. The read returns
+    the full, correct data (pinned by
+    ``test_partitioned_version_dir_read_is_correct_despite_warning``);
+    a genuinely empty or half-deleted dir raises UNABLE_TO_INFER_SCHEMA
+    loudly instead — there is no silent-empty-read hazard behind the
+    warning."""
     fs, hpath = _fs(spark, root)
     last_err: Exception | None = None
     for _ in (0, 1):
