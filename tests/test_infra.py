@@ -3521,6 +3521,46 @@ def test_touch_lease_refuses_unverifiable_payload(
     fsio.release_maintenance_lease(spark, idx, lease_id=succ["lease_id"])
 
 
+def test_zero_byte_lease_is_unreadable_not_a_holder(
+    spark, tmp_path_factory
+):
+    """r14 (caught live by the r14 record run's unit gate, ~1-in-many
+    flake): a ZERO-BYTE lease file is an UNREADABLE shape — a
+    mid-rewrite truncation blip (local-FS rewrite is truncate-then-
+    write) or a crash remnant — not a readable ownerless holder. One
+    blip read must not decide: the old mapping to `{}` made a contender
+    racing a heartbeat rewrite report "held by ?" from a single read
+    instead of retrying into the completed rewrite. Fresh-empty refuses
+    acquires without breaking (a live holder may be mid-rewrite);
+    stale-empty decays via mtime exactly as before."""
+    import os
+
+    import pytest
+
+    import twitter_event_stream_spark.fsio as fsio
+
+    idx = f"{tmp_path_factory.mktemp('zero-byte')}/index"
+    lp = fsio._lease_path(idx)
+    fsio.acquire_maintenance_lease(spark, idx, owner="op", ttl_sec=60)
+    open(lp, "w").close()  # truncated: blip or crash remnant
+
+    info, absent, mtime = fsio._read_lease_status(spark, idx)
+    assert info is None and absent is False and mtime is not None
+    assert fsio.read_maintenance_lease(spark, idx) is None
+
+    # fresh-empty: not a judgeable holder, not breakable — refused
+    with pytest.raises(fsio.MaintenanceLeaseHeld):
+        fsio.acquire_maintenance_lease(spark, idx, owner="b", ttl_sec=60)
+    assert os.path.exists(lp), "a fresh unreadable lease must survive"
+
+    # stale-empty: decays via mtime through the normal break
+    os.utime(lp, (0, 0))
+    token = fsio.acquire_maintenance_lease(spark, idx, owner="b",
+                                           ttl_sec=60)
+    assert fsio.read_maintenance_lease(spark, idx)["owner"] == "b"
+    fsio.release_maintenance_lease(spark, idx, lease_id=token["lease_id"])
+
+
 def test_heartbeat_fallback_short_ttl(spark, tmp_path_factory, monkeypatch):
     """r12 — the rewrite fallback's still-fresh grace is bounded by TTL/4,
     not a flat second: with ttl_sec=1 on an inert-setTimes store the

@@ -1334,8 +1334,10 @@ def read_maintenance_lease(spark, index_path: str) -> dict | None:
     None when no lease is held. The mtime, not the self-reported acquire
     time, drives staleness — a holder with a skewed clock can't fake
     freshness. Folds ABSENT and UNREADABLE to None (the historical
-    contract every caller relies on); callers that must distinguish use
-    :func:`_read_lease_status`."""
+    contract every caller relies on; a ZERO-BYTE payload counts as
+    unreadable, r14 — it is either a mid-rewrite truncation blip or a
+    crash remnant, and both are mtime-decay shapes, not holders);
+    callers that must distinguish use :func:`_read_lease_status`."""
     info, _absent, _mtime = _read_lease_status(spark, index_path)
     return info
 
@@ -1372,7 +1374,20 @@ def _read_lease_status(
             )
         finally:
             stream.close()
-        info = json.loads(raw.decode("utf-8")) if raw else {}
+        if not raw:
+            # ZERO-BYTE payload = UNREADABLE, not a readable ownerless
+            # holder (r14 — caught live by the round's own record run):
+            # on local FS the heartbeat's rewrite fallback is
+            # truncate-then-write, so a reader racing a beat sees an
+            # empty file for a moment; mapping that to `{}` let ONE blip
+            # read decide (a contender reported "held by ?" instead of
+            # retrying into the completed rewrite — flaky, and against
+            # the module's one-read-decides-nothing principle). The
+            # genuinely-empty crash remnant (died between create and
+            # write) reaches the same decay as before through the
+            # unreadable path: mtime-judged against the widened TTL.
+            return None, False, mtime
+        info = json.loads(raw.decode("utf-8"))
         info["mtime_ms"] = mtime
         return info, False, mtime
     except Exception:
