@@ -328,6 +328,8 @@ def calibrate(spark) -> dict:
 #:       calib_sec <= CALIB_HEALTHY_MAX            (healthy host)
 #:       AND warm_total / calib_sec <= WARM_VS_CALIB_MAX
 #:                                  (query times consistent with calib)
+#:       AND delivery_vs_floor >= 1.0   (streaming lane healthy — only
+#:           judged at the floor's own calibration scale, sf >= 0.1)
 #:
 #: Bands derived from every committed record: healthy-host calibrations
 #: read 0.397-0.711 across rounds (noisy readings: 0.936, 0.961), so the
@@ -342,6 +344,17 @@ def calibrate(spark) -> dict:
 #: record says so in-band (``coherent: false``) — the 2x-baseline gate,
 #: not this selection, judges regressions.
 #:
+#: The delivery term (added after the criterion's FIRST live exposure:
+#: the initial r14 record passed calib+ratio while ambient load crushed
+#: exactly the delivery minutes to 0.14x floor — a spot re-run on the
+#: same code read 2.0x; a coherence test that ignores the floor can
+#: certify a record whose streaming lane is pure machine weather): the
+#: floor is already host-relative (downward-only calib adjustment, see
+#: FLOOR_REF_EVS), so a coherent attempt must clear it. A REAL delivery
+#: regression flags every attempt, the fastest is selected with
+#: `coherent: false`, and the in-band floor comparison still carries the
+#: regression signal — the term only forces noisy records to retry.
+#:
 #: bench.py runs up to $TES_BENCH_ATTEMPTS (default 3) full attempts,
 #: stops at the FIRST coherent one (healthy host => exactly one run, no
 #: extra cost), and emits EVERY attempt plus the machine verdict in both
@@ -351,10 +364,14 @@ WARM_VS_CALIB_MAX = 7.0
 
 
 def attempt_coherence(
-    warm_total: float, calib_sec: float
+    warm_total: float,
+    calib_sec: float,
+    delivery_vs_floor: float | None = None,
 ) -> tuple[bool, list[str]]:
     """Apply the written coherence criterion; returns (coherent, reasons
-    it failed) so an incoherent attempt is self-describing in-record."""
+    it failed) so an incoherent attempt is self-describing in-record.
+    ``delivery_vs_floor`` is None below the floor's calibration scale
+    (the sf0.1 reference pairing is meaningless at smaller fixtures)."""
     reasons = []
     if calib_sec > CALIB_HEALTHY_MAX:
         reasons.append(
@@ -365,6 +382,11 @@ def attempt_coherence(
         reasons.append(
             f"warm_total/calib {ratio} > {WARM_VS_CALIB_MAX} (query "
             "times inconsistent with calibration)"
+        )
+    if delivery_vs_floor is not None and delivery_vs_floor < 1.0:
+        reasons.append(
+            f"delivery {delivery_vs_floor} < 1.0x its calibrated floor "
+            "(streaming lane unhealthy or noise-crushed)"
         )
     return not reasons, reasons
 
@@ -470,7 +492,14 @@ def run_attempt(spark, sf_dir: str) -> dict:
     )
 
     warm_total = round(sum(warm.values()), 3)
-    coherent, reasons = attempt_coherence(warm_total, calib["calib_sec"])
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    coherent, reasons = attempt_coherence(
+        warm_total,
+        calib["calib_sec"],
+        # the floor's reference pairing is sf0.1-calibrated (see
+        # FLOOR_REF_EVS); below that scale the term is not judgeable
+        streaming["delivery_vs_floor"] if sf >= 0.1 else None,
+    )
     return {
         "warm_total": warm_total,
         "warm": warm,
