@@ -4396,6 +4396,148 @@ def test_conditional_cas_break_fresh_marker_blocks(
     )
 
 
+def test_conditional_cas_break_stalled_breaker_heartbeat(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r15 (r14 verdict #5) — the X136 stalled-breaker residual, bounded
+    mechanically: a breaker stalled INSIDE its critical section for
+    longer than the marker TTL keeps its break-intent marker alive via
+    the marker heartbeat (fsio._beat_break_marker), so a contender
+    arriving mid-stall is refused ("actively clearing") instead of
+    decaying the marker, electing itself, and exposing a successor's
+    fresh lease to the stalled breaker's late delete. The stalled
+    breaker then completes its break and wins the lease — single
+    winner, no marker left behind. (The dead-PROCESS case — heartbeat
+    gone, marker decays, takeover proceeds — stays pinned by
+    test_conditional_cas_break_decays_crashed_marker.)"""
+    import json
+    import os
+    import threading
+    import time
+
+    import pytest
+
+    import twitter_event_stream_spark.fsio as fsio
+    from twitter_event_stream_spark.fsio import MaintenanceLeaseHeld
+
+    _shim_conditional_put(fsio, monkeypatch)
+    idx = f"{tmp_path_factory.mktemp('cas-stall')}/index"
+    fsio.acquire_maintenance_lease(spark, idx, owner="crashed", ttl_sec=1)
+    lp = fsio._lease_path(idx)
+    os.utime(lp, (0, 0))  # the holder crashed: everyone judges it stale
+    mp = fsio._break_marker_path(idx)
+    fs, hpath = fsio._fs(spark, idx)
+
+    real_spaced = fsio._read_lease_spaced_status
+
+    def stalling_spaced(spark_, index_path, attempts=3):
+        # stall ONLY the breaker thread's under-marker re-read (the
+        # marker exists exactly during the critical section) — well past
+        # the 1s marker TTL, the residual's trigger condition
+        if (
+            threading.current_thread().name == "stalled-breaker"
+            and os.path.exists(mp)
+        ):
+            time.sleep(2.6)
+        return real_spaced(spark_, index_path, attempts)
+
+    monkeypatch.setattr(
+        fsio, "_read_lease_spaced_status", stalling_spaced
+    )
+
+    outcome: dict = {}
+
+    def breaker():
+        # the break driven directly at its own ttl (the acquire path
+        # hands the break its WIDENED budget — >= 1h markers — which is
+        # the right production posture but untestable in wall time;
+        # test_conditional_cas_break_single_winner covers that stack)
+        try:
+            fsio._cas_break_stale_lease(spark, fs, hpath, idx, ttl_sec=1)
+            outcome["broke"] = True
+        except Exception as ex:
+            outcome["err"] = ex
+
+    t = threading.Thread(target=breaker, name="stalled-breaker")
+    t.start()
+    for _ in range(500):  # wait for the breaker to win its marker
+        if os.path.exists(mp):
+            break
+        time.sleep(0.01)
+    assert os.path.exists(mp), "breaker never created its intent marker"
+    t_marker = time.time()
+    # let the marker outlive its 1s TTL in WALL terms while the breaker
+    # stalls — without the heartbeat a contender would now decay it
+    time.sleep(1.5)
+    assert t.is_alive(), "breaker should still be mid-stall"
+    age_ms = time.time() * 1000 - os.path.getmtime(mp) * 1000
+    assert time.time() - t_marker > 1.2, "test bug: wall age not past TTL"
+    assert age_ms < 1000, (
+        f"heartbeat should keep the marker fresh; mtime {age_ms:.0f}ms old"
+    )
+    # the contender judges the same stale lease but must be REFUSED by
+    # the live (merely slow) breaker's fresh marker, never elected
+    with pytest.raises(MaintenanceLeaseHeld, match="actively clearing"):
+        fsio._cas_break_stale_lease(spark, fs, hpath, idx, ttl_sec=1)
+    t.join(timeout=30)
+    assert outcome.get("broke"), (
+        f"stalled breaker must complete its break: {outcome.get('err')}"
+    )
+    assert not os.path.exists(lp), "the stale remnant must be gone"
+    assert not os.path.exists(mp), "marker must not outlive the break"
+    # the path is clear: the next acquire wins cleanly
+    token = fsio.acquire_maintenance_lease(spark, idx, owner="next",
+                                           ttl_sec=60)
+    assert json.loads(open(lp).read())["owner"] == "next"
+    fsio.release_maintenance_lease(spark, idx, lease_id=token["lease_id"])
+
+
+def test_cas_marker_decay_identity_guard(spark, tmp_path_factory):
+    """r15 (r14 ADVICE #1) — the crashed-marker decay re-reads the marker
+    immediately before its delete and refuses anything that is not the
+    very remnant it judged stale: a rival's fresh recreate (younger
+    mtime / different breaker id) survives intact; only the unchanged
+    remnant is decayed; an already-gone marker reports decayed (the
+    conditional-create retry arbitrates)."""
+    import json
+    import os
+
+    import twitter_event_stream_spark.fsio as fsio
+
+    root = str(tmp_path_factory.mktemp("decay-guard"))
+    fs, hpath = fsio._fs(spark, root)
+    mp = os.path.join(root, "lease.break")
+    stale = {"breaker": "dead", "judged_mtime_ms": 0}
+    with open(mp, "w") as f:
+        f.write(json.dumps(stale))
+    os.utime(mp, (0, 0))
+    _i, _a, judged_mtime = fsio._read_small_json_status(fs, hpath(mp))
+
+    # a rival decayed the same remnant and conditionally RECREATED the
+    # marker between our judge and our delete: younger mtime, its own id
+    # — the guarded decay must refuse and leave it intact
+    os.remove(mp)
+    with open(mp, "w") as f:
+        f.write(json.dumps({"breaker": "rival", "judged_mtime_ms": 7}))
+    assert (
+        fsio._decay_stale_marker(fs, hpath(mp), judged_mtime, stale)
+        is False
+    )
+    assert json.loads(open(mp).read())["breaker"] == "rival", (
+        "a rival's fresh marker must survive the refused decay"
+    )
+
+    # the unchanged remnant itself: the decay fires and cleans it up
+    os.utime(mp, (0, 0))
+    info2, _a2, m2 = fsio._read_small_json_status(fs, hpath(mp))
+    assert fsio._decay_stale_marker(fs, hpath(mp), m2, info2) is True
+    assert not os.path.exists(mp)
+
+    # already gone (a rival decayed it first): retrying the conditional
+    # create is the correct move, so the helper reports decayed
+    assert fsio._decay_stale_marker(fs, hpath(mp), m2, info2) is True
+
+
 
 
 def test_overwrite_publish_legacy_vs_pointer_thread_race(

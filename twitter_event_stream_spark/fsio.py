@@ -1004,6 +1004,96 @@ def _read_small_json_status(fs, hp) -> tuple[dict | None, bool, int | None]:
         return None, False, mtime
 
 
+def _decay_stale_marker(fs, marker, judged_mtime, judged_payload) -> bool:
+    """Identity-guarded decay of a crashed breaker's remnant marker (r15,
+    r14 ADVICE #1: the decay's delete was unconditional by path, so a
+    contender acting on a stale read could delete a RIVAL's freshly
+    recreated marker, momentarily electing two breakers). Re-read the
+    marker immediately before the delete and require it to still BE the
+    remnant just judged stale: same mtime, and — when both payloads are
+    readable — the same breaker id. A younger mtime or a different id is
+    a rival's live recreate and is left intact (returns ``False``; the
+    caller raises Held and retries later). The portable FileSystem API
+    has no conditional DELETE, so the guard is read-then-delete — the
+    two-breaker window narrows from the whole judge-to-delete span to
+    one read's width, the same residual class as every other
+    read-then-act edge in this protocol. Returns ``True`` when the
+    remnant was decayed (or was already gone) and the conditional
+    create is worth retrying."""
+    re_info, re_absent, re_mtime = _read_small_json_status(fs, marker)
+    if re_absent:
+        return True  # a rival already decayed it: retry the create
+    if re_mtime is None or re_mtime != judged_mtime:
+        return False  # moved (or unverifiable): a rival's live marker
+    if (
+        re_info is not None
+        and judged_payload is not None
+        and re_info.get("breaker") != judged_payload.get("breaker")
+    ):
+        return False  # same mtime, different claimant: never ours to decay
+    try:
+        fs.delete(marker, False)
+    except Exception:
+        pass  # raced: the retry's conditional create arbitrates
+    return True
+
+
+def _beat_break_marker(
+    fs, marker, breaker_id: str, payload: bytes, stop, interval: float
+) -> None:
+    """Heartbeat the break-intent marker while the CAS break's critical
+    section runs (r15, r14 verdict #5: a breaker stalled past the marker
+    TTL was the documented residual — a second breaker could decay the
+    marker, clear the remnant, and a successor's fresh lease could then
+    be deleted by the stalled breaker's late wake-up). The treatment is
+    the lease heartbeat's, transplanted (:func:`_touch_lease`): every
+    beat is an OWNERSHIP probe (payload read first; anything but our
+    breaker id → stop touching), refresh is setTimes first, VERIFIED by
+    re-stat, with a payload-rewrite fallback where setTimes is inert
+    (object stores — exactly the stores this break runs on); the stop
+    signal is re-checked before and after the rewrite PUT so a beat that
+    stalls across the break's completion undoes a marker it resurrected
+    (verified ours) instead of wedging contenders for a marker TTL.
+    With the heartbeat, a marker older than its TTL can only mean the
+    breaker's PROCESS died — decaying it is safe, and a dead process
+    cannot later delete anything. The remaining residual is a WHOLE-
+    PROCESS pause (suspended VM) outliving the marker TTL and resuming
+    inside the one-read window before the lease delete — the same class,
+    and the same detection at the displaced successor's heartbeat /
+    generation fence, as the lease heartbeat's own documented stall."""
+    while not stop.wait(interval):
+        try:
+            info, absent, before = _read_small_json_status(fs, marker)
+            if absent or info is None or info.get("breaker") != breaker_id:
+                return  # not verifiably ours: never touch
+            now = int(time.time() * 1000)
+            try:
+                fs.setTimes(marker, now, -1)
+                _i, _a, after = _read_small_json_status(fs, marker)
+            except Exception:
+                after = before
+            if after is not None and after != before:
+                continue  # observably refreshed
+            if stop.is_set():
+                return  # break finished mid-beat: never resurrect
+            out = fs.create(marker, True)  # overwrite PUT bumps mtime
+            out.write(payload)
+            out.close()
+            if stop.is_set():
+                # late PUT may have recreated the marker the break's
+                # cleanup just deleted: undo only if verifiably ours
+                info2, _a2, _m2 = _read_small_json_status(fs, marker)
+                if info2 is not None and info2.get("breaker") == breaker_id:
+                    try:
+                        fs.delete(marker, False)
+                    except Exception:
+                        pass
+                return
+        except Exception:
+            pass  # a missed beat only risks decay; the ownership
+            # re-check before the lease delete still guards the break
+
+
 def _cas_break_stale_lease(
     spark, fs, hpath, index_path: str, ttl_sec: int
 ) -> None:
@@ -1037,16 +1127,26 @@ def _cas_break_stale_lease(
     4. Delete the marker (ours — crash between 3 and 4 leaves a marker
        the next breaker decays at step 2; acquires never consult it).
 
+    While the critical section (step 3) runs, a daemon HEARTBEAT thread
+    refreshes the marker every ``ttl_sec / 4`` (r15, r14 verdict #5 —
+    :func:`_beat_break_marker`): a breaker THREAD stalled mid-break no
+    longer loses its marker to decay, so "marker older than its TTL"
+    can only mean the breaker's process died — and a dead process never
+    wakes to delete a successor's lease. The crashed-marker decay at
+    step 2 is identity-guarded (:func:`_decay_stale_marker`, r14 ADVICE
+    #1): the delete fires only on a marker re-read as the very remnant
+    judged stale, never on a rival's fresh recreate.
+
     Residual (documented, same class as the displacement's three-way
-    blip): a breaker stalled BETWEEN its final marker ownership check
-    and its lease delete, for longer than the marker TTL, can delete a
-    successor's fresh lease after a second breaker decayed its marker
-    and cleared the remnant — it requires a stall measured in the lease
-    TTL landing inside a microsecond window, and the displaced
-    successor discovers the loss at its heartbeat's ownership probe /
-    commit-time generation fence, exactly like the rename-path
-    residual. A true conditional DELETE (If-Match) would close it; the
-    portable FileSystem API has no such call."""
+    blip and the lease heartbeat's own stall case): a WHOLE-PROCESS
+    pause (suspended VM — thread and heartbeat both frozen) outliving
+    the marker TTL and resuming exactly inside the one-read window
+    between the final ownership check and the lease delete can delete a
+    successor's fresh lease after a second breaker decayed the marker —
+    the displaced successor discovers the loss at its heartbeat's
+    ownership probe / commit-time generation fence, exactly like the
+    rename-path residual. A true conditional DELETE (If-Match) would
+    close it; the portable FileSystem API has no such call."""
     lease = hpath(_lease_path(index_path))
     marker = hpath(_break_marker_path(index_path))
     judged, absent, judged_mtime = _read_lease_spaced_status(
@@ -1100,18 +1200,35 @@ def _cas_break_stale_lease(
             if attempt == 0 and marker_age is not None and (
                 marker_age > ttl_sec * 1000
             ):
-                # crashed breaker's remnant marker: decay it and retry
-                # the conditional create (the recreate elects one winner;
-                # a rival's delete racing ours is the documented residual)
-                try:
-                    fs.delete(marker, False)
-                except Exception:
-                    pass
+                # crashed breaker's remnant marker: decay it (identity-
+                # guarded, r15 — see _decay_stale_marker) and retry the
+                # conditional create (the recreate elects one winner)
+                if not _decay_stale_marker(fs, marker, m_mtime, info):
+                    raise MaintenanceLeaseHeld(
+                        f"maintenance lease on {index_path} is stale and "
+                        "another breaker is actively clearing it — retry "
+                        "shortly"
+                    ) from e
                 continue
             raise MaintenanceLeaseHeld(
                 f"maintenance lease on {index_path} is stale and another "
                 "breaker is actively clearing it — retry shortly"
             ) from e
+    hb_stop = threading.Event()
+    hb = threading.Thread(
+        target=_beat_break_marker,
+        args=(
+            fs,
+            marker,
+            breaker_id,
+            payload,
+            hb_stop,
+            max(min(ttl_sec / 4.0, 60.0), 0.05),
+        ),
+        daemon=True,
+        name=f"cas-break-hb:{breaker_id[:8]}",
+    )
+    hb.start()
     try:
         # under the marker: identity re-read, then ownership re-check
         # immediately before the destructive delete (narrowing the
@@ -1135,6 +1252,8 @@ def _cas_break_stale_lease(
             )
         fs.delete(lease, False)
     finally:
+        hb_stop.set()
+        hb.join(timeout=5)
         # best-effort: a crashed/raced cleanup leaves a marker the next
         # breaker decays; never block the outcome on it
         try:
