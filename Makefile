@@ -6,10 +6,11 @@
 # the perf surface vs BASELINE.md.
 #
 # Test lanes (r14, r13 verdict #2): the default `make test` is the FAST
-# GATE (pytest.ini addopts excludes `-m deep`); `make test-deep` runs the
-# exhaustive randomized interleaving/fuzz suites. `make record` runs BOTH
-# at driver scale and logs both times — no coverage lost, the union of
-# the lanes is the old 35-minute suite.
+# GATE (deep-marked suites deselected by tests/conftest.py — r15: an
+# explicitly named node id always runs, unlike the old addopts form);
+# `make test-deep` runs the exhaustive randomized interleaving/fuzz
+# suites. `make record` runs BOTH at driver scale and logs both times —
+# no coverage lost, the union of the lanes is the old 35-minute suite.
 
 PY ?= python
 
@@ -58,7 +59,7 @@ record:
 	test -n "$(ROUND)" || (echo "usage: make record ROUND=NN" && false)
 	$(PY) -m pytest tests/ -q > /tmp/tes_record_unit.txt 2>&1 || (tail -5 /tmp/tes_record_unit.txt && false)
 	tail -1 /tmp/tes_record_unit.txt
-	echo "=== FAST GATE (driver scale, -m 'not deep' via pytest.ini) ===" > PYTEST_DRIVER_SCALE_r$(ROUND).txt
+	echo "=== FAST GATE (driver scale, deep lane deselected via conftest) ===" > PYTEST_DRIVER_SCALE_r$(ROUND).txt
 	TES_TEST_SF_DIR=/root/testdata/sf0.01 $(PY) -m pytest tests/ -q >> PYTEST_DRIVER_SCALE_r$(ROUND).txt 2>&1 || (tail -5 PYTEST_DRIVER_SCALE_r$(ROUND).txt && false)
 	tail -1 PYTEST_DRIVER_SCALE_r$(ROUND).txt
 	echo "=== DEEP LANE (driver scale, -m deep: exhaustive interleavings/fuzz) ===" >> PYTEST_DRIVER_SCALE_r$(ROUND).txt

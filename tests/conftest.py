@@ -17,6 +17,33 @@ from twitter_event_stream_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("TES_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_collection_modifyitems(config, items):
+    """Fast-gate/deep-lane split, conftest-based (r15, r14 ADVICE #2: the
+    previous ``addopts = -m "not deep"`` applied to EVERY invocation, so
+    naming a deep test by node id silently deselected it and exited 'no
+    tests ran' — an easy way to believe a deep test passed when it never
+    executed). Semantics:
+
+    - plain runs (``pytest tests/ -q``) deselect the ``deep``-marked
+      suites — the fast gate, unchanged;
+    - any ``-m`` expression takes full manual control (``-m deep`` runs
+      the deep lane, ``-m ""`` runs everything);
+    - any EXPLICIT node id on the command line (an argument containing
+      ``::``) disables the default deselection entirely — a test you
+      name always runs, deep or not."""
+    if config.option.markexpr:
+        return  # -m given: pytest's own marker selection governs
+    if any("::" in str(a) for a in config.invocation_params.args):
+        return  # explicitly named node ids always run
+    deselected = [
+        item for item in items if item.get_closest_marker("deep")
+    ]
+    if deselected:
+        kept = [i for i in items if not i.get_closest_marker("deep")]
+        items[:] = kept
+        config.hook.pytest_deselected(items=deselected)
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="tes-tests", cpus=4, shuffle_partitions=4)
