@@ -359,6 +359,16 @@ def calibrate(spark) -> dict:
 #: stops at the FIRST coherent one (healthy host => exactly one run, no
 #: extra cost), and emits EVERY attempt plus the machine verdict in both
 #: the full record and the compact headline.
+#: Band provenance (r15, r14 ADVICE #4): 0.75 was derived from the
+#: healthy records committed through r13 (0.397-0.711 vs noisy
+#: 0.936/0.961); the r14 full record then read 0.734 — the top of the
+#: OBSERVED healthy band is now 0.734, 0.016 under the threshold. The
+#: rule for ever moving this constant: re-derive as max observed
+#: coherent-record calib (evidence/archive/BENCH_*) plus ~5-10% margin —
+#: NEVER adjust it to admit the current round's reading (a sustained-
+#: noise round is designed to fall back to fastest-with-coherent:false,
+#: not to widen the band). Full statement: BENCH_NOTES "r15 — coherence
+#: criterion".
 CALIB_HEALTHY_MAX = 0.75
 WARM_VS_CALIB_MAX = 7.0
 

@@ -96,6 +96,14 @@ def main() -> int:
             "unchanged — prepend `evidence/archive/` to any historical "
             "reference.",
             "",
+            "Note the one-round driver lag (r15, r14 verdict #2): the "
+            "driver writes the smoke-lane pair `BENCH_r{N}.json` / "
+            "`CORRECTNESS_r{N}.json` AFTER the round's final sha, so "
+            "round N's pair can only be committed (and later archived) "
+            "in round N+1 — a round-N tree missing them at HEAD is the "
+            "pipeline's shape, not a lost record. The round-start "
+            "commit of round N+1 must include them.",
+            "",
         ]
         for r in sorted(by_round):
             for name in sorted(by_round[r]):
