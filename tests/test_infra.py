@@ -4438,7 +4438,7 @@ def test_conditional_cas_break_stalled_breaker_heartbeat(
             threading.current_thread().name == "stalled-breaker"
             and os.path.exists(mp)
         ):
-            time.sleep(2.6)
+            time.sleep(3.2)
         return real_spaced(spark_, index_path, attempts)
 
     monkeypatch.setattr(
@@ -4451,9 +4451,12 @@ def test_conditional_cas_break_stalled_breaker_heartbeat(
         # the break driven directly at its own ttl (the acquire path
         # hands the break its WIDENED budget — >= 1h markers — which is
         # the right production posture but untestable in wall time;
-        # test_conditional_cas_break_single_winner covers that stack)
+        # test_conditional_cas_break_single_winner covers that stack).
+        # ttl 2s with a 0.5s heartbeat interval: 4x headroom against a
+        # loaded host delaying a beat, while the 3.2s stall still
+        # outlives the TTL by a wide margin
         try:
-            fsio._cas_break_stale_lease(spark, fs, hpath, idx, ttl_sec=1)
+            fsio._cas_break_stale_lease(spark, fs, hpath, idx, ttl_sec=2)
             outcome["broke"] = True
         except Exception as ex:
             outcome["err"] = ex
@@ -4466,19 +4469,19 @@ def test_conditional_cas_break_stalled_breaker_heartbeat(
         time.sleep(0.01)
     assert os.path.exists(mp), "breaker never created its intent marker"
     t_marker = time.time()
-    # let the marker outlive its 1s TTL in WALL terms while the breaker
+    # let the marker outlive its 2s TTL in WALL terms while the breaker
     # stalls — without the heartbeat a contender would now decay it
-    time.sleep(1.5)
+    time.sleep(2.4)
     assert t.is_alive(), "breaker should still be mid-stall"
     age_ms = time.time() * 1000 - os.path.getmtime(mp) * 1000
-    assert time.time() - t_marker > 1.2, "test bug: wall age not past TTL"
-    assert age_ms < 1000, (
+    assert time.time() - t_marker > 2.0, "test bug: wall age not past TTL"
+    assert age_ms < 2000, (
         f"heartbeat should keep the marker fresh; mtime {age_ms:.0f}ms old"
     )
     # the contender judges the same stale lease but must be REFUSED by
     # the live (merely slow) breaker's fresh marker, never elected
     with pytest.raises(MaintenanceLeaseHeld, match="actively clearing"):
-        fsio._cas_break_stale_lease(spark, fs, hpath, idx, ttl_sec=1)
+        fsio._cas_break_stale_lease(spark, fs, hpath, idx, ttl_sec=2)
     t.join(timeout=30)
     assert outcome.get("broke"), (
         f"stalled breaker must complete its break: {outcome.get('err')}"
