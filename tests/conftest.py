@@ -26,14 +26,24 @@ def pytest_collection_modifyitems(config, items):
 
     - plain runs (``pytest tests/ -q``) deselect the ``deep``-marked
       suites — the fast gate, unchanged;
-    - any ``-m`` expression takes full manual control (``-m deep`` runs
-      the deep lane, ``-m ""`` runs everything);
-    - any EXPLICIT node id on the command line (an argument containing
-      ``::``) disables the default deselection entirely — a test you
-      name always runs, deep or not."""
-    if config.option.markexpr:
-        return  # -m given: pytest's own marker selection governs
-    if any("::" in str(a) for a in config.invocation_params.args):
+    - any ``-m`` flag takes full manual control (``-m deep`` runs the
+      deep lane, ``-m ""`` runs EVERYTHING — the flag's presence is
+      detected from the invocation args, because an empty markexpr is
+      indistinguishable from no ``-m`` through ``config.option``);
+    - any EXPLICIT node id among the POSITIONAL args (``::`` in
+      ``config.args`` — option values like ``-W error::Warning`` or
+      ``--deselect path::test`` never land there) disables the default
+      deselection entirely — a test you name always runs, deep or not."""
+    argv = [str(a) for a in config.invocation_params.args]
+    m_given = config.option.markexpr or any(
+        a == "-m" or a.startswith("-m=") or a == "--markexpr"
+        or a.startswith("--markexpr=")
+        or (a.startswith("-m") and not a.startswith("--") and len(a) > 2)
+        for a in argv
+    )
+    if m_given:
+        return  # -m given (even empty): pytest's marker selection governs
+    if any("::" in a for a in config.args):
         return  # explicitly named node ids always run
     deselected = [
         item for item in items if item.get_closest_marker("deep")

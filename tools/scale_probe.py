@@ -563,8 +563,9 @@ def soak_probe(
       * IVF index: no duplicate vec_id among visible vectors
         (cells ∪ committed ingest batches), base ⊆ visible ⊆ base ∪
         ingested, and every vector of every COMMITTED batch is visible;
-      * both maintenance leases released, ≥ 2 maintenance passes ran,
-        every ingest batch eventually committed.
+      * both maintenance leases released, ≥ 2 maintenance passes
+        COMPLETED (≥ 1 under crash injection — kills must not starve
+        healthy completions), every ingest batch eventually committed.
 
     Batch sizes are constant across scales (like ingest_gate /
     vector_ingest): the lane's wall grows only with the index-sized
@@ -925,21 +926,20 @@ def soak_probe(
             problems.append(
                 "crash injection armed but no ingest handler was killed"
             )
-        if crash_rate > 0 and report["maint_passes"] < 1:
-            # r15 (r14 verdict top task): the crash lane must still
-            # exercise HEALTHY maintenance completions racing live
-            # ingest — maint_passes counts completions only (crashes are
-            # counted separately), so this is maint_passes - 0 >= 1 in
-            # the verdict's maint_passes - maint_crashes >= 1 phrasing
-            problems.append(
-                "no maintenance pass COMPLETED healthily under crash "
-                "injection (healthy-concurrency coverage lost)"
-            )
         if report["probes"] == 0:
             problems.append("prober never completed a pass")
-        if report["maint_passes"] < 2:
+        # r15 (r14 verdict top task): maint_passes counts COMPLETED
+        # passes only (crashes are counted separately), so this is the
+        # verdict's `maint_passes - maint_crashes >= 1` invariant — the
+        # healthy lane keeps its original >= 2 bar; the crash lane
+        # demands >= 1 healthy completion racing ingest, which the
+        # injection's kills must not be allowed to starve out
+        min_completed = 2 if crash_rate == 0 else 1
+        if report["maint_passes"] < min_completed:
             problems.append(
-                f"only {report['maint_passes']} maintenance passes ran"
+                f"only {report['maint_passes']} maintenance passes "
+                f"COMPLETED healthily (need >= {min_completed}"
+                f"{' under crash injection' if crash_rate > 0 else ''})"
             )
         for idx_path, tag in ((sidx, "sidx"), (ividx, "ividx")):
             if fsio.read_maintenance_lease(spark, idx_path) is not None:

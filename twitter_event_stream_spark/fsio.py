@@ -1047,8 +1047,11 @@ def _beat_break_marker(
     marker, clear the remnant, and a successor's fresh lease could then
     be deleted by the stalled breaker's late wake-up). The treatment is
     the lease heartbeat's, transplanted (:func:`_touch_lease`): every
-    beat is an OWNERSHIP probe (payload read first; anything but our
-    breaker id → stop touching), refresh is setTimes first, VERIFIED by
+    beat is an OWNERSHIP probe (payload read first; verified absence or
+    a verifiably DIFFERENT breaker id stops the heartbeat, while a
+    present-but-unreadable blip only skips the beat — a permanent exit
+    on one bad read would drop the stall protection for the rest of the
+    break), refresh is setTimes first, VERIFIED by
     re-stat, with a payload-rewrite fallback where setTimes is inert
     (object stores — exactly the stores this break runs on); the stop
     signal is re-checked before and after the rewrite PUT so a beat that
@@ -1064,8 +1067,19 @@ def _beat_break_marker(
     while not stop.wait(interval):
         try:
             info, absent, before = _read_small_json_status(fs, marker)
-            if absent or info is None or info.get("breaker") != breaker_id:
-                return  # not verifiably ours: never touch
+            if absent or (
+                info is not None and info.get("breaker") != breaker_id
+            ):
+                return  # verifiably gone or another breaker's: never touch
+            if info is None:
+                # present but unreadable THIS beat (store blip): skip the
+                # beat and retry — a permanent exit here would silently
+                # drop the stall protection for the rest of the break,
+                # letting the marker decay while the breaker is alive
+                # (the exact residual this heartbeat closes); the
+                # ownership re-check before the lease delete still
+                # guards a marker that was genuinely taken over
+                continue
             now = int(time.time() * 1000)
             try:
                 fs.setTimes(marker, now, -1)
