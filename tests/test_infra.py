@@ -4543,6 +4543,77 @@ def test_cas_marker_decay_identity_guard(spark, tmp_path_factory):
 
 
 
+def test_cas_marker_heartbeat_survives_unreadable_blip(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r16 (r15 ADVICE #1) — the blip path of the marker heartbeat, pinned
+    so it cannot silently regress to permanent-exit-on-one-bad-read (the
+    bug commit a3b0bac fixed: an exit there drops the stall protection
+    for the rest of the break, the exact residual X141 closes): one beat
+    reads the marker present-but-unreadable (``info is None`` with
+    ``absent False`` — a store blip), the heartbeat must SKIP that beat
+    and still refresh the marker on the next one, and the payload must
+    stay ours throughout."""
+    import json
+    import os
+    import threading
+    import time
+
+    import twitter_event_stream_spark.fsio as fsio
+
+    root = str(tmp_path_factory.mktemp("hb-blip"))
+    fs, hpath = fsio._fs(spark, root)
+    mp = os.path.join(root, "lease.break")
+    payload = json.dumps(
+        {"breaker": "me", "judged_mtime_ms": 0, "index": root},
+        sort_keys=True,
+    ).encode("utf-8")
+    with open(mp, "wb") as f:
+        f.write(payload)
+    os.utime(mp, (0, 0))  # aged to the epoch: any refresh is observable
+
+    real_read = fsio._read_small_json_status
+    blip = {"fired": False}
+
+    def blip_once(fs_, hp):
+        info, absent, mtime = real_read(fs_, hp)
+        if (
+            not blip["fired"]
+            and threading.current_thread().name == "hb-blip"
+        ):
+            blip["fired"] = True
+            return None, False, mtime  # present but unreadable THIS beat
+        return info, absent, mtime
+
+    monkeypatch.setattr(fsio, "_read_small_json_status", blip_once)
+    stop = threading.Event()
+    t = threading.Thread(
+        target=fsio._beat_break_marker,
+        args=(fs, hpath(mp), "me", payload, stop, 0.05),
+        name="hb-blip",
+        daemon=True,
+    )
+    t.start()
+    deadline = time.time() + 10.0
+    refreshed = False
+    while time.time() < deadline:
+        if blip["fired"] and os.path.getmtime(mp) > 1.0:
+            refreshed = True  # a post-blip beat moved the epoch mtime
+            break
+        time.sleep(0.02)
+    stop.set()
+    t.join(timeout=10)
+    assert blip["fired"], "test bug: the unreadable blip never injected"
+    assert refreshed, (
+        "a present-but-unreadable read must only skip ONE beat — the "
+        "next beat has to refresh the marker (permanent exit regression)"
+    )
+    assert json.loads(open(mp).read())["breaker"] == "me", (
+        "the surviving heartbeat must never replace the payload with "
+        "someone else's"
+    )
+
+
 def test_overwrite_publish_legacy_vs_pointer_thread_race(
     spark, tmp_path_factory
 ):

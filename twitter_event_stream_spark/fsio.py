@@ -97,6 +97,42 @@ stalled past the marker TTL inside a one-read window); the heartbeat's
 payload-rewrite fallback is read-then-PUT within one beat — callers
 survive all of these because every ingest commit re-checks the
 generation fence.
+
+OPEN RESIDUAL WINDOWS (r16, the r15 verdict's "one table" ask — every
+window the protocol deliberately leaves open because the portable
+FileSystem API cannot close it; each site below cross-references its
+row rather than re-deriving it. All three share one detection point:
+the displaced successor discovers the loss at its next heartbeat's
+ownership probe — unverifiable/foreign payload means never touch —
+and, before any data damage, at the commit-time generation fence every
+ingest commit re-checks):
+
+====  ================================  ==================  ====================================
+ID    Window                            Width               Trigger / why it stays open
+====  ================================  ==================  ====================================
+W1    CAS break path: final ownership   one lease read      a WHOLE-PROCESS pause (suspended
+      check -> lease delete                                 VM: breaker thread AND its marker
+      (_cas_break_stale_lease step 3;                       heartbeat frozen) outliving the
+      _beat_break_marker keeps a                            marker TTL, resuming exactly inside
+      merely-slow THREAD from ever                          the window after a second breaker
+      entering it)                                          decayed the marker. No conditional
+                                                            DELETE (If-Match) in the API.
+W2    crashed-marker decay: identity    one marker read;    a rival decays the same remnant and
+      re-read -> marker delete          one mtime-          conditionally recreates within the
+      (_decay_stale_marker)             granularity tick    span; the coarse-mtime widening
+                                        when a payload is   needs the payload unreadable too
+                                        unreadable (coarse  (breaker-id check degraded to mtime
+                                        -mtime stores)      equality). Same missing conditional
+                                                            DELETE.
+W3    no-CAS store family: displace-    microsecond         stores with NEITHER conditional
+      verify-restore is check-then-act  displacement blip   create NOR mtime-preserving rename
+      (_remove_if_stale, the release    (three concurrent   (store_capabilities fails closed):
+      paths' displacement)              actors required)    no store-side serialization
+                                                            primitive exists at all there, so
+                                                            two-party races are closed by the
+                                                            displacement and the three-way
+                                                            interleaving is accepted.
+====  ================================  ==================  ====================================
 """
 
 from __future__ import annotations
@@ -732,7 +768,8 @@ def _restore_displaced(spark, fs, tomb, src) -> bool:
     Returns True when restored. The restore is a no-clobber move; when
     the path was RE-OCCUPIED meanwhile (a third contender's create
     landing inside the displacement blip) the tomb is deleted and the
-    occupant survives intact — the documented three-way residual. A
+    occupant survives intact — the documented three-way residual
+    (window W3 in the module docstring's OPEN RESIDUAL WINDOWS table). A
     restore that merely THROWS (transient IO, degraded store — no third
     contender involved) is retried once and then the tomb is LEFT IN
     PLACE with a warning, never deleted: deleting the displaced payload
@@ -831,7 +868,8 @@ def _remove_if_stale(spark, fs, hpath, path_str: str, ttl_ms: int) -> str:
     FileSystem API lacks (S3 conditional writes / HDFS namenode CAS
     would); it requires THREE contenders interleaving inside a
     microsecond blip that itself only opens on a double race — and the
-    loser discovers the loss at its commit-time generation fence."""
+    loser discovers the loss at its commit-time generation fence
+    (window W3 in the module docstring's OPEN RESIDUAL WINDOWS table)."""
     if not _displacement_supported(fs):
         # the invariant lives WITH the primitive that depends on it
         # (r13): any future caller inherits the refusal instead of
@@ -1017,7 +1055,21 @@ def _decay_stale_marker(fs, marker, judged_mtime, judged_payload) -> bool:
     has no conditional DELETE, so the guard is read-then-delete — the
     two-breaker window narrows from the whole judge-to-delete span to
     one read's width, the same residual class as every other
-    read-then-act edge in this protocol. Returns ``True`` when the
+    read-then-act edge in this protocol (window W2 in the module
+    docstring's OPEN RESIDUAL WINDOWS table). Granularity caveat (r15
+    ADVICE #2): when EITHER payload is unreadable the breaker-id half of
+    the identity check cannot run and the guard degrades to mtime
+    equality alone — on stores with coarse mtime granularity (e.g. 1 s)
+    a rival's recreate landing in the judged remnant's same tick can
+    then still be deleted, so the residual is one granularity tick
+    there, wider than a read. Unreadable-payload markers are crash
+    remnants mid-write (object-store PUTs are atomic at close, so the
+    rewrites that actually fire there never truncate) — refusing them
+    outright would wedge the break path forever on a genuinely torn
+    remnant, which is why the mtime fallback stays. Detection is the
+    standard one: the doubly-elected breakers race the lease delete and
+    the displaced successor's heartbeat ownership probe / commit-time
+    generation fence catches the loss. Returns ``True`` when the
     remnant was decayed (or was already gone) and the conditional
     create is worth retrying."""
     re_info, re_absent, re_mtime = _read_small_json_status(fs, marker)
@@ -1061,7 +1113,8 @@ def _beat_break_marker(
     breaker's PROCESS died — decaying it is safe, and a dead process
     cannot later delete anything. The remaining residual is a WHOLE-
     PROCESS pause (suspended VM) outliving the marker TTL and resuming
-    inside the one-read window before the lease delete — the same class,
+    inside the one-read window before the lease delete — window W1 in
+    the module docstring's OPEN RESIDUAL WINDOWS table: the same class,
     and the same detection at the displaced successor's heartbeat /
     generation fence, as the lease heartbeat's own documented stall."""
     while not stop.wait(interval):
@@ -1091,8 +1144,16 @@ def _beat_break_marker(
             if stop.is_set():
                 return  # break finished mid-beat: never resurrect
             out = fs.create(marker, True)  # overwrite PUT bumps mtime
-            out.write(payload)
-            out.close()
+            try:
+                out.write(payload)
+            finally:
+                # always closed (r15 ADVICE #4: the blanket except below
+                # swallowed a write-time failure WITHOUT closing, leaking
+                # the stream once per failed beat). A close after a failed
+                # write commits our own marker with a short payload — the
+                # next beat reads it unreadable, takes the skip-beat blip
+                # path, and the beat after that rewrites it whole.
+                out.close()
             if stop.is_set():
                 # late PUT may have recreated the marker the break's
                 # cleanup just deleted: undo only if verifiably ours
@@ -1151,8 +1212,9 @@ def _cas_break_stale_lease(
     #1): the delete fires only on a marker re-read as the very remnant
     judged stale, never on a rival's fresh recreate.
 
-    Residual (documented, same class as the displacement's three-way
-    blip and the lease heartbeat's own stall case): a WHOLE-PROCESS
+    Residual (window W1 in the module docstring's OPEN RESIDUAL WINDOWS
+    table — same class as the displacement's three-way blip, window W3,
+    and the lease heartbeat's own stall case): a WHOLE-PROCESS
     pause (suspended VM — thread and heartbeat both frozen) outliving
     the marker TTL and resuming exactly inside the one-read window
     between the final ownership check and the lease delete can delete a
@@ -1580,8 +1642,9 @@ def release_maintenance_lease(
     then delete; a successor's lease grabbed by mistake is restored via
     the no-clobber move. The two-party race is closed; the residual is
     the same three-contender displacement-blip shape
-    :func:`_remove_if_stale` documents (and it still requires our lease
-    to already look stale, which a live heartbeating holder never
+    :func:`_remove_if_stale` documents — window W3 in the module
+    docstring's OPEN RESIDUAL WINDOWS table (and it still requires our
+    lease to already look stale, which a live heartbeating holder never
     does)."""
     fs, hpath = _fs(spark, index_path)
     lp = _lease_path(index_path)
