@@ -27,30 +27,53 @@ def pytest_collection_modifyitems(config, items):
     - plain runs (``pytest tests/ -q``) deselect the ``deep``-marked
       suites — the fast gate, unchanged;
     - any ``-m`` flag takes full manual control (``-m deep`` runs the
-      deep lane, ``-m ""`` runs EVERYTHING — the flag's presence is
-      detected from the invocation args, because an empty markexpr is
-      indistinguishable from no ``-m`` through ``config.option``);
-    - any EXPLICIT node id among the POSITIONAL args (``::`` in
+      deep lane, ``-m ""`` runs EVERYTHING). Any NON-empty markexpr
+      shows up in ``config.option.markexpr`` regardless of spelling
+      (``-m deep``, ``-mdeep``, ``-m=deep``, ``--markexpr deep``); the
+      argv scan exists only for the EMPTY markexpr, which is falsy
+      there and can only be spelled with the bare flag token followed
+      by an empty value (``-m ""``, ``--markexpr ""``) or the long
+      ``--markexpr=`` — so the scan matches those exact tokens and
+      nothing else (r15 ADVICE #3: the old prefix scan would have
+      false-positived on any future ``-m…``-spelled option);
+    - an EXPLICIT node id among the POSITIONAL args (``::`` in
       ``config.args`` — option values like ``-W error::Warning`` or
-      ``--deselect path::test`` never land there) disables the default
-      deselection entirely — a test you name always runs, deep or not."""
+      ``--deselect path::test`` never land there) always runs, deep or
+      not. Deep items collected from OTHER positional args in the same
+      invocation are still deselected (r15 ADVICE #3: the escape used
+      to be all-or-nothing, so ``pytest tests/x.py::t tests/`` silently
+      ran every deep test under ``tests/`` too)."""
     argv = [str(a) for a in config.invocation_params.args]
     m_given = config.option.markexpr or any(
-        a == "-m" or a.startswith("-m=") or a == "--markexpr"
-        or a.startswith("--markexpr=")
-        or (a.startswith("-m") and not a.startswith("--") and len(a) > 2)
-        for a in argv
+        a in ("-m", "-m=", "--markexpr", "--markexpr=") for a in argv
     )
     if m_given:
         return  # -m given (even empty): pytest's marker selection governs
-    if any("::" in a for a in config.args):
-        return  # explicitly named node ids always run
+    node_args = [str(a) for a in config.args if "::" in str(a)]
+    named_prefixes = []
+    for a in node_args:
+        # normalize the arg's path part to the rootdir-relative, "/"
+        # separated form item nodeids use, so a cwd-relative or absolute
+        # spelling still matches its own collected items
+        path, _, rest = a.partition("::")
+        rel = os.path.relpath(os.path.abspath(path), str(config.rootdir))
+        named_prefixes.append(rel.replace(os.sep, "/") + "::" + rest)
+
+    def explicitly_named(item) -> bool:
+        nid = item.nodeid
+        return any(
+            nid == p or nid.startswith(p + "::") or nid.startswith(p + "[")
+            for p in named_prefixes
+        )
+
     deselected = [
-        item for item in items if item.get_closest_marker("deep")
+        item
+        for item in items
+        if item.get_closest_marker("deep") and not explicitly_named(item)
     ]
     if deselected:
-        kept = [i for i in items if not i.get_closest_marker("deep")]
-        items[:] = kept
+        drop = set(id(i) for i in deselected)
+        items[:] = [i for i in items if id(i) not in drop]
         config.hook.pytest_deselected(items=deselected)
 
 
