@@ -531,6 +531,7 @@ def soak_probe(
     hard_cap_sec: float = 300.0,
     crash_rate: float = 0.0,
     crash_seed: int = 1914,
+    min_completed: int | None = None,
 ) -> tuple[float, dict]:
     """r13 (r12 verdict task #4) — CONCURRENT soak: every prior lane runs
     its phases sequentially, but the lease/fence protocol's whole point is
@@ -565,7 +566,9 @@ def soak_probe(
         ingested, and every vector of every COMMITTED batch is visible;
       * both maintenance leases released, ≥ 2 maintenance passes
         COMPLETED (≥ 1 under crash injection — kills must not starve
-        healthy completions), every ingest batch eventually committed.
+        healthy completions; callers may RAISE the floor via
+        ``min_completed``, r16 — the deepened 10x/healthy lane demands
+        ≥ 15), every ingest batch eventually committed.
 
     Batch sizes are constant across scales (like ingest_gate /
     vector_ingest): the lane's wall grows only with the index-sized
@@ -933,8 +936,12 @@ def soak_probe(
         # verdict's `maint_passes - maint_crashes >= 1` invariant — the
         # healthy lane keeps its original >= 2 bar; the crash lane
         # demands >= 1 healthy completion racing ingest, which the
-        # injection's kills must not be allowed to starve out
-        min_completed = 2 if crash_rate == 0 else 1
+        # injection's kills must not be allowed to starve out. r16 (r15
+        # verdict #2): the caller can RAISE the bar — the deepened
+        # 10x/healthy lane pins ~r13 interleaving depth (>= 15 completed
+        # passes racing live ingest) instead of just regime presence.
+        if min_completed is None:
+            min_completed = 2 if crash_rate == 0 else 1
         if report["maint_passes"] < min_completed:
             problems.append(
                 f"only {report['maint_passes']} maintenance passes "
@@ -1209,11 +1216,29 @@ def main() -> int:
         # kills, r14 verdict #4) additionally asserts >= 1 HEALTHY
         # completed pass and >= 1 kill per seam family inside its own
         # window, so neither regime can silently displace the other.
+        # r16 (r15 verdict #2): the 10x/healthy lane is DEEPENED — r15
+        # restored the regime but completed only 6 maintenance passes in
+        # 29.3s vs r13's 18 in ~122s, and interleaving COUNT (not the
+        # invariant) is what catches live races: X134 was caught by pass
+        # #N, not pass #1. 12 ingest batches (vs 3) stretch the window to
+        # ~r13 length with ingest racing the WHOLE time (no idle
+        # maintenance-only tail), and the completed-pass floor rises to
+        # 15 so a silent future shortening fails the lane instead of
+        # shrinking the coverage. Everything else — small lanes, both
+        # crash lanes — stays exactly as r15 shipped it.
         for tag, src_dir in (("small", SRC), ("10x", dst)):
             for regime, rate in (("healthy", 0.0), ("crash", 0.35)):
                 lane = f"{tag}/{regime}"
+                deep_kw = (
+                    {"n_batches": 12, "min_completed": 15,
+                     "hard_cap_sec": 600.0}
+                    if (tag, regime) == ("10x", "healthy")
+                    else {}
+                )
                 try:
-                    t_soak, rep = soak_probe(spark, src_dir, crash_rate=rate)
+                    t_soak, rep = soak_probe(
+                        spark, src_dir, crash_rate=rate, **deep_kw
+                    )
                 except Exception as ex:  # a crashed lane is a failure
                     failures.append(f"soak[{lane}]: crashed: {ex}")
                     print(f"{'soak_concurrent':20s} [{lane}] CRASH: {ex}",
