@@ -15,6 +15,8 @@ are dense and shallow, so plain hash-min converges in a handful of rounds).
 
 from __future__ import annotations
 
+import logging
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -22,6 +24,20 @@ from pyspark.sql import functions as F
 from twitter_event_stream_spark import registry
 from twitter_event_stream_spark.registry import query
 from twitter_event_stream_spark.tables import table
+
+_LOG = logging.getLogger(__name__)
+
+#: Convergence telemetry of the most recent :func:`connected_components`
+#: call in this process (r16, r15 verdict #4 — BENCH_NOTES records the
+#: measured CC round counts per scale so a future super-linear drift in
+#: `q_corpus_curation_full`'s 10× ratio is distinguishable from the graph
+#: simply needing an extra fixpoint round). Driver-side counters only —
+#: nothing here touches the plan or adds a job; the distributed loop's
+#: round count is read off the SAME per-round convergence action the loop
+#: already runs. Keys: phase ("local"|"distributed"), rounds (sweeps of
+#: the hash-min + pointer-jump fixpoint), edges (local phase: collected
+#: edge rows; distributed: None — counting them would add a job).
+CC_LAST_RUN: dict = {"phase": None, "rounds": 0, "edges": None}
 
 
 #: integer widths for the CC output schema: when src/dst disagree (e.g. an
@@ -64,7 +80,9 @@ def _cc_local(spark: SparkSession, pdf: pd.DataFrame, schema: str) -> DataFrame:
     ea = pdf["a"].map(order).to_numpy()
     eb = pdf["b"].map(order).to_numpy()
     lab = np.arange(len(nodes))
+    sweeps = 0
     while True:
+        sweeps += 1
         old = lab.copy()
         np.minimum.at(lab, ea, lab[eb])
         np.minimum.at(lab, eb, lab[ea])
@@ -75,6 +93,11 @@ def _cc_local(spark: SparkSession, pdf: pd.DataFrame, schema: str) -> DataFrame:
             lab = nxt
         if np.array_equal(lab, old):
             break
+    CC_LAST_RUN.update(phase="local", rounds=sweeps, edges=len(pdf))
+    _LOG.info(
+        "connected_components: local fixpoint over %d edges converged in "
+        "%d sweeps", len(pdf), sweeps,
+    )
     out = pd.DataFrame({"node": nodes, "label": nodes[lab]})
     return spark.createDataFrame(out, schema=schema)
 
@@ -154,7 +177,9 @@ def connected_components(
         .localCheckpoint()
     )
     label_type = labels.schema["label"].dataType.simpleString()
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr = (
             e.join(labels.select(F.col("node").alias("b"), "label"), "b")
             .select(
@@ -188,6 +213,11 @@ def connected_components(
         # label = min(old, neighbor labels) ≤ old, so "<" means it moved.
         if merged.filter(F.col("label") < F.col("old")).isEmpty():
             break
+    CC_LAST_RUN.update(phase="distributed", rounds=rounds, edges=None)
+    _LOG.info(
+        "connected_components: distributed fixpoint converged in %d "
+        "rounds (max_iter %d)", rounds, max_iter,
+    )
     return labels
 
 
