@@ -33,17 +33,31 @@ def pytest_collection_modifyitems(config, items):
       argv scan exists only for the EMPTY markexpr, which is falsy
       there and can only be spelled with the bare flag token followed
       by an empty value (``-m ""``, ``--markexpr ""``) or the long
-      ``--markexpr=`` — so the scan matches those exact tokens and
+      ``--markexpr=`` — so the scan matches those exact tokens, in the
+      command line and in ``PYTEST_ADDOPTS`` (addopts are injected
+      during parsing, never into ``invocation_params.args``), and
       nothing else (r15 ADVICE #3: the old prefix scan would have
-      false-positived on any future ``-m…``-spelled option);
+      false-positived on any future ``-m…``-spelled option). An empty
+      markexpr hidden in ini-file ``addopts`` is the one spelling not
+      seen — use the command line or the env var for that;
     - an EXPLICIT node id among the POSITIONAL args (``::`` in
       ``config.args`` — option values like ``-W error::Warning`` or
       ``--deselect path::test`` never land there) always runs, deep or
       not. Deep items collected from OTHER positional args in the same
       invocation are still deselected (r15 ADVICE #3: the escape used
       to be all-or-nothing, so ``pytest tests/x.py::t tests/`` silently
-      ran every deep test under ``tests/`` too)."""
+      ran every deep test under ``tests/`` too). Matching needs the
+      arg's path part to resolve to a real file; a non-path node-id
+      spelling (``--pyargs pkg.mod::test``) falls back to the
+      all-or-nothing escape rather than risk deselecting the very test
+      the user named."""
+    import shlex
+
     argv = [str(a) for a in config.invocation_params.args]
+    try:
+        argv += shlex.split(os.environ.get("PYTEST_ADDOPTS", ""))
+    except ValueError:
+        pass  # unparseable env addopts: pytest itself will complain
     m_given = config.option.markexpr or any(
         a in ("-m", "-m=", "--markexpr", "--markexpr=") for a in argv
     )
@@ -56,6 +70,11 @@ def pytest_collection_modifyitems(config, items):
         # separated form item nodeids use, so a cwd-relative or absolute
         # spelling still matches its own collected items
         path, _, rest = a.partition("::")
+        if not os.path.exists(path):
+            # not a filesystem spelling (e.g. --pyargs module::test):
+            # we cannot reliably map it to item nodeids, so keep the
+            # conservative whole-run escape — every named test runs
+            return
         rel = os.path.relpath(os.path.abspath(path), str(config.rootdir))
         named_prefixes.append(rel.replace(os.sep, "/") + "::" + rest)
 

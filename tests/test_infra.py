@@ -4603,6 +4603,10 @@ def test_cas_marker_heartbeat_survives_unreadable_blip(
         time.sleep(0.02)
     stop.set()
     t.join(timeout=10)
+    assert not t.is_alive(), (
+        "heartbeat thread must exit promptly on stop (reading the "
+        "marker under a live writer would race the assertions below)"
+    )
     assert blip["fired"], "test bug: the unreadable blip never injected"
     assert refreshed, (
         "a present-but-unreadable read must only skip ONE beat — the "
@@ -4612,6 +4616,64 @@ def test_cas_marker_heartbeat_survives_unreadable_blip(
         "the surviving heartbeat must never replace the payload with "
         "someone else's"
     )
+
+
+@pytest.mark.parametrize("torn", [b"", b'{"brea'])
+def test_cas_marker_heartbeat_reclaims_torn_marker(
+    spark, tmp_path_factory, torn
+):
+    """r16 (review of the r15 ADVICE #4 leak fix) — a marker torn by a
+    failed rewrite (empty commit or truncated JSON) must not kill or
+    wedge the heartbeat: an empty-but-readable payload has no breaker id
+    and is NOT 'verifiably another breaker's' (exiting there dropped the
+    stall protection), and after two consecutive unreadable/breakerless
+    reads with an unchanged mtime the heartbeat RECLAIMS the marker by
+    rewriting its own payload — a live rival's marker can never look
+    like that (its beats advance the mtime; its payload reads whole)."""
+    import json
+    import os
+    import threading
+    import time
+
+    import twitter_event_stream_spark.fsio as fsio
+
+    root = str(tmp_path_factory.mktemp("hb-torn"))
+    fs, hpath = fsio._fs(spark, root)
+    mp = os.path.join(root, "lease.break")
+    payload = json.dumps(
+        {"breaker": "me", "judged_mtime_ms": 0, "index": root},
+        sort_keys=True,
+    ).encode("utf-8")
+    with open(mp, "wb") as f:
+        f.write(torn)  # the torn state a failed rewrite leaves behind
+    os.utime(mp, (0, 0))
+
+    stop = threading.Event()
+    t = threading.Thread(
+        target=fsio._beat_break_marker,
+        args=(fs, hpath(mp), "me", payload, stop, 0.05),
+        name="hb-torn",
+        daemon=True,
+    )
+    t.start()
+    deadline = time.time() + 10.0
+    reclaimed = False
+    while time.time() < deadline:
+        try:
+            if json.loads(open(mp).read()).get("breaker") == "me":
+                reclaimed = True
+                break
+        except Exception:
+            pass  # still torn: keep waiting
+        time.sleep(0.02)
+    stop.set()
+    t.join(timeout=10)
+    assert not t.is_alive(), "heartbeat thread must exit on stop"
+    assert reclaimed, (
+        f"heartbeat must reclaim a torn marker ({torn!r}) instead of "
+        "exiting (empty payload) or skip-looping forever (partial JSON)"
+    )
+    assert os.path.getmtime(mp) > 1.0, "reclaim must refresh the mtime"
 
 
 def test_overwrite_publish_legacy_vs_pointer_thread_race(

@@ -1101,14 +1101,25 @@ def _beat_break_marker(
     the lease heartbeat's, transplanted (:func:`_touch_lease`): every
     beat is an OWNERSHIP probe (payload read first; verified absence or
     a verifiably DIFFERENT breaker id stops the heartbeat, while a
-    present-but-unreadable blip only skips the beat — a permanent exit
-    on one bad read would drop the stall protection for the rest of the
-    break), refresh is setTimes first, VERIFIED by
-    re-stat, with a payload-rewrite fallback where setTimes is inert
-    (object stores — exactly the stores this break runs on); the stop
-    signal is re-checked before and after the rewrite PUT so a beat that
-    stalls across the break's completion undoes a marker it resurrected
-    (verified ours) instead of wedging contenders for a marker TTL.
+    present-but-unreadable — or readable-but-breakerless — read only
+    skips the beat: a permanent exit on one bad read would drop the
+    stall protection for the rest of the break). A SECOND consecutive
+    such read with an UNCHANGED mtime is reclaimed by rewriting our
+    payload (r16 review): every legitimate marker carries a breaker id
+    and a live rival's beats advance its mtime, so that state can only
+    be a torn write — ours, from a rewrite whose failed PUT could not
+    be aborted — or a dead process's remnant, which a rewrite harms no
+    one by absorbing (a merely-slow owner is arbitrated by the next
+    read-back: one side sees a foreign id and exits). Refresh is
+    setTimes first, VERIFIED by re-stat, with a payload-rewrite
+    fallback where setTimes is inert (object stores — exactly the
+    stores this break runs on); a rewrite whose write FAILS is aborted,
+    never committed (close is the PUT commit on those stores — a plain
+    close-after-failed-write would itself materialize the torn marker);
+    the stop signal is re-checked before and after the rewrite PUT so a
+    beat that stalls across the break's completion undoes a marker it
+    resurrected (verified ours) instead of wedging contenders for a
+    marker TTL.
     With the heartbeat, a marker older than its TTL can only mean the
     breaker's PROCESS died — decaying it is safe, and a dead process
     cannot later delete anything. The remaining residual is a WHOLE-
@@ -1117,43 +1128,83 @@ def _beat_break_marker(
     the module docstring's OPEN RESIDUAL WINDOWS table: the same class,
     and the same detection at the displaced successor's heartbeat /
     generation fence, as the lease heartbeat's own documented stall."""
+    unreadable_streak = 0
+    unreadable_mtime = None
     while not stop.wait(interval):
         try:
             info, absent, before = _read_small_json_status(fs, marker)
-            if absent or (
-                info is not None and info.get("breaker") != breaker_id
-            ):
-                return  # verifiably gone or another breaker's: never touch
-            if info is None:
-                # present but unreadable THIS beat (store blip): skip the
-                # beat and retry — a permanent exit here would silently
-                # drop the stall protection for the rest of the break,
-                # letting the marker decay while the breaker is alive
-                # (the exact residual this heartbeat closes); the
-                # ownership re-check before the lease delete still
-                # guards a marker that was genuinely taken over
-                continue
-            now = int(time.time() * 1000)
-            try:
-                fs.setTimes(marker, now, -1)
-                _i, _a, after = _read_small_json_status(fs, marker)
-            except Exception:
-                after = before
-            if after is not None and after != before:
-                continue  # observably refreshed
+            if absent:
+                return  # verifiably gone: never touch
+            owner = info.get("breaker") if info is not None else None
+            if owner is not None and owner != breaker_id:
+                return  # verifiably another breaker's: never touch
+            need_reclaim = False
+            if owner is None:
+                # present but unreadable — or readable with no breaker
+                # field — THIS beat. A permanent exit here would silently
+                # drop the stall protection for the rest of the break
+                # (the exact residual this heartbeat closes), and every
+                # LEGITIMATE marker carries a breaker id (the conditional
+                # create and this rewrite both PUT the full payload), so
+                # this state is a transient read blip or a TORN WRITE.
+                # Skip ONE beat (rules out the blip); a second consecutive
+                # such read with an UNCHANGED mtime cannot be a live
+                # rival's marker (its beats advance the mtime and its
+                # payload reads whole) — reclaim it by rewriting ours.
+                # Wrongly reclaiming a DEAD rival's torn remnant is
+                # harmless: a dead process deletes nothing, and if its
+                # owner is merely slow the next read-back arbitrates
+                # (one of us sees a foreign id and exits; the pre-delete
+                # ownership re-check keeps the lease safe regardless).
+                if (
+                    unreadable_streak == 0
+                    or before is None
+                    or before != unreadable_mtime
+                ):
+                    unreadable_streak = 1
+                    unreadable_mtime = before
+                    continue
+                need_reclaim = True
+            else:
+                unreadable_streak = 0
+            if not need_reclaim:
+                now = int(time.time() * 1000)
+                try:
+                    fs.setTimes(marker, now, -1)
+                    _i, _a, after = _read_small_json_status(fs, marker)
+                except Exception:
+                    after = before
+                if after is not None and after != before:
+                    continue  # observably refreshed
             if stop.is_set():
                 return  # break finished mid-beat: never resurrect
             out = fs.create(marker, True)  # overwrite PUT bumps mtime
+            committed = False
             try:
                 out.write(payload)
+                committed = True
             finally:
-                # always closed (r15 ADVICE #4: the blanket except below
-                # swallowed a write-time failure WITHOUT closing, leaking
-                # the stream once per failed beat). A close after a failed
-                # write commits our own marker with a short payload — the
-                # next beat reads it unreadable, takes the skip-beat blip
-                # path, and the beat after that rewrites it whole.
-                out.close()
+                if committed:
+                    out.close()  # object stores: the PUT commits HERE
+                else:
+                    # never COMMIT a torn PUT (r16 review of the r15
+                    # ADVICE #4 leak fix: a plain close-after-failed-
+                    # write would materialize a short marker). abort()
+                    # discards the upload on Abortable streams — exactly
+                    # the object stores whose close() is the commit;
+                    # where abort is unsupported, close both releases
+                    # the handle (the original leak) and, on in-place
+                    # stores whose create() already truncated at open,
+                    # leaves the torn state the reclaim branch above
+                    # heals two beats later.
+                    try:
+                        out.abort()
+                    except Exception:
+                        try:
+                            out.close()
+                        except Exception:
+                            pass
+            unreadable_streak = 0
             if stop.is_set():
                 # late PUT may have recreated the marker the break's
                 # cleanup just deleted: undo only if verifiably ours

@@ -36,8 +36,13 @@ _LOG = logging.getLogger(__name__)
 #: round count is read off the SAME per-round convergence action the loop
 #: already runs. Keys: phase ("local"|"distributed"), rounds (sweeps of
 #: the hash-min + pointer-jump fixpoint), edges (local phase: collected
-#: edge rows; distributed: None — counting them would add a job).
-CC_LAST_RUN: dict = {"phase": None, "rounds": 0, "edges": None}
+#: edge rows; distributed: None — counting them would add a job),
+#: converged (False only when the distributed loop exhausted max_iter
+#: with labels still moving — a truncated run must never masquerade as
+#: a measured convergence in the drift bookkeeping).
+CC_LAST_RUN: dict = {
+    "phase": None, "rounds": 0, "edges": None, "converged": None,
+}
 
 
 #: integer widths for the CC output schema: when src/dst disagree (e.g. an
@@ -74,6 +79,9 @@ def _cc_local(spark: SparkSession, pdf: pd.DataFrame, schema: str) -> DataFrame:
 
     pdf = pdf.dropna()
     if len(pdf) == 0:
+        # still the most recent call: stale telemetry from an earlier
+        # graph must not be attributed to this (empty) one
+        CC_LAST_RUN.update(phase="local", rounds=0, edges=0, converged=True)
         return spark.createDataFrame([], schema)
     nodes = np.unique(np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()]))
     order = {v: i for i, v in enumerate(nodes)}  # sorted → index order = id order
@@ -93,7 +101,9 @@ def _cc_local(spark: SparkSession, pdf: pd.DataFrame, schema: str) -> DataFrame:
             lab = nxt
         if np.array_equal(lab, old):
             break
-    CC_LAST_RUN.update(phase="local", rounds=sweeps, edges=len(pdf))
+    CC_LAST_RUN.update(
+        phase="local", rounds=sweeps, edges=len(pdf), converged=True
+    )
     _LOG.info(
         "connected_components: local fixpoint over %d edges converged in "
         "%d sweeps", len(pdf), sweeps,
@@ -178,6 +188,7 @@ def connected_components(
     )
     label_type = labels.schema["label"].dataType.simpleString()
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         rounds += 1
         nbr = (
@@ -212,12 +223,23 @@ def connected_components(
         labels = merged.select("node", "label")
         # label = min(old, neighbor labels) ≤ old, so "<" means it moved.
         if merged.filter(F.col("label") < F.col("old")).isEmpty():
+            converged = True
             break
-    CC_LAST_RUN.update(phase="distributed", rounds=rounds, edges=None)
-    _LOG.info(
-        "connected_components: distributed fixpoint converged in %d "
-        "rounds (max_iter %d)", rounds, max_iter,
+    CC_LAST_RUN.update(
+        phase="distributed", rounds=rounds, edges=None, converged=converged
     )
+    if converged:
+        _LOG.info(
+            "connected_components: distributed fixpoint converged in %d "
+            "rounds (max_iter %d)", rounds, max_iter,
+        )
+    else:
+        # a truncated run must never masquerade as a measured
+        # convergence (r16 review) — the drift bookkeeping keys on this
+        _LOG.warning(
+            "connected_components: max_iter %d exhausted with labels "
+            "still moving — returned labels are NOT converged", max_iter,
+        )
     return labels
 
 
