@@ -4658,9 +4658,17 @@ def test_cas_marker_heartbeat_reclaims_torn_marker(
     t.start()
     deadline = time.time() + 10.0
     reclaimed = False
+    reclaimed_mtime = 0.0
     while time.time() < deadline:
         try:
             if json.loads(open(mp).read()).get("breaker") == "me":
+                # capture the mtime BEFORE setting stop: no deletion
+                # path exists in the heartbeat until stop is set, so
+                # this read cannot race the stop-undo — the post-join
+                # state can (a stop landing inside the rewrite's
+                # post-PUT window makes the beat undo its own marker,
+                # verified-ours — correct behavior, asserted below)
+                reclaimed_mtime = os.path.getmtime(mp)
                 reclaimed = True
                 break
         except Exception:
@@ -4673,7 +4681,12 @@ def test_cas_marker_heartbeat_reclaims_torn_marker(
         f"heartbeat must reclaim a torn marker ({torn!r}) instead of "
         "exiting (empty payload) or skip-looping forever (partial JSON)"
     )
-    assert os.path.getmtime(mp) > 1.0, "reclaim must refresh the mtime"
+    assert reclaimed_mtime > 1.0, "reclaim must refresh the mtime"
+    # after stop the marker is either still ours (normal exit) or gone
+    # (the stop-undo fired mid-rewrite and removed a verified-ours
+    # marker) — never someone else's, never torn again
+    if os.path.exists(mp):
+        assert json.loads(open(mp).read()).get("breaker") == "me"
 
 
 def test_overwrite_publish_legacy_vs_pointer_thread_race(
