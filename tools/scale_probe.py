@@ -1141,8 +1141,20 @@ def main() -> int:
         # corpus-sized lanes above). The slack absorbs the benign growth
         # axis: more corpus -> more trained cells -> O(batch x cells)
         # assignment.
+        # best-of-2 like time_probe (r16: the one-shot timing conflated
+        # the lane's steady-state flatness claim with first-call codegen
+        # /scheduler noise — a loud host read 16 s for a handler whose
+        # warm cost is ~2-4 s, 9.4x against a 2x-small+slack budget that
+        # is deliberately the probe's tightest). The handler mutates its
+        # own fresh tmp index per call, so repetition IS a second full
+        # probe — same semantics, warm JVM — and the min measures the
+        # per-batch cost the lane actually bounds.
         t_small_v, n_v = vector_ingest_probe(spark, SRC)
+        t2_v, _ = vector_ingest_probe(spark, SRC)
+        t_small_v = min(t_small_v, t2_v)
         t_big_v, _ = vector_ingest_probe(spark, dst)
+        t2_v, _ = vector_ingest_probe(spark, dst)
+        t_big_v = min(t_big_v, t2_v)
         budget = LINEAR_ALPHA * t_small_v + SLACK_SEC
         ratio = t_big_v / max(t_small_v, 1e-9)
         ok = t_big_v <= budget
