@@ -48,15 +48,40 @@ def char_shingles_sql(n: int = 3, col: str = "text") -> str:
     THE shared shingle builder (near-dup MinHash, n-gram Jaccard,
     winnowing fingerprints, estimator audits all consume it).
 
-    Carries the length guard as part of the definition: Spark's
-    ``sequence(1, m)`` DESCENDS for m < 1 (DuckDB's ``range`` is empty),
-    so an unguarded builder fabricates ``''`` shingles on degenerate
-    (<n-char) texts — which once linked every short doc into a single
-    phantom near-dup cluster (r6 degenerate-text audit catch). One
-    definition, so the guard cannot desync across call sites again."""
-    return (
+    Fast path (r16, guide §1.2 per-task work): the windows are extracted
+    with ONE codegen'd regex pass — ``(?s)(?=(.{n}))`` captures the n
+    chars after every position via a zero-width lookahead, so the matcher
+    emits exactly the overlapping n-grams in position order — instead of
+    an interpreted ``transform(sequence(...), i -> substring(...))``
+    lambda, which paid per-element interpreter overhead (measured 3.3× on
+    the sf0.1 documents: 2.0 s → 0.6 s for the shingle projection).
+
+    Semantics are EXACTLY the old builder's, pinned by a cell-by-cell
+    ``<=>`` comparison over the full fixture plus an adversarial battery
+    (empty/short/NULL text, newlines/tabs/control chars, accented BMP,
+    astral emoji, repeats):
+
+    - The old CASE length-guard (Spark's ``sequence(1, m)`` DESCENDS for
+      m < 1 and would fabricate ``''`` shingles on <n-char texts — the r6
+      degenerate-text audit catch) is subsumed: the regex simply has no
+      match on short texts and yields ``array()``.
+    - NULL text: ``regexp_extract_all(NULL)`` is NULL where the old CASE
+      produced ``array()`` — the explicit IS NULL arm pins ``array()``.
+    - Astral (non-BMP) text falls back to the old transform form: after a
+      zero-width match Java's matcher advances by UTF-16 code UNIT, so on
+      surrogate pairs the regex would emit extra garbage windows starting
+      mid-pair (observed on emoji). The surrogate-range RLIKE routes such
+      rows — and only such rows — down the per-code-point path.
+    """
+    legacy = (
         f"CASE WHEN length({col}) >= {n} THEN"
         f" array_distinct(transform(sequence(1, length({col}) - {n - 1}),"
         f" i -> substring({col}, i, {n})))"
         f" ELSE array() END"
+    )
+    return (
+        f"CASE WHEN {col} IS NULL THEN array()"
+        f" WHEN {col} RLIKE '[\\\\x{{10000}}-\\\\x{{10FFFF}}]' THEN {legacy}"
+        f" ELSE array_distinct(regexp_extract_all({col},"
+        f" '(?s)(?=(.{{{n}}}))', 1)) END"
     )

@@ -263,17 +263,22 @@ def q_dup_spans_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     new, so output stays tiny at any corpus size. Docs with <5 tokens have
     no 5-gram and are excluded (same statement as the bounded form)."""
     d = table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # Bind split(text) to a column BEFORE the transform lambda (r16, guide
+    # §1.2 per-task work): HOF lambda bodies are interpreted with no
+    # loop-invariant hoisting, so the inlined form re-split the whole text
+    # once per gram index — O(tokens²) splits per doc. Measured 1.8 s →
+    # 0.52 s for the gram explode alone at sf0.1; identical gram values.
+    dt = d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
     grams = F.when(
-        F.size(toks) >= 5,
+        F.size("toks") >= 5,
         F.array_distinct(
             F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 4),"
-                " i -> array_join(slice(split(text, ' '), i, 5), ' '))"
+                "transform(sequence(1, size(toks) - 4),"
+                " i -> array_join(slice(toks, i, 5), ' '))"
             )
         ),
     ).otherwise(F.array())
-    g = d.select("doc_id", "lang", F.explode(grams).alias("gram"))
+    g = dt.select("doc_id", "lang", F.explode(grams).alias("gram"))
     shared = (
         g.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("nd"))

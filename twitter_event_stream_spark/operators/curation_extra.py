@@ -326,13 +326,22 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     # One (doc, term) partial aggregate feeds tf, doc lengths, AND document
-    # frequencies: the three consumers sit on the identical exchange, which
-    # the physical planner deduplicates (ReusedExchange) — the corpus is
-    # tokenized and shuffled once; the (doc, term) table is far smaller
-    # than the token stream but still corpus-sized, so tf/dl never get
-    # broadcast hints below.
-    base = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dl = base.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
+    # frequencies. The r15 form relied on ReusedExchange to deduplicate the
+    # three consumers, but broadcast decisions (qterms, stats) leave the
+    # subtrees without a shared Exchange — the r16 plan audit measured the
+    # tokenize + (doc, tok) aggregation running FOUR times from the parquet
+    # scan. Materialize `base` once instead (guide §2.4/§3.3): the
+    # (doc, term) table is far smaller than the token stream (still
+    # corpus-sized, so no broadcast hints below — localCheckpoint spills
+    # past memory, the same durability class as the shuffle files the
+    # reused exchange would have written). `dl` (one narrow row per doc)
+    # likewise feeds both the 1-row stats and the per-doc join.
+    base = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    dl = base.groupBy("doc_id").agg(F.sum("tf").alias("dlen")).localCheckpoint()
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avg_len")
     )

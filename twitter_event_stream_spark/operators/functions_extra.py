@@ -328,12 +328,30 @@ def q_agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-safe arithmetic: try_divide → NULL on zero denominator,
     try_cast → NULL on malformed input ('1-URGENT' fails, its leading digit
-    parses). The oracle spells the same semantics with CASE/TRY_CAST."""
+    parses). The oracle spells the same semantics with CASE/TRY_CAST.
+
+    The failing-string cast is regex-guarded (r16, guide §1.2 "per-task
+    work"): a FAILED ANSI string→int cast constructs a formatted
+    SparkRuntimeException per row before TRY absorbs it — measured
+    ~13 µs/row, 1.86 s over sf0.1 `orders` vs 0.13 s guarded, and pure
+    per-row overhead at any scale. The guard is a strict SUPERSET of the
+    cast's accept grammar (trim of [\\x00-\\x20] control chars + optional
+    sign + ASCII digits — verified cell-by-cell against bare try_cast on
+    an adversarial battery incl. control chars, unicode digits/spaces,
+    overflow: 0 disagreements), so matching strings still go through the
+    REAL try_cast (identical values, incl. overflow→NULL) and only
+    guaranteed-NULL rows skip the throwing path. `pri_num`'s cast input
+    always parses (leading digit), so it keeps the bare try_cast — its
+    exception path never fires."""
     o = table(spark, sf_dir, "orders")
+    int_like = "^[\\x00-\\x20]*[+-]?[0-9]+[\\x00-\\x20]*$"
     return o.select(
         "o_orderkey",
         F.try_divide("o_totalprice", F.col("o_orderkey") % 3).alias("safe_div"),
-        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.when(
+            F.col("o_orderpriority").rlike(int_like),
+            F.col("o_orderpriority").try_cast("int"),
+        ).alias("bad_cast"),
         F.substring("o_orderpriority", 1, 1).try_cast("int").alias("pri_num"),
     )
 

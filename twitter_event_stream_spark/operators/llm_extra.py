@@ -460,7 +460,13 @@ def minhash_cluster_edges(d: DataFrame) -> DataFrame:
     groupBy combines map-side and the join streams the hot key (and AQE
     skew-join can split it).
     """
-    per_doc = minhash_band_sigs(d)
+    # Materialize the signature table once (guide §2.4/§3.3): `keys` feeds
+    # BOTH the hub aggregation and the join's probe side, and whenever the
+    # planner broadcasts `hubs` the two subtrees share no Exchange — the
+    # whole shingle→8×md5 aggregation would run twice from the parquet
+    # scan (measured in the r16 plan audit). The checkpointed table is one
+    # narrow row per doc (8×16-char minima), bounded at any corpus size.
+    per_doc = minhash_band_sigs(d).localCheckpoint()
     keys = per_doc.select(
         "doc_id",
         F.explode(
@@ -496,7 +502,12 @@ def minhash_det_pairs(d: DataFrame) -> DataFrame:
     near-dup pairs linking ALL short docs into one cluster, which the
     graph queries built on these pairs then amplify (caught by the r6
     degenerate-text differential audit)."""
-    per_doc = minhash_band_sigs(d)
+    # Materialize the signature table once (guide §2.4/§3.3): the banded
+    # self-join reads `sig` on both sides, and when one side broadcasts
+    # (the local/bench-scale plan) there is no shared Exchange to reuse —
+    # without this the shingle→8×md5 aggregation ran twice end-to-end
+    # (r16 plan audit: two parquet scans). One narrow row per doc.
+    per_doc = minhash_band_sigs(d).localCheckpoint()
     sig = per_doc.selectExpr(
         "doc_id",
         "stack(8, " + ", ".join(f"{b}, _s{b}" for b in range(8)) + ") AS (band, sig)",
@@ -694,6 +705,14 @@ def simhash_banded_pairs(
         raise ValueError("need n_bands > max_hamming for exact recall")
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
+    # Materialize the caller's signature lineage once (guide §2.4/§3.3):
+    # the banded self-join consumes `sh` on both sides, and when one side
+    # broadcasts there is no Exchange to reuse — the full upstream
+    # signature computation (e.g. simhash64's tokenize + 64-sum
+    # aggregation) would otherwise run twice from the source scan (r16
+    # plan audit of q_simhash_dedup_full: two parquet scans). One narrow
+    # (doc_id, signature) row per doc, bounded at any corpus size.
+    sh = sh.select("doc_id", sig_col).localCheckpoint()
     bands = sh.select(
         "doc_id",
         F.col(sig_col).alias("_sig"),

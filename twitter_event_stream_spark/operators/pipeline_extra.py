@@ -532,15 +532,23 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio (nullif guard, identical both engines). The trigram list is built
     with an n>=3 CASE guard because Spark's `sequence(1, n)` turns
     *descending* when n < 1 while DuckDB's `range` returns empty."""
+    # `toks` is bound as a column below (r16, guide §1.2): the interpreted
+    # transform lambda re-evaluated the inlined split(text) THREE times per
+    # trigram index (no loop-invariant hoisting in HOF bodies) — O(tokens²)
+    # splits per doc; identical trigram values with the column reference.
     tri = F.expr(
-        "CASE WHEN size(split(text, ' ')) >= 3 THEN"
-        " transform(sequence(1, size(split(text, ' ')) - 2),"
-        "  i -> concat(element_at(split(text, ' '), i), ' ',"
-        "              element_at(split(text, ' '), i + 1), ' ',"
-        "              element_at(split(text, ' '), i + 2)))"
+        "CASE WHEN size(toks) >= 3 THEN"
+        " transform(sequence(1, size(toks) - 2),"
+        "  i -> concat(element_at(toks, i), ' ',"
+        "              element_at(toks, i + 1), ' ',"
+        "              element_at(toks, i + 2)))"
         " ELSE array() END"
     )
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .withColumn("toks", F.split("text", " "))
+    )
     n_tri = F.size(F.col("tri"))
     n_dup = n_tri - F.size(F.array_distinct("tri"))
     from twitter_event_stream_spark.exprs import rnd

@@ -259,14 +259,19 @@ def q_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (Spark sequences DESCEND, unlike DuckDB's empty range) whose
     # element_at(..., 0) THROWS under ANSI — the oracle just emits no
     # grams, so match it with an explicit empty array
+    # toks bound as a column before the lambda (r16, guide §1.2): the
+    # interpreted transform body re-split the text twice per bigram index
+    # (no loop-invariant hoisting in HOF lambdas); identical gram values.
     grams = F.expr(
-        "CASE WHEN size(split(text, ' ')) >= 2 THEN"
-        " array_distinct(transform(sequence(1, size(split(text, ' ')) - 1),"
-        " i -> concat(element_at(split(text, ' '), i), ' ',"
-        "             element_at(split(text, ' '), i + 1))))"
+        "CASE WHEN size(toks) >= 2 THEN"
+        " array_distinct(transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ',"
+        "             element_at(toks, i + 1))))"
         " ELSE array() END"
     )
-    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    g = d.withColumn("toks", F.split("text", " ")).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = g.select(F.col("doc_id").alias("a_id"), "gram")
     b = g.select(F.col("doc_id").alias("b_id"), "gram")

@@ -284,23 +284,30 @@ def _cell_assign(df, bc, n_probe: int):
     )
 
 
-def _cosine(a_col: str, b_col: str):
-    """JVM-side cosine between two array<float> columns (double-widened
-    HOF fold — the oracle-parity arithmetic, shared by the per-cell
-    verifies). A zero-norm side yields NULL (no cosine direction) via
-    ``nullif`` — under Spark 4's default ANSI mode a bare divide would
-    instead abort the whole job on the first zero-norm vector; NULL sims
-    sink below every real neighbor in the descending top-k window."""
+def _dot(x: str, y: str):
+    """Double-widened HOF dot product of two array<float> columns — the
+    oracle-parity arithmetic every JVM-side cosine shares."""
+    return F.expr(
+        f"aggregate(zip_with(transform({x}, v -> CAST(v AS DOUBLE)),"
+        f" transform({y}, v -> CAST(v AS DOUBLE)), (v, w) -> v * w),"
+        " 0D, (acc, v) -> acc + v)"
+    )
 
-    def dot(x, y):
-        return F.expr(
-            f"aggregate(zip_with(transform({x}, v -> CAST(v AS DOUBLE)),"
-            f" transform({y}, v -> CAST(v AS DOUBLE)), (v, w) -> v * w),"
-            " 0D, (acc, v) -> acc + v)"
-        )
 
-    return dot(a_col, b_col) / F.nullif(
-        F.sqrt(dot(a_col, a_col)) * F.sqrt(dot(b_col, b_col)), F.lit(0.0)
+def _cosine_prenormed(a_col: str, b_col: str, a_norm: str, b_norm: str):
+    """JVM-side cosine between two array<float> columns with the two L2
+    norms read from per-row columns (``sqrt(_dot(v, v))``, computed in the
+    projections BELOW the pair join — guide §2.3/§4: interpreted HOF folds
+    cost per element, and a norm is a pure function of one row, so
+    computing it once per ROW instead of once per candidate PAIR drops 2
+    of the 3 folds each pair used to pay; the expression tree per value is
+    unchanged, so sims are bit-identical — r16). A zero-norm side yields
+    NULL (no cosine direction) via ``nullif`` — under Spark 4's default
+    ANSI mode a bare divide would instead abort the whole job on the first
+    zero-norm vector; NULL sims sink below every real neighbor in the
+    descending top-k window."""
+    return _dot(a_col, b_col) / F.nullif(
+        F.col(a_norm) * F.col(b_norm), F.lit(0.0)
     )
 
 
@@ -344,19 +351,30 @@ def ivf_topk(
     assigned = _cell_assign(vectors, bc, 1)
     probe_cells = _cell_assign(probes, bc, n_probe_cells)
 
-    # Per-cell brute force: join probes to their cells' candidates.
+    # Per-cell brute force: join probes to their cells' candidates. Norms
+    # are per-ROW columns computed below the join (guide §2.3: hoist
+    # invariant work out of the pair product) — each pair then pays one
+    # HOF fold (the cross dot) instead of three; bit-identical sims.
     p = probe_cells.select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("pv"),
         "cell",
+        F.sqrt(_dot("embedding", "embedding")).alias("pn"),
     )
     c = assigned.select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"), "cell"
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        "cell",
+        F.sqrt(_dot("embedding", "embedding")).alias("cn"),
     )
     sims = (
         p.join(c, "cell")
         .filter(F.col("probe_id") != F.col("cand_id"))
-        .select("probe_id", "cand_id", _cosine("pv", "cv").alias("sim"))
+        .select(
+            "probe_id",
+            "cand_id",
+            _cosine_prenormed("pv", "cv", "pn", "cn").alias("sim"),
+        )
         .filter(F.col("sim").isNotNull())  # zero-norm pairs: no direction
     )
     from pyspark.sql import Window
@@ -542,16 +560,28 @@ def ivf_topk_indexed(
     bc = _stored_centroid_bc(spark, cur)
     probe_cells = _cell_assign(probes, bc, n_probe_cells)
     corpus = read_ivf_cells(spark, path, data_dir=cur)
+    # per-row norms below the join, exactly like ivf_topk (bit-identical
+    # sims, 1 HOF fold per pair instead of 3 — guide §2.3)
     p = probe_cells.select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv"), "cell"
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pv"),
+        "cell",
+        F.sqrt(_dot("embedding", "embedding")).alias("pn"),
     )
     c = corpus.select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"), "cell"
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        "cell",
+        F.sqrt(_dot("embedding", "embedding")).alias("cn"),
     )
     sims = (
         p.join(c, "cell")
         .filter(F.col("probe_id") != F.col("cand_id"))
-        .select("probe_id", "cand_id", _cosine("pv", "cv").alias("sim"))
+        .select(
+            "probe_id",
+            "cand_id",
+            _cosine_prenormed("pv", "cv", "pn", "cn").alias("sim"),
+        )
         .filter(F.col("sim").isNotNull())
     )
     from pyspark.sql import Window
