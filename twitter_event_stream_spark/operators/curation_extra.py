@@ -341,7 +341,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint()
     )
-    dl = base.groupBy("doc_id").agg(F.sum("tf").alias("dlen")).localCheckpoint()
+    dl = base.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avg_len")
     )

@@ -32,9 +32,16 @@ from twitter_event_stream_spark.tables import table
     """,
 )
 def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 — scalar row-at-a-time Python UDF (value clipping)."""
+    """J1 — scalar row-at-a-time Python UDF (value clipping).
 
-    @udf("double")
+    ``useArrow=True`` (r16, guide §4.3): the function is still invoked per
+    row — the J1 contract shape — but batches cross the JVM↔Python boundary
+    as Arrow instead of pickled rows (measured 0.69 → 0.44 s at sf0.1,
+    identical output incl. NULLs — the float-in/float-out signature has
+    none of the Arrow-vs-pickle coercion edge cases, and the declared type
+    is exact)."""
+
+    @udf("double", useArrow=True)
     def clip(v: float) -> float:
         if v is None:  # NULL in, NULL out — built-in function discipline
             return None
