@@ -832,8 +832,43 @@ def soak_probe(
                 ("compact_ivf_cells",
                  lambda: compact_ivf_cells(spark, ividx, pointer_swap=True)),
             )
+
+            def _progress():
+                with lock:
+                    return (
+                        len(report["doc_committed"])
+                        + len(report["vec_committed"]),
+                        report["ingest_retries"],
+                    )
+
             i = 0
+            last_commits, last_retries = _progress()
             while not stop.wait(3.0):
+                # Starvation guard (r16): on a slow host a maintenance pass
+                # can outlast the 3 s spacing, so the lease is held almost
+                # continuously and every ingest attempt — which needs a
+                # maintenance-free span at least as long as the attempt —
+                # is fenced into a LIVELOCK (observed in this round's full
+                # probe: healthy lanes at 0 committed doc batches with 43+
+                # fence retries while 46 passes completed back-to-back;
+                # the crash regime passed because its kills broke the
+                # monopoly). A deployment paces maintenance by ingest lag
+                # (the engine's fail-fast contract assumes exactly that —
+                # see dedup_ingest_batch's docstring); the lane now does
+                # the same: when fence retries grew with NO new commit
+                # since the last pass, yield the lease window (bounded, in
+                # 0.5 s steps, up to 20 s or the first commit) before the
+                # next pass. Contention coverage is unchanged — the guard
+                # only arms when an ingester is provably starving, and the
+                # first racing passes of every lane run at full cadence.
+                commits, retries = _progress()
+                if commits == last_commits and retries > last_retries:
+                    waited = 0.0
+                    while waited < 20.0 and not stop.is_set():
+                        time.sleep(0.5)
+                        waited += 0.5
+                        if _progress()[0] != commits:
+                            break
                 name, op = ops[i % len(ops)]
                 try:
                     op()
@@ -852,6 +887,10 @@ def soak_probe(
                     with lock:
                         report["maint_errors"].append(f"{name}: {ex}"[:300])
                 i += 1
+                # the guard compares against the state as of the END of
+                # this pass: fence retries caused BY this pass must count
+                # toward the next starvation decision
+                last_commits, last_retries = _progress()
 
         def prober():
             while not stop.is_set():
