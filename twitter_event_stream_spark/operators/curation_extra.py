@@ -530,8 +530,16 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     cnt2 = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    cnt1 = b.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = b.agg(F.count_distinct("w2").alias("vocab"))
+    # cnt1/vocab derive from cnt2 instead of re-aggregating the bigram
+    # STREAM (r16, guide §2.3 "aggregate before you shuffle"): c1 per w1 is
+    # the integer sum of its bigram counts, and the distinct-w2 set of the
+    # stream IS cnt2's key set — both exactly equal by construction (integer
+    # arithmetic, identical distinct sets; pinned by the oracle compare).
+    # Locally this measures neutral (the extra corpus passes ran on idle
+    # cores); at scale it replaces two full tokenize+explode passes of the
+    # corpus with two aggregations of the far smaller observed-bigram table.
+    cnt1 = cnt2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = cnt2.agg(F.count_distinct("w2").alias("vocab"))
     p = (
         cnt2.join(cnt1, "w1")
         .crossJoin(F.broadcast(vocab))
