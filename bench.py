@@ -571,6 +571,14 @@ def main() -> None:
         "warm_std": sel["warm_std"],
         "sf": sf,
         "calib_sec": sel["calib"]["calib_sec"],
+        # Scaling-evidence contract (r17, closing the r16 verdict's
+        # suspect_cpus_ignored false positive): the core count actually in
+        # effect, read back FROM THE RUNNING CONTEXT, so a low-core rerun
+        # is verifiable from the record itself — $SPARK_GRAFT_CPUS is
+        # honored by session.py (master local[cpus], shuffle.partitions =
+        # cpus) and defaultParallelism is the JVM's own report of it.
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or os.cpu_count(),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
         # selection verdict IN-BAND (r14): how many attempts ran, which
         # one this record is, and whether it passed the coherence test
         "attempts": len(attempts),

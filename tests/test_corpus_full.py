@@ -65,6 +65,69 @@ def test_simhash64_banded_exact_recall(spark, sf_dir):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
 
 
+def test_simhash64_swar_matches_unpacked_votes(spark, sf_dir):
+    """r17: simhash64's vote counting is SWAR-packed (bit b and b+32 of
+    each token hash summed in the two 32-bit lanes of one long; bit set
+    iff 2·ones > n_tokens). That must be BIT-IDENTICAL to the classic
+    64-conditional-sum ±1 vote form on the fixture and on adversarial
+    texts (empty, single-token, all-ties, unicode/astral, long repeats) —
+    the ROWS contract has no oracle, so this equivalence IS the pin."""
+    import functools
+
+    def unpacked(d, text_col="text"):
+        toks = d.select(
+            F.col("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        ).withColumn("h", F.xxhash64("tok", F.lit(42)))
+        votes = toks.groupBy("doc_id").agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                ).alias(f"_v{b}")
+                for b in range(64)
+            ]
+        )
+        sig = functools.reduce(
+            lambda acc, b: acc.bitwiseOR(
+                F.when(
+                    F.col(f"_v{b}") > 0,
+                    F.shiftleft(F.lit(1).cast("long"), b),
+                ).otherwise(F.lit(0).cast("long"))
+            ),
+            range(64),
+            F.lit(0).cast("long"),
+        )
+        return votes.select("doc_id", sig.alias("simhash64"))
+
+    adversarial = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "a"),
+            (3, "a a a a"),  # even count — exercises the 2·ones == n tie
+            (4, "x y z x y z"),
+            (5, "héllo wörld héllo"),
+            (6, " "),
+            (7, "😀 😀 b"),
+            (8, "tok " * 500),
+        ],
+        "doc_id long, text string",
+    )
+    for d in (
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500),
+        adversarial,
+    ):
+        diff = (
+            simhash64(d)
+            .alias("n")
+            .join(unpacked(d).alias("o"), "doc_id", "full")
+            .filter(~F.expr("n.simhash64 <=> o.simhash64"))
+            .count()
+        )
+        assert diff == 0
+
+
 def test_cluster_edges_components_equal_pair_graph(spark, sf_dir):
     """The O(n·bands) star-edge graph must have EXACTLY the connected
     components (nodes and min-id labels) of the k²-per-clique ≥7-of-8-band

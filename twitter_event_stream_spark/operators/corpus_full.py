@@ -38,30 +38,50 @@ def simhash64(d: DataFrame, text_col: str = "text") -> DataFrame:
 
     Whitespace tokens are hashed once with xxhash64 (JVM, seeded 42); each
     occurrence votes ±1 per bit (classic tf-weighted SimHash), and the
-    per-doc votes reduce in ONE aggregation — 64 conditional-sum
-    expressions over the exploded token column, all whole-stage codegen,
+    per-doc votes reduce in ONE aggregation, all whole-stage codegen,
     map-side combined on doc_id. The signature assembles bit 63 through
     the arithmetic shift into the sign bit (two's complement), so the
     value is a plain BIGINT whose XOR popcount is the Hamming distance.
+
+    Vote counting is SWAR-packed (r17, guide §1.2 per-task work): instead
+    of 64 conditional ±1 sum buffers per doc, bit positions b and b+32 of
+    each token hash are spread into the two 32-bit lanes of one long
+    (``(h >> b) & 0x0000000100000001``) and summed unconditionally — 32
+    packed sums + one token count instead of 64 branchy sums, with the
+    identical result: the ±1 vote for bit b is positive iff
+    ``2·ones_b > n_tokens`` (ones − (n − ones) > 0), an integer-exact
+    equivalence, so signatures are bit-identical to the unpacked form
+    (pinned in tests). Overflow safety: each 32-bit lane accumulates at
+    most n_tokens-per-doc, so lanes are exact for docs up to 2³¹ tokens
+    (~8 GiB of text in one document — far past any real corpus row; the
+    bound is the ANSI-safe signed-sum limit, not 2³² bit-pattern
+    capacity).
     """
     toks = d.select(
         F.col("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok", F.lit(42)))
+    lane_mask = F.lit(0x0000000100000001)  # bits b and b+32 of the hash
     votes = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n"),
         *[
-            F.sum(
-                F.when(
-                    F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"_v{b}")
-            for b in range(64)
-        ]
+            F.sum(F.shiftright("h", b).bitwiseAND(lane_mask)).alias(f"_s{b}")
+            for b in range(32)
+        ],
     )
+
+    def ones(b: int):
+        # lane 0 of _s{b} counts bit b; lane 1 counts bit b+32
+        if b < 32:
+            return F.col(f"_s{b}").bitwiseAND(F.lit(0xFFFFFFFF))
+        return F.shiftrightunsigned(F.col(f"_s{b - 32}"), 32)
+
     sig = functools.reduce(
         lambda acc, b: acc.bitwiseOR(
-            F.when(F.col(f"_v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
-            .otherwise(F.lit(0).cast("long"))
+            F.when(
+                ones(b) * 2 > F.col("_n"),
+                F.shiftleft(F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long"))
         ),
         range(64),
         F.lit(0).cast("long"),
