@@ -298,7 +298,34 @@ def q_dup_spans_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array())
-    g = dt.select("doc_id", "lang", F.explode(grams).alias("gram"))
+    # One explicit gram exchange feeds BOTH the shared-gram aggregation and
+    # the join probe side (r17, guide §2.4 "two operations keyed the same
+    # way can share one exchange"): without it each side recomputed the
+    # whole tokenize→5-gram explode from the scan — the r16 ReusedExchange
+    # assumption was measured FALSE (plans/r17/q_dup_spans_full_forced_
+    # shuffle_final.txt). Two details make the two exchange subtrees
+    # canonically IDENTICAL so AQE's stage cache actually reuses them:
+    # (a) `lang` stays out of the gram stream (column pruning would give
+    # the agg branch a narrower exchange payload — lang re-attaches via a
+    # doc-level join after the rollup's input shrank to one row per doc);
+    # (b) the explicit isnotnull(gram) filter mirrors the one the
+    # optimizer infers on the join's build side (gram is never null —
+    # array_join of a non-null array — so it drops nothing). Shuffling raw
+    # gram rows costs nothing extra: they are already (doc, gram)-distinct
+    # (array_distinct above), so the count_distinct's pre-shuffle partial
+    # dedup it replaces was a no-op, and shuffle files are
+    # stage-retry-recomputable — no lineage truncation, no executor-local
+    # materialization. Verified: 2 parquet scans → 1 + ReusedExchange
+    # (plans/r17/q_dup_spans_full_after.txt).
+    # isnotnull(doc_id) mirrors what the lang re-attach join infers into
+    # the probe branch (doc_id is the fixture key, never null — drops
+    # nothing); without the mirror only one branch carries the pushed-down
+    # filter and the exchanges stop canonicalizing equal.
+    g = (
+        dt.select("doc_id", F.explode(grams).alias("gram"))
+        .filter(F.col("gram").isNotNull() & F.col("doc_id").isNotNull())
+        .repartition("gram")
+    )
     shared = (
         g.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -307,11 +334,12 @@ def q_dup_spans_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_doc = (
         g.join(shared.withColumn("dup", F.lit(1)), "gram", "left")
-        .groupBy("doc_id", "lang")
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.count("dup").alias("n_dup_grams"),
         )
+        .join(d.select("doc_id", "lang"), "doc_id")
     )
     heavy = (F.col("n_dup_grams") * 2) > F.col("n_grams")
     return (

@@ -550,17 +550,40 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    cnt2 = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # One explicit (w1, w2) exchange feeds every consumer of the bigram
+    # stream (r17, guide §2.4): the r16 comment claimed ReusedExchange
+    # would deduplicate cnt2's consumers at cluster shape, but the
+    # forced-shuffle final plan measured ZERO reuse (plans/r17/
+    # q_bigram_lm_forced_shuffle_final.txt) — column pruning and inferred
+    # null filters give each consumer a differently-shaped exchange, so
+    # the tokenize+zip+explode ran 4× from the scan. Three details make
+    # the exchange subtrees canonically identical so the stage cache
+    # reuses one shuffle: the explicit repartition; counting `doc_id`
+    # instead of lit(1) in cnt2 (equal by construction — doc_id < 2000
+    # implies non-null — and it keeps doc_id in every branch's payload so
+    # pruning cannot diverge them); and the explicit isnotnull(w1/w2)
+    # filter mirroring what the optimizer infers on the join branches
+    # (slices of a split array are never null — drops nothing). Shuffle
+    # files are stage-retry-recomputable — no lineage truncation, bounded
+    # input (doc_id < 2000) either way.
+    b = b.filter(
+        F.col("w1").isNotNull() & F.col("w2").isNotNull()
+    ).repartition("w1", "w2")
+    cnt2 = b.groupBy("w1", "w2").agg(F.count("doc_id").alias("c2"))
     # cnt1/vocab derive from cnt2 instead of re-aggregating the bigram
     # STREAM (r16, guide §2.3 "aggregate before you shuffle"): c1 per w1 is
     # the integer sum of its bigram counts, and the distinct-w2 set of the
     # stream IS cnt2's key set — both exactly equal by construction (integer
     # arithmetic, identical distinct sets; pinned by the oracle compare).
-    # Locally this measures neutral (the extra corpus passes ran on idle
-    # cores); at scale it replaces two full tokenize+explode passes of the
-    # corpus with two aggregations of the far smaller observed-bigram table.
     cnt1 = cnt2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    vocab = cnt2.agg(F.count_distinct("w2").alias("vocab"))
+    # the c2 > 0 guard is vacuously true (every observed-bigram group has
+    # >= 1 row), but it stops column pruning from collapsing this branch's
+    # cnt2 into a bare distinct-(w1,w2) — which would drop doc_id from its
+    # exchange payload and break the shared-exchange reuse above (measured:
+    # without it this branch re-scans and re-explodes the corpus slice).
+    vocab = cnt2.filter(F.col("c2") > 0).agg(
+        F.count_distinct("w2").alias("vocab")
+    )
     p = (
         cnt2.join(cnt1, "w1")
         .crossJoin(F.broadcast(vocab))

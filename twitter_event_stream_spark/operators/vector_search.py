@@ -202,7 +202,31 @@ def _train_quantizer(
     valid = vectors.select("vec_id", "embedding").filter(
         F.col("embedding").isNotNull()
     )
-    n = valid.count()
+    # ONE pass folds the corpus count and (for small corpora) the whole
+    # training sample (r17, guide §1.2 — the old separate count() was a
+    # second full scan): the Observation counts every valid row while the
+    # same job collects the first 4096 rows by vec_id. Whenever n < 4096,
+    # step = max(1, n // sample_target) is provably 1 (sample_target >=
+    # 2048 below), so the old modulo sample selected ALL valid rows with a
+    # non-null vec_id ordered by vec_id — exactly this prefix — and the
+    # centroids are bit-identical with one Spark job instead of two. For
+    # n >= 4096 the prefix is discarded (a few MB) and the modulo sample
+    # runs as before — same two scans the old code paid, since the sample
+    # predicate needs n first. The observe sits ABOVE the isNotNull
+    # embedding filter but BELOW the vec_id filter, so the count matches
+    # the old valid.count() while the prefix matches the old sample's
+    # null-id exclusion.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    prefix_pdf = (
+        valid.observe(obs, F.count(F.lit(1)).alias("n"))
+        .filter(F.col("vec_id").isNotNull())
+        .orderBy("vec_id")
+        .limit(4096)
+        .toPandas()
+    )
+    n = int(obs.get["n"])
     if n == 0:
         return None
     if n_cells is None:
@@ -225,23 +249,29 @@ def _train_quantizer(
     # binds — clamping to sample_target itself would let every sampled
     # point become its own centroid (degenerate quantizer) at huge n
     n_cells = min(n_cells, sample_target // 4)
-    step = max(1, n // sample_target)
-    # the modulo sample is size-bounded only for ids uniform mod step; ids
-    # allocated with a stride sharing a factor with step would select far
-    # more (worst case the whole corpus) into the driver — the limit is a
-    # hard cap that is a no-op in the uniform case. orderBy before the
-    # limit makes the cap a TakeOrdered: when it binds, the retained
-    # sample (and hence the seeded Lloyd init, which indexes by ROW
-    # position) is still a pure function of the data, not of partition
-    # layout — an unordered limit keeps "bounded" but loses
-    # "deterministic" exactly in the adversarial-stride case the cap
-    # exists for.
-    train_pdf = (
-        valid.filter(F.col("vec_id") % step == 0)
-        .orderBy("vec_id")
-        .limit(2 * sample_target)
-        .toPandas()
-    )
+    if n < 4096:
+        # step would be 1 (n // sample_target == 0 for every reachable
+        # sample_target >= 2048): the modulo sample IS the ordered prefix
+        # the observe job already collected — zero additional jobs.
+        train_pdf = prefix_pdf
+    else:
+        step = max(1, n // sample_target)
+        # the modulo sample is size-bounded only for ids uniform mod step;
+        # ids allocated with a stride sharing a factor with step would
+        # select far more (worst case the whole corpus) into the driver —
+        # the limit is a hard cap that is a no-op in the uniform case.
+        # orderBy before the limit makes the cap a TakeOrdered: when it
+        # binds, the retained sample (and hence the seeded Lloyd init,
+        # which indexes by ROW position) is still a pure function of the
+        # data, not of partition layout — an unordered limit keeps
+        # "bounded" but loses "deterministic" exactly in the
+        # adversarial-stride case the cap exists for.
+        train_pdf = (
+            valid.filter(F.col("vec_id") % step == 0)
+            .orderBy("vec_id")
+            .limit(2 * sample_target)
+            .toPandas()
+        )
     if len(train_pdf) == 0 and n > 0:
         # sparse/adversarial vec_ids can dodge the modulo sample entirely;
         # fall back to a deterministic bounded TakeOrdered sample
