@@ -72,6 +72,15 @@ def char_shingles_sql(n: int = 3, col: str = "text") -> str:
       surrogate pairs the regex would emit extra garbage windows starting
       mid-pair (observed on emoji). The surrogate-range RLIKE routes such
       rows — and only such rows — down the per-code-point path.
+
+    Workload caveat (r17, recording the r16 advisor's note): the routing
+    adds one full-text RLIKE scan per row, and a single astral character
+    anywhere in a document sends that WHOLE row down the interpreted
+    legacy path — an astral-heavy corpus (mostly-emoji, CJK-E blocks)
+    sees little of the 3.3× win and pays the extra regex scan. If the
+    corpus mix shifts that way, re-measure: splitting rows by the RLIKE
+    verdict once and unioning the two paths, or a code-point-safe regex
+    over a pre-normalized column, are the candidate shapes.
     """
     legacy = (
         f"CASE WHEN length({col}) >= {n} THEN"

@@ -459,6 +459,12 @@ def minhash_cluster_edges(d: DataFrame) -> DataFrame:
     routine at 100 TB) would buffer whole in one task, while the
     groupBy combines map-side and the join streams the hot key (and AQE
     skew-join can split it).
+
+    **Eager execution** (r16 localCheckpoint): calling this function runs
+    Spark jobs immediately and caller filters cannot push below the
+    materialized per-doc signature table — see
+    :func:`simhash_banded_pairs` for the full contract note (bounded
+    narrow table, but non-replicated truncated-lineage storage).
     """
     # Materialize the signature table once (guide §2.4/§3.3): `keys` feeds
     # BOTH the hub aggregation and the join's probe side, and whenever the
@@ -501,7 +507,13 @@ def minhash_det_pairs(d: DataFrame) -> DataFrame:
     would otherwise share a fabricated ''-shingle signature — phantom
     near-dup pairs linking ALL short docs into one cluster, which the
     graph queries built on these pairs then amplify (caught by the r6
-    degenerate-text differential audit)."""
+    degenerate-text differential audit).
+
+    **Eager execution** (r16 localCheckpoint): calling this function runs
+    Spark jobs immediately and caller filters cannot push below the
+    materialized per-doc signature table — see
+    :func:`simhash_banded_pairs` for the full contract note (bounded
+    narrow table, but non-replicated truncated-lineage storage)."""
     # Materialize the signature table once (guide §2.4/§3.3): the banded
     # self-join reads `sig` on both sides, and when one side broadcasts
     # (the local/bench-scale plan) there is no shared Exchange to reuse —
@@ -700,6 +712,18 @@ def simhash_banded_pairs(
     Manku WWW'07 configuration: 4 tables × 16 bits for k ≤ 3) keeps the
     random-collision term negligible to ~10M docs — past that, widen the
     signature (128-bit) or shard band values, same plan shape.
+
+    **Eager execution** (r16 localCheckpoint, contract note per the r16
+    advisor): CALLING this function runs Spark jobs immediately — the
+    (doc_id, signature) table is materialized before the self-join is
+    even composed, so caller-side filters cannot push below the
+    checkpoint and composing lazily is not possible. The checkpointed
+    table is one narrow row per doc (bounded at any corpus size), but it
+    lives on NON-replicated executor-local storage with truncated
+    lineage: an executor lost between materialization and the last
+    downstream read fails the query rather than recomputing. Callers
+    needing lazy composition or lineage-backed recovery should pass the
+    signature table through their own materialization policy instead.
     """
     if n_bands <= max_hamming:
         raise ValueError("need n_bands > max_hamming for exact recall")
