@@ -200,8 +200,12 @@ def q_llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # lang rides the explode projection (r17, guide §2.3): the old form
+    # re-joined the corpus-sized token stream back to documents just to
+    # fetch lang — a per-token broadcast-hash probe that the scan already
+    # had in hand. Same rows, same counts, one fewer join over the stream.
     prof = (
-        toks.join(d.select("doc_id", "lang"), "doc_id")
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
